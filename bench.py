@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall-clock seconds across headline queries (lower is
+better). Each query is executed with a count-style action so results
+materialize fully but don't serialize to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+# Headline set: mix of scan-heavy, join-heavy, window, text, vector.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q09_product_type_profit",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
+    "w01_top_customers_per_nation",
+    "e01_hourly_event_stats",
+    "e03_sessionization",
+    "e06_asof_click_before_purchase",
+    "t02_quality_scores",
+    "d03_minhash_signatures",
+    "d04_minhash_lsh_pairs",
+    "v01_knn_bruteforce",
+]
+
+
+def main() -> None:
+    from ice_spark.queries.registry import load_all
+    from ice_spark.session import get_spark, sf_dir
+
+    sf = sf_dir()
+    spark = get_spark("ice_spark_bench")
+    specs = load_all()
+
+    # Warm the JVM + parquet footers with a trivial action so the first
+    # measured query doesn't pay session startup.
+    spark.read.parquet(os.path.join(sf, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        t0 = time.time()
+        df = spec.spark_fn(spark, sf)
+        # Materialize every row without collecting to the driver.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf_label = os.path.basename(sf.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf_label) if sf_label else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Text-analysis primitives: tokenization, portable hashes, shingles,
+MinHash signatures, SimHash, language-ID scoring, quality metrics.
+
+All pure Column expressions (whole-stage codegen, no Python).
+
+Portable hash spec (reproducible in any engine, incl. the DuckDB
+oracle):
+
+    token_hash(s) = fold over characters c of s:
+        acc <- (acc * 131 + codepoint(c)) mod 1_000_000_007, acc0 = 7
+
+MinHash permutation j (j = 0..k-1), over the distinct shingle hashes:
+
+    perm_j(h) = (A[j] * h + B[j]) mod 1_000_000_007
+    A[j] = 2*j + 3, B[j] = 7*j + 1   (odd multipliers, fixed seeds)
+
+The reference has no text functions at all (SURVEY.md §2.8); these
+are the beyond-reference training-data operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+HASH_INIT = 7
+HASH_MULT = 131
+
+# Stopword marker sets for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "es": ["el", "la", "de", "y", "es", "que", "un"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est"],
+    "zh": ["de", "shi", "zai", "le", "he"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ["that", "for", "on", "with", "as", "at", "this"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization, empty tokens dropped."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def char_hash(s: Column) -> Column:
+    """Portable polynomial rolling hash of a string (see module doc)."""
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(HASH_INIT).cast("long"),
+        lambda acc, ch: (acc * HASH_MULT + F.ascii(ch)) % MOD,
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined)."""
+    t = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    shingled = F.when(
+        F.size(t) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+    return F.array_distinct(shingled)
+
+
+def shingle_hashes(text: Column | str, n: int = 3) -> Column:
+    """Distinct portable hashes of word n-gram shingles."""
+    return F.array_distinct(F.transform(word_shingles(text, n), char_hash))
+
+
+def minhash_perm(hashes: Column, j: int) -> Column:
+    """MinHash value for permutation j over a set of shingle hashes."""
+    a, b = 2 * j + 3, 7 * j + 1
+    return F.array_min(F.transform(hashes, lambda h: (h * a + b) % MOD))
+
+
+def minhash_signature(hashes: Column, k: int) -> Column:
+    """Array of k MinHash values."""
+    return F.array(*[minhash_perm(hashes, j) for j in range(k)])
+
+
+def simhash(text: Column | str, bits: int = 32) -> Column:
+    """SimHash over token hashes: for each bit, sum +1/-1 votes of all
+    tokens' hash bits; bit set iff the vote is positive.
+
+    32-bit so the value stays comfortably in a signed 64-bit long in
+    every engine.
+    """
+    th = F.transform(tokens(text), char_hash)
+
+    def bit_vote(b: int):
+        return F.aggregate(
+            th,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    val = F.lit(0).cast("long")
+    for b in range(bits):
+        val = val + F.when(bit_vote(b) > 0, F.lit(2**b).cast("long")).otherwise(0)
+    return val
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two long values (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-hit counts per language (occurrence counts, not distinct)."""
+    t = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(t, lambda tok: F.array_contains(arr, tok)))
+    return out
+
+
+def predict_lang(text: Column | str) -> Column:
+    """Argmax of lang_scores with fixed tie order en>de>es>fr>zh."""
+    s = lang_scores(text)
+    order = ["en", "de", "es", "fr", "zh"]
+    expr = F.lit("zh")
+    for i in range(len(order) - 2, -1, -1):
+        lang = order[i]
+        cond = None
+        for other in order[i + 1 :]:
+            c = s[lang] >= s[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or EN_STOPWORDS
+    t = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    arr = F.array(*[F.lit(m) for m in sw])
+    hits = F.size(F.filter(t, lambda tok: F.array_contains(arr, tok)))
+    return hits.cast("double") / F.greatest(F.size(t), F.lit(1)).cast("double")
+
+
+def mean_token_len(text: Column | str) -> Column:
+    t = tokens(text)
+    total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, tok: acc + F.length(tok))
+    return total.cast("double") / F.greatest(F.size(t), F.lit(1)).cast("double")

@@ -1,0 +1,168 @@
+"""Deduplication operators for training-data pipelines.
+
+Reference has only file-path dedup on ingest
+(/root/reference/ice/src/main/java/com/altinity/ice/cli/internal/cmd/Insert.java:172-178);
+content-level dedup is beyond-reference capability.
+
+All operators are DataFrame→DataFrame compositions — no driver
+collects, no Python row loops:
+
+- exact_dedup: hash-groupBy keep-min-id. One shuffle on the dedup key.
+- minhash_lsh_pairs: shingle→MinHash→band→bucket-join→exact-verify.
+  Candidate generation is O(sum of bucket sizes squared), bounded by
+  banding; verification joins shingle sets back by id (so big arrays
+  aren't duplicated through the band explode).
+- simhash_pairs: 32-bit SimHash bucket candidates + Hamming verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ice_spark.functions import text as T
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per distinct key tuple.
+
+    Single hash-aggregate shuffle; at 100 TB prefer hashing long text
+    to a fingerprint first (dedup_by_fingerprint) so the shuffle moves
+    8-byte keys instead of document bodies.
+    """
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=[*key_cols, id_col], how="left_semi")
+
+
+def dedup_by_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup shuffling only (fingerprint, id) — the scale path."""
+    fp = df.select(F.col(id_col), T.char_hash(F.col(text_col)).alias("__fp"))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding + exact verify.
+
+    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+
+    Band collision probability for Jaccard s with r rows/band and b
+    bands is 1-(1-s^r)^b; with r=2, b=8 the curve passes ~0.99 recall
+    at s=0.8 while keeping s<0.2 collisions negligible.
+    """
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        T.shingle_hashes(F.col(text_col), n=shingle_n).alias("__shs"),
+    )
+    sigs = base.select("__id", T.minhash_signature(F.col("__shs"), n_hashes).alias("__sig"))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col("__sig")[b * r + i].cast("string") for i in range(r)]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select("__id", F.explode(band_structs).alias("bk")).select(
+        "__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    # Same band + same key → candidate pair. The distinct() collapses
+    # pairs that collide in multiple bands before the (expensive)
+    # exact verification join.
+    b2 = buckets.select(
+        F.col("__id").alias("__id2"), F.col("band").alias("band2"), F.col("key").alias("key2")
+    )
+    cands = (
+        buckets.join(
+            b2,
+            (F.col("band") == F.col("band2"))
+            & (F.col("key") == F.col("key2"))
+            & (F.col("__id") < F.col("__id2")),
+        )
+        .select("__id", "__id2")
+        .distinct()
+    )
+    # Join shingle sets back by id (keeps the band join narrow).
+    sa = base.select(F.col("__id").alias("__id"), F.col("__shs").alias("__sha"))
+    sb = base.select(F.col("__id").alias("__id2"), F.col("__shs").alias("__shb"))
+    verified = cands.join(sa, "__id").join(sb, "__id2")
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.size("__sha") + F.size("__shb") - inter
+    jacc = inter.cast("double") / union
+    return (
+        verified.where(jacc >= threshold)
+        .select(
+            F.col("__id").alias("doc_a"),
+            F.col("__id2").alias("doc_b"),
+            F.round(jacc, 6).alias("jaccard"),
+        )
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """Near-dup candidates via SimHash block permutation.
+
+    Split the simhash into (max_hamming+1) blocks; by pigeonhole, any
+    pair within max_hamming shares at least one exact block → join on
+    (block_idx, block_value), verify full Hamming distance.
+    """
+    nblocks = max_hamming + 1
+    width = bits // nblocks
+    sh = df.select(F.col(id_col).alias("__id"), T.simhash(F.col(text_col), bits).alias("__sh"))
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("__sh"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+            for i in range(nblocks)
+        ]
+    )
+    ex = sh.select("__id", "__sh", F.explode(blocks).alias("b")).select(
+        "__id", "__sh", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+    ex2 = ex.select(
+        F.col("__id").alias("__id2"),
+        F.col("__sh").alias("__sh2"),
+        F.col("blk").alias("blk2"),
+        F.col("val").alias("val2"),
+    )
+    cands = (
+        ex.join(
+            ex2,
+            (F.col("blk") == F.col("blk2"))
+            & (F.col("val") == F.col("val2"))
+            & (F.col("__id") < F.col("__id2")),
+        )
+        .select("__id", "__sh", "__id2", "__sh2")
+        .distinct()
+    )
+    dist = T.hamming64(F.col("__sh"), F.col("__sh2"))
+    return cands.where(dist <= max_hamming).select(
+        F.col("__id").alias("doc_a"),
+        F.col("__id2").alias("doc_b"),
+        dist.alias("hamming"),
+    )

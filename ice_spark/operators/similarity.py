@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference capability (the reference stores data; it has no
+vector ops). Two paths:
+
+- brute_force_topk: exact cosine top-k. The query set is broadcast
+  (it's small by definition); the corpus is scanned once — no
+  shuffle at all until the final per-query top-k aggregation. This
+  is the correct baseline even at 100 TB when the query set is
+  bounded.
+- lsh_topk: random-hyperplane LSH bucketing — candidates share a
+  sign-bit prefix bucket; exact cosine re-rank within buckets. Turns
+  the corpus scan into a bucket-pruned scan for large query sets.
+
+All dot products are Column expressions (zip_with + aggregate), so
+they execute in codegen; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cos_sim, rank); self-matches are
+    excluded when ids collide. Cosine is rounded to 6 digits before
+    ranking (ties broken by neighbor id) so results are reproducible.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane (pure python,
+    fixed constants — reproducible without RNG state)."""
+    vals = []
+    x = seed * 2654435761 % 2**32
+    for _ in range(dim):
+        x = (1103515245 * x + 12345) % 2**31
+        vals.append((x / 2**30) - 1.0)  # in [-1, 1)
+    return vals
+
+
+def lsh_bucket(vec, dim: int, n_planes: int = 8):
+    """Sign-bit bucket id from n random hyperplanes (Column expr)."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = _hyperplane(dim, seed=p + 1)
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(0)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket,
+    exact cosine re-rank inside. At 100 TB the corpus is bucketed once
+    (written bucketed-by bucket id); queries probe only their bucket."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+        lsh_bucket(F.col(query_vec_col), dim, n_planes).alias("__bq"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bc"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("__bq") == F.col("__bc")) & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

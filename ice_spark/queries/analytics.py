@@ -1,0 +1,310 @@
+"""Window functions, set operations, grouping sets, percentiles.
+
+The reference has none of these (SURVEY.md §2.8) — they come from
+Spark SQL itself; these queries prove the engine exposes them and
+that plans stay shuffle-minimal (window partitions reuse the
+aggregation partitioning where possible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ice_spark.queries.helpers import SQL_REV_DEC, dsum, rev_dec
+from ice_spark.queries.registry import register
+from ice_spark.tables import load_table
+
+
+
+@register(
+    "w01_top_customers_per_nation",
+    f"""
+    SELECT n_name, c_custkey, revenue, rk
+    FROM (
+      SELECT n_name, c_custkey, revenue,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY revenue DESC, c_custkey) AS rk
+      FROM (
+        SELECT n_name, c_custkey,
+               CAST(SUM({SQL_REV_DEC}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, c_custkey
+      ) rev
+    ) ranked
+    WHERE rk <= 3
+    """,
+    doc="Top-3 customers by revenue per nation (window over agg).",
+)
+def w01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(rev_dec()).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("n_name", "c_custkey", "revenue", "rk")
+    )
+
+
+@register(
+    "w02_monthly_revenue_running_total",
+    f"""
+    SELECT month,
+           CAST(mrev_dec AS DOUBLE) AS monthly_revenue,
+           CAST(SUM(mrev_dec) OVER (ORDER BY month
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_revenue
+    FROM (
+      SELECT STRFTIME(DATE_TRUNC('month', l_shipdate), '%Y-%m-%d') AS month,
+             SUM({SQL_REV_DEC}) AS mrev_dec
+      FROM lineitem
+      GROUP BY 1
+    ) m
+    """,
+    doc="Monthly revenue + running total (global window; single-partition "
+    "window is fine because the month cardinality is tiny after agg).",
+)
+def w02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = (
+        li.groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias("month"))
+        .agg(F.sum(rev_dec()).alias("mrev_dec"))
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Running total stays in decimal through the window (double window
+    # sums aren't associativity-stable across engines).
+    return monthly.select(
+        "month",
+        F.col("mrev_dec").cast("double").alias("monthly_revenue"),
+        F.sum("mrev_dec").over(w).cast("double").alias("running_revenue"),
+    )
+
+
+@register(
+    "w03_top_parts_per_brand",
+    f"""
+    SELECT p_brand, p_partkey, revenue
+    FROM (
+      SELECT p_brand, p_partkey, revenue,
+             DENSE_RANK() OVER (PARTITION BY p_brand
+                                ORDER BY revenue DESC, p_partkey) AS rk
+      FROM (
+        SELECT p_brand, p_partkey,
+               CAST(SUM({SQL_REV_DEC}) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey
+      ) rev
+    ) ranked
+    WHERE rk <= 2
+    """,
+    doc="Top-2 parts by revenue per brand (dense_rank).",
+)
+def w03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(rev_dec()).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        rev.withColumn("rk", F.dense_rank().over(w))
+        .where(F.col("rk") <= 2)
+        .select("p_brand", "p_partkey", "revenue")
+    )
+
+
+@register(
+    "s01_nation_key_set_ops",
+    """
+    SELECT 'both' AS tag, k FROM (
+      SELECT c_nationkey AS k FROM customer
+      INTERSECT
+      SELECT s_nationkey AS k FROM supplier
+    ) i
+    UNION ALL
+    SELECT 'customer_only' AS tag, k FROM (
+      SELECT c_nationkey AS k FROM customer
+      EXCEPT
+      SELECT s_nationkey AS k FROM supplier
+    ) e
+    """,
+    doc="Set operations: INTERSECT / EXCEPT / UNION ALL.",
+)
+def s01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    both = cust.intersect(supp).select(F.lit("both").alias("tag"), "k")
+    only = cust.subtract(supp).select(F.lit("customer_only").alias("tag"), "k")
+    return both.unionAll(only)
+
+
+@register(
+    "s02_revenue_rollup",
+    f"""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           CAST(SUM({SQL_REV_DEC}) AS DOUBLE) AS revenue,
+           GROUPING(r_name) + GROUPING(n_name) AS lvl
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="ROLLUP region→nation revenue with grouping level.",
+)
+def s02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(
+            F.sum(rev_dec()).cast("double").alias("revenue"),
+            (F.grouping("r_name") + F.grouping("n_name")).alias("lvl"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "revenue",
+            "lvl",
+        )
+    )
+
+
+@register(
+    "s03_returnflag_cube",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over returnflag × linestatus.",
+)
+def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@register(
+    "a01_distinct_counts",
+    """
+    SELECT COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+    doc="Multi count-distinct (expand + partial agg in Spark).",
+)
+def a01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "a02_price_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50,
+           ROUND(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90,
+           ROUND(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (rounded: interpolation "
+    "arithmetic differs in last ulps across engines).",
+)
+def a02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
+    "a03_order_value_histogram",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Value histogram via bucketed floor division.",
+)
+def a03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("long").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+    )
+
+
+@register(
+    "a04_pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Pivot (orderstatus columns per priority) via Spark pivot().",
+)
+def a04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("cnt_p"),
+    )

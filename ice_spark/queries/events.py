@@ -1,0 +1,234 @@
+"""Event-stream analytics over the `events` table.
+
+The reference's only streaming surface is SQS-triggered file ingest
+(SURVEY.md §2.9) — event-time analytics is new capability. These are
+the batch forms; ice_spark.streaming holds the readStream versions.
+
+Timestamps: events.ts is parquet nanos (read as NTZ in Spark, us in
+DuckDB after truncation) — outputs are formatted strings/bigints so
+both engines hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ice_spark.operators.asof import asof_join
+from ice_spark.queries.helpers import MONEY, dsum
+from ice_spark.queries.registry import register
+from ice_spark.tables import load_table
+
+
+@register(
+    "e01_hourly_event_stats",
+    """
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Hourly event counts / distinct users / value by type.",
+)
+def e01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "e02_tumbling_window_6h",
+    """
+    SELECT STRFTIME(CAST(to_timestamp(FLOOR(epoch(ts) / 21600) * 21600) AS TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="6-hour tumbling window aggregation (Spark window(); oracle via "
+    "epoch bucketing). Streaming twin in ice_spark.streaming.",
+)
+def e02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "e03_sessionization",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           COUNT(DISTINCT session_id) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    """,
+    doc="Gap-based sessionization (30 min): lag + running sum. At scale "
+    "this is one shuffle by user_id; skewed users need salting only if "
+    "a single user exceeds a partition.",
+)
+def e03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+                > 1800.0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = gaps.select(
+        "user_id", F.sum("new_session").over(run).alias("session_id")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "e04_signup_purchase_funnel",
+    """
+    SELECT COUNT(*) AS n_converted
+    FROM (
+      SELECT user_id
+      FROM events
+      GROUP BY user_id
+      HAVING MIN(CASE WHEN event_type = 'signup' THEN ts END)
+             < MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+    ) converted
+    """,
+    doc="Funnel: users whose first signup precedes their last purchase.",
+)
+def e04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+    )
+    return per_user.where(
+        F.col("first_signup") < F.col("last_purchase")
+    ).agg(F.count(F.lit(1)).alias("n_converted"))
+
+
+@register(
+    "e05_json_props",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON extraction from the props column (get_json_object).",
+)
+def e05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "e06_asof_click_before_purchase",
+    """
+    SELECT purchase_id, click_id FROM (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+    ) x WHERE rn = 1
+    """,
+    doc="As-of join: latest click at-or-before each purchase, per user. "
+    "Spark side uses the scalable union+window asof operator "
+    "(ice_spark.operators.asof) — one shuffle, no quadratic join.",
+)
+def e06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["click_id"],
+        tie_breaker="click_id",
+    )
+    return joined.where(F.col("click_id").isNotNull()).select("purchase_id", "click_id")
+
+
+@register(
+    "e07_user_daily_activity",
+    """
+    SELECT user_id,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+           STRFTIME(MIN(CAST(ts AS DATE)), '%Y-%m-%d') AS first_day,
+           STRFTIME(MAX(CAST(ts AS DATE)), '%Y-%m-%d') AS last_day
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Per-user activity span and distinct active days.",
+)
+def e07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.countDistinct(F.col("ts").cast("date")).alias("active_days"),
+        F.date_format(F.min(F.col("ts").cast("date")), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max(F.col("ts").cast("date")), "yyyy-MM-dd").alias("last_day"),
+    )

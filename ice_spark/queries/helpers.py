@@ -1,0 +1,83 @@
+"""Cross-engine deterministic aggregation helpers.
+
+Doubles summed in different orders differ in the last ulps; at sf0.1
+the accumulated error can cross a rounding boundary. We therefore sum
+through exact decimals (order-insensitive) and cast the final value
+back to double so Spark and DuckDB produce bit-identical results with
+identical schemas. See queries/registry.py docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MONEY = "decimal(18,2)"
+HI = "decimal(30,10)"  # for per-row double products before summing
+
+
+def dsum(col: Column | str, scale: str = MONEY) -> Column:
+    """Order-insensitive sum of a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(scale)).cast("double")
+
+
+def davg(col: Column | str, count_col: Column | None = None, scale: str = MONEY) -> Column:
+    """Deterministic average: exact decimal sum → double, / count."""
+    c = F.col(col) if isinstance(col, str) else col
+    cnt = count_col if count_col is not None else F.count(F.lit(1))
+    return F.sum(c.cast(scale)).cast("double") / cnt
+
+
+def sql_dsum(expr: str, scale: str = "DECIMAL(18,2)") -> str:
+    return f"CAST(SUM(CAST({expr} AS {scale})) AS DOUBLE)"
+
+
+def sql_davg(expr: str, count_expr: str = "COUNT(*)", scale: str = "DECIMAL(18,2)") -> str:
+    return f"CAST(SUM(CAST({expr} AS {scale})) AS DOUBLE) / {count_expr}"
+
+
+def sql_dsum_hi(expr: str) -> str:
+    return sql_dsum(expr, "DECIMAL(30,10)")
+
+
+# --- Exact decimal products -------------------------------------------------
+# Casting a computed double to a fine-scaled decimal (e.g. (30,10)) is
+# NOT portable: the 1e-10 grid is only ~10x the double ulp at 1e4
+# magnitudes, so engines disagree on rounding for a measurable share
+# of rows. Instead cast the *inputs* at coarse scales (ties are
+# unreachable: a 2-decimal-generated double is never half-way between
+# two 4-decimal grid points) and multiply in decimal — exact and
+# bit-identical everywhere.
+
+# revenue = extendedprice * (1 - discount), exact decimal(25,6)
+REV_DEC_SPARK = None  # built lazily in rev_dec() to avoid import-order issues
+SQL_REV_DEC = (
+    "(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))))"
+)
+SQL_SUM_REV = f"CAST(SUM({SQL_REV_DEC}) AS DOUBLE)"
+
+
+def rev_dec() -> Column:
+    """l_extendedprice * (1 - l_discount) as an exact decimal."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)")
+    )
+
+
+def charge_dec() -> Column:
+    """revenue * (1 + tax) as an exact decimal."""
+    return rev_dec().cast("decimal(24,6)") * (
+        F.lit(1).cast("decimal(5,4)") + F.col("l_tax").cast("decimal(5,4)")
+    )
+
+
+SQL_CHARGE_DEC = (
+    f"(CAST({SQL_REV_DEC} AS DECIMAL(24,6))"
+    " * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(5,4))))"
+)
+
+
+def sql_sum_dec(expr: str) -> str:
+    return f"CAST(SUM({expr}) AS DOUBLE)"

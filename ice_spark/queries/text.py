@@ -1,0 +1,310 @@
+"""Text-analysis and dedup queries over the `documents` table.
+
+Spark side uses ice_spark.functions.text (pure Column expressions —
+whole-stage codegen, no Python UDFs). Oracles reproduce the portable
+hash spec (functions/text.py docstring) with DuckDB list lambdas.
+
+Scale notes: every query here is a single scan + narrow per-row array
+expressions + one aggregation; the pair-finding queries bound the
+candidate space (same-source blocking / LSH banding) instead of a
+quadratic self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ice_spark.functions import text as T
+from ice_spark.queries.registry import register
+from ice_spark.tables import load_table
+
+# --- Shared DuckDB SQL fragments (mirror functions/text.py exactly) ---
+
+_SQL_TOKS = r"list_filter(string_split_regex(trim({col}), '\s+'), t -> t <> '')"
+
+_SQL_CHAR_HASH = (
+    "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+    "list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * 131 + b) % 1000000007)"
+)
+
+_SQL_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_distinct(list_transform(generate_series(1, len(toks)-2), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) "
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+
+
+def _sql_lang_score(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
+    return f"len(list_filter(ltoks, t -> list_contains([{markers}], t)))"
+
+
+@register(
+    "t01_token_stats",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM (
+      SELECT lang, n_chars, len({_SQL_TOKS.format(col='text')}) AS n_tokens
+      FROM documents
+    ) d
+    GROUP BY lang
+    """,
+    doc="Token counting per language (whitespace tokenizer).",
+)
+def t01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("lang", "n_chars", T.token_count("text").alias("n_tokens"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+@register(
+    "t02_quality_scores",
+    f"""
+    WITH d AS (
+      SELECT source, toks,
+             len(toks) AS n_tokens,
+             len(list_filter(list_transform(toks, t -> lower(t)),
+                 t -> list_contains([{", ".join(f"'{w}'" for w in T.EN_STOPWORDS)}], t)))
+               AS sw_hits,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+                 (a, b) -> a + b) AS tok_chars
+      FROM (SELECT source, {_SQL_TOKS.format(col='text')} AS toks FROM documents)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(CAST(sw_hits AS DOUBLE) / GREATEST(n_tokens, 1)), 4)
+             AS avg_stopword_ratio,
+           ROUND(AVG(CAST(tok_chars AS DOUBLE) / GREATEST(n_tokens, 1)), 4)
+             AS avg_token_len,
+           COUNT(*) FILTER (WHERE n_tokens >= 20
+                            AND CAST(sw_hits AS DOUBLE) / GREATEST(n_tokens, 1) >= 0.02)
+             AS n_quality
+    FROM d
+    GROUP BY source
+    """,
+    doc="Quality scoring: stopword ratio, mean token length, quality gate "
+    "counts per source.",
+)
+def t02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        T.token_count("text").alias("n_tokens"),
+        T.stopword_ratio("text").alias("sw_ratio"),
+        T.mean_token_len("text").alias("tok_len"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("sw_ratio"), 4).alias("avg_stopword_ratio"),
+        F.round(F.avg("tok_len"), 4).alias("avg_token_len"),
+        F.sum(
+            F.when((F.col("n_tokens") >= 20) & (F.col("sw_ratio") >= 0.02), 1).otherwise(0)
+        ).alias("n_quality"),
+    )
+
+
+@register(
+    "t03_langid_confusion",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             {_sql_lang_score('en')} AS s_en,
+             {_sql_lang_score('de')} AS s_de,
+             {_sql_lang_score('es')} AS s_es,
+             {_sql_lang_score('fr')} AS s_fr,
+             {_sql_lang_score('zh')} AS s_zh
+      FROM (SELECT lang,
+                   list_transform({_SQL_TOKS.format(col='text')}, t -> lower(t)) AS ltoks
+            FROM documents)
+    )
+    SELECT lang,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END AS predicted,
+           COUNT(*) AS n
+    FROM scored
+    GROUP BY 1, 2
+    """,
+    doc="Language-ID heuristic (stopword marker voting) vs labeled lang.",
+)
+def t03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.predict_lang("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "t04_fingerprints",
+    f"""
+    SELECT doc_id, {_SQL_CHAR_HASH.format(s='text')} AS fingerprint
+    FROM documents
+    """,
+    doc="Per-document rolling-hash fingerprint (portable polynomial hash).",
+)
+def t04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.char_hash(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "d01_exact_dedup",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT text) AS n_dupes
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Exact dedup accounting per source (hash-groupBy; the acting "
+    "dedup operator is ice_spark.operators.dedup.exact_dedup).",
+)
+def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_dupes"),
+    )
+
+
+@register(
+    "d02_ngram_jaccard_pairs",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_SQL_TOKS.format(col='text')} AS toks FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+    """,
+    doc="Exact n-gram Jaccard near-dup pairs (J >= 0.8) via shingle "
+    "inverted index — explode + join on shingle, never a quadratic "
+    "cross join. At 100 TB, cap posting-list length (drop shingles "
+    "shared by >K docs) — not needed at these SFs.",
+)
+def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.word_shingles("text").alias("sh")
+    )
+    sizes = docs.select("doc_id", F.size("sh").alias("n"))
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    ex2 = ex.select(F.col("doc_id").alias("doc_b_id"), F.col("s").alias("s2"))
+    pairs = (
+        ex.join(ex2, (ex.s == ex2.s2) & (ex.doc_id < ex2.doc_b_id))
+        .groupBy(F.col("doc_id").alias("doc_a"), F.col("doc_b_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    jacc = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("a_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("b_id"))
+        .where(jacc >= 0.8)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+_SQL_MINHASH_SIG = (
+    "list_transform(shs, h -> (h * {a} + {b}) % 1000000007)"
+)
+
+
+@register(
+    "d03_minhash_signatures",
+    f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(sh, s -> {_SQL_CHAR_HASH.format(s='s')})) AS shs
+      FROM (
+        SELECT doc_id, {_SQL_SHINGLES} AS sh
+        FROM (SELECT doc_id, {_SQL_TOKS.format(col='text')} AS toks FROM documents)
+      )
+    )
+    SELECT doc_id,
+           list_min({_SQL_MINHASH_SIG.format(a=3, b=1)}) AS mh0,
+           list_min({_SQL_MINHASH_SIG.format(a=5, b=8)}) AS mh1,
+           list_min({_SQL_MINHASH_SIG.format(a=7, b=15)}) AS mh2,
+           list_min({_SQL_MINHASH_SIG.format(a=9, b=22)}) AS mh3
+    FROM docs
+    """,
+    doc="MinHash signatures (4 portable permutations over shingle hashes) "
+    "— proves the MinHash layer bit-exactly; LSH banding on top is "
+    "d04 (rows-only).",
+)
+def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shs = T.shingle_hashes(F.col("text"))
+    return docs.select(
+        "doc_id",
+        T.minhash_perm(shs, 0).alias("mh0"),
+        T.minhash_perm(shs, 1).alias("mh1"),
+        T.minhash_perm(shs, 2).alias("mh2"),
+        T.minhash_perm(shs, 3).alias("mh3"),
+    )
+
+
+@register(
+    "d04_minhash_lsh_pairs",
+    None,  # LSH banding result depends on permutation count/banding —
+    # verified end-to-end in tests against the exact-Jaccard oracle.
+    doc="Full MinHash+LSH near-dup pipeline: 16 permutations, 8 bands → "
+    "band-bucket join → exact Jaccard verify >= 0.8. Scales as "
+    "O(candidates), not O(n^2).",
+)
+def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", n_hashes=16, bands=8, threshold=0.8
+    )
+
+
+@register(
+    "d05_simhash_buckets",
+    None,  # 32-bit simhash is portable too, but fold-over-bits SQL is
+    # prohibitively slow in the oracle; verified in tests instead.
+    doc="SimHash values + bucket histogram: docs sharing a simhash are "
+    "near-dup candidates in O(n) space.",
+)
+def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", T.simhash("text").alias("simhash"))
+    return (
+        sh.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc"))
+        .where(F.col("n_docs") >= 2)
+    )

@@ -1,0 +1,165 @@
+"""Embedding / similarity-search queries over the `embeddings` table.
+
+Dot products on the Spark side are zip_with+aggregate Column
+expressions (codegen); oracles compute the same sums via index
+expansion. Cosines are rounded to 6 digits on both sides before any
+ranking/filter so last-ulp summation-order differences can't flip
+results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ice_spark.operators.similarity import _norm, brute_force_topk, cosine
+from ice_spark.queries.registry import register
+from ice_spark.tables import load_table
+
+_SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+_SQL_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))"
+)
+
+
+@register(
+    "v01_knn_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND({_SQL_DOT.format(a='qv', b='cv')}
+                   / ({_SQL_NORM.format(a='qv')} * {_SQL_NORM.format(a='cv')}), 6)
+               AS cos_sim
+      FROM q JOIN c ON query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) r WHERE rank <= 3
+    """,
+    doc="Exact cosine top-3 neighbors for query vectors (vec_id < 5); "
+    "broadcast query set, single corpus scan.",
+)
+def v01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = brute_force_topk(
+        corpus=emb,
+        queries=queries,
+        id_col="vec_id",
+        vec_col="embedding",
+        query_id_col="vec_id",
+        query_vec_col="embedding",
+        k=3,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "v02_label_centroids",
+    """
+    SELECT label, i - 1 AS dim,
+           ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 4) AS centroid_val
+    FROM embeddings, generate_series(1, 8) t(i)
+    GROUP BY label, i
+    """,
+    doc="Per-label centroid of the first 8 embedding dims "
+    "(posexplode + avg; full-dim variant used by the ANN operator).",
+)
+def v02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.slice("embedding", 1, 8)).alias("dim", "v")
+    )
+    return (
+        ex.groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.round(F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 4).alias(
+                "centroid_val"
+            )
+        )
+    )
+
+
+@register(
+    "v03_label_norm_stats",
+    f"""
+    SELECT label, COUNT(*) AS n,
+           ROUND(SUM(nrm) / COUNT(*), 6) AS avg_norm,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm
+    FROM (SELECT label, {_SQL_NORM.format(a='embedding')} AS nrm FROM embeddings) t
+    GROUP BY label
+    """,
+    doc="L2-norm statistics per label.",
+)
+def v03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = emb.select("label", _norm(F.col("embedding")).alias("nrm"))
+    return t.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("nrm") / F.count(F.lit(1)), 6).alias("avg_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+
+
+@register(
+    "v04_cosine_neardup_pairs",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+                 / ({_SQL_NORM.format(a='a.embedding')} * {_SQL_NORM.format(a='b.embedding')}), 6)
+             AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+          / ({_SQL_NORM.format(a='a.embedding')} * {_SQL_NORM.format(a='b.embedding')}) >= 0.95
+    """,
+    doc="Embedding near-duplicate pairs (cosine >= 0.95). Exact "
+    "all-pairs at test SF; the LSH-bucketed variant "
+    "(operators.similarity.lsh_topk) is the 100 TB path.",
+)
+def v04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("__va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("__vb"))
+    cos = cosine(F.col("__va"), F.col("__vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .where(cos >= 0.95)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+@register(
+    "v05_lsh_ann",
+    None,  # bucket contents depend on hyperplane constants — recall is
+    # asserted against the brute-force oracle in tests instead.
+    doc="LSH-bucketed approximate NN (random hyperplanes, sign-bit "
+    "buckets, exact re-rank within bucket).",
+)
+def v05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return lsh_topk(
+        corpus=emb,
+        queries=queries,
+        id_col="vec_id",
+        vec_col="embedding",
+        query_id_col="vec_id",
+        query_vec_col="embedding",
+        dim=64,
+        k=3,
+        n_planes=6,
+    )
