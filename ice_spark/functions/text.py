@@ -9,6 +9,13 @@ oracle):
     token_hash(s) = fold over characters c of s:
         acc <- (acc * 131 + codepoint(c)) mod 1_000_000_007, acc0 = 7
 
+Shingle hashes combine per-token hashes polynomially (each token is
+hashed once, not re-walked per shingle — at 100 TB this is the
+difference between O(chars) and O(chars * shingle_width) per doc):
+
+    shingle_hash(t_i..t_{i+n-1}) = fold over token hashes h:
+        acc <- (acc * 1_000_003 + h) mod 1_000_000_007, acc0 = 7
+
 MinHash permutation j (j = 0..k-1), over the distinct shingle hashes:
 
     perm_j(h) = (A[j] * h + B[j]) mod 1_000_000_007
@@ -58,8 +65,11 @@ def char_hash(s: Column) -> Column:
     )
 
 
+SHINGLE_MULT = 1_000_003
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined)."""
+    """Distinct word n-gram shingles (space-joined strings)."""
     t = tokens(text)
     idx = F.sequence(F.lit(0), F.size(t) - n)
     shingled = F.when(
@@ -74,9 +84,59 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(shingled)
 
 
+def _poly_combine(hashes_slice: list[Column]) -> Column:
+    acc: Column = F.lit(HASH_INIT).cast("long")
+    for h in hashes_slice:
+        acc = (acc * SHINGLE_MULT + h) % MOD
+    return acc
+
+
+def bind_once(expr: Column, body) -> Column:
+    """Evaluate ``expr`` once and pass it to ``body`` as a bound value.
+
+    Catalyst inlines sub-expressions referenced from lambda bodies —
+    an expression used k times is *computed* k times (there is no CSE
+    through higher-order functions). Wrapping it as the element of a
+    one-element array and transforming binds it to a lambda variable,
+    which IS evaluated once. Essential for array pipelines like
+    tokens → token-hashes → shingles where the inner array is
+    referenced per output element.
+    """
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
 def shingle_hashes(text: Column | str, n: int = 3) -> Column:
-    """Distinct portable hashes of word n-gram shingles."""
-    return F.array_distinct(F.transform(word_shingles(text, n), char_hash))
+    """Distinct portable hashes of word n-gram shingles.
+
+    Tokens are hashed once (char walk), shingle hashes combine the
+    token hashes polynomially — O(total chars + shingles), not
+    O(total chars * shingles).
+    """
+    th_expr = F.transform(tokens(text), char_hash)
+
+    def build(th: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(th) - n)
+        full = F.when(
+            F.size(th) >= n,
+            F.transform(
+                idx,
+                lambda i: _poly_combine(
+                    [F.element_at(th, (i + j + 1).cast("int")) for j in range(n)]
+                ),
+            ),
+        ).otherwise(
+            # short doc: one shingle over all its token hashes
+            F.array(
+                F.aggregate(
+                    th,
+                    F.lit(HASH_INIT).cast("long"),
+                    lambda acc, h: (acc * SHINGLE_MULT + h) % MOD,
+                )
+            )
+        )
+        return F.array_distinct(full)
+
+    return bind_once(th_expr, build)
 
 
 def minhash_perm(hashes: Column, j: int) -> Column:
@@ -97,20 +157,23 @@ def simhash(text: Column | str, bits: int = 32) -> Column:
     32-bit so the value stays comfortably in a signed 64-bit long in
     every engine.
     """
-    th = F.transform(tokens(text), char_hash)
+    th_expr = F.transform(tokens(text), char_hash)
 
-    def bit_vote(b: int):
-        return F.aggregate(
-            th,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+    def build(th: Column) -> Column:
+        def bit_vote(b: int):
+            return F.aggregate(
+                th,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
 
-    val = F.lit(0).cast("long")
-    for b in range(bits):
-        val = val + F.when(bit_vote(b) > 0, F.lit(2**b).cast("long")).otherwise(0)
-    return val
+        val = F.lit(0).cast("long")
+        for b in range(bits):
+            val = val + F.when(bit_vote(b) > 0, F.lit(2**b).cast("long")).otherwise(0)
+        return val
+
+    return bind_once(th_expr, build)
 
 
 def hamming64(a: Column, b: Column) -> Column:

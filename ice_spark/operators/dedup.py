@@ -41,6 +41,28 @@ def dedup_by_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     return df.join(keep.select(id_col), on=id_col, how="left_semi")
 
 
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int, shingle_n: int = 3
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) MinHash signature columns.
+
+    Implemented as explode + groupBy-min rather than array_min over a
+    transformed array: the nested-lambda form re-inlines the shingle
+    hash computation per permutation (catastrophic at scale), while
+    explode computes each shingle hash exactly once and the k mins
+    reduce map-side (partial aggregation) before one narrow shuffle
+    on id.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(T.shingle_hashes(F.col(text_col), n=shingle_n)).alias("__h")
+    )
+    aggs = [
+        F.min((F.col("__h") * (2 * j + 3) + (7 * j + 1)) % T.MOD).alias(f"mh{j}")
+        for j in range(k)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -65,14 +87,15 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("__id"),
         T.shingle_hashes(F.col(text_col), n=shingle_n).alias("__shs"),
     )
-    sigs = base.select("__id", T.minhash_signature(F.col("__shs"), n_hashes).alias("__sig"))
+    sigs = minhash_signatures(df, id_col, text_col, k=n_hashes, shingle_n=shingle_n)
+    sigs = sigs.select(F.col(id_col).alias("__id"), *[f"mh{j}" for j in range(n_hashes)])
 
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.concat_ws(
-                    "_", *[F.col("__sig")[b * r + i].cast("string") for i in range(r)]
+                    "_", *[F.col(f"mh{b * r + i}").cast("string") for i in range(r)]
                 ).alias("key"),
             )
             for b in range(bands)

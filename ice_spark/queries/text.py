@@ -29,11 +29,22 @@ _SQL_CHAR_HASH = (
     "(a, b) -> (a * 131 + b) % 1000000007)"
 )
 
-_SQL_SHINGLES = (
-    "CASE WHEN len(toks) >= 3 THEN "
-    "list_distinct(list_transform(generate_series(1, len(toks)-2), "
-    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) "
-    "ELSE [array_to_string(toks, ' ')] END"
+# token-hash array over toks (mirrors functions.text.char_hash per token)
+_SQL_TOKH = (
+    "list_transform(toks, t -> "
+    "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+    "list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * 131 + b) % 1000000007))"
+)
+
+# shingle hashes from token hashes (mirrors functions.text.shingle_hashes)
+_SQL_SHINGLE_HASHES = (
+    "CASE WHEN len(th) >= 3 THEN "
+    "list_distinct(list_transform(generate_series(1, len(th)-2), "
+    "i -> ((((7 * 1000003 + th[i]) % 1000000007) * 1000003 + th[i+1]) % 1000000007"
+    " * 1000003 + th[i+2]) % 1000000007)) "
+    "ELSE [list_reduce(list_prepend(CAST(7 AS BIGINT), th), "
+    "(a, b) -> (a * 1000003 + b) % 1000000007)] END"
 )
 
 
@@ -192,8 +203,9 @@ def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d02_ngram_jaccard_pairs",
     f"""
     WITH docs AS (
-      SELECT doc_id, {_SQL_SHINGLES} AS sh
-      FROM (SELECT doc_id, {_SQL_TOKS.format(col='text')} AS toks FROM documents)
+      SELECT doc_id, {_SQL_SHINGLE_HASHES} AS sh
+      FROM (SELECT doc_id, {_SQL_TOKH} AS th
+            FROM (SELECT doc_id, {_SQL_TOKS.format(col='text')} AS toks FROM documents))
     ),
     ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
     pairs AS (
@@ -209,14 +221,14 @@ def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
     """,
-    doc="Exact n-gram Jaccard near-dup pairs (J >= 0.8) via shingle "
-    "inverted index — explode + join on shingle, never a quadratic "
-    "cross join. At 100 TB, cap posting-list length (drop shingles "
-    "shared by >K docs) — not needed at these SFs.",
+    doc="Exact n-gram Jaccard near-dup pairs (J >= 0.8) via shingle-hash "
+    "inverted index — explode + join on 8-byte hashes (not strings), "
+    "never a quadratic cross join. At 100 TB, cap posting-list length "
+    "(drop shingles shared by >K docs) — not needed at these SFs.",
 )
 def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", T.word_shingles("text").alias("sh")
+        "doc_id", T.shingle_hashes("text").alias("sh")
     )
     sizes = docs.select("doc_id", F.size("sh").alias("n"))
     ex = docs.select("doc_id", F.explode("sh").alias("s"))
@@ -246,12 +258,9 @@ _SQL_MINHASH_SIG = (
     "d03_minhash_signatures",
     f"""
     WITH docs AS (
-      SELECT doc_id,
-             list_distinct(list_transform(sh, s -> {_SQL_CHAR_HASH.format(s='s')})) AS shs
-      FROM (
-        SELECT doc_id, {_SQL_SHINGLES} AS sh
-        FROM (SELECT doc_id, {_SQL_TOKS.format(col='text')} AS toks FROM documents)
-      )
+      SELECT doc_id, {_SQL_SHINGLE_HASHES} AS shs
+      FROM (SELECT doc_id, {_SQL_TOKH} AS th
+            FROM (SELECT doc_id, {_SQL_TOKS.format(col='text')} AS toks FROM documents))
     )
     SELECT doc_id,
            list_min({_SQL_MINHASH_SIG.format(a=3, b=1)}) AS mh0,
@@ -265,15 +274,10 @@ _SQL_MINHASH_SIG = (
     "d04 (rows-only).",
 )
 def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.dedup import minhash_signatures
+
     docs = load_table(spark, sf_dir, "documents")
-    shs = T.shingle_hashes(F.col("text"))
-    return docs.select(
-        "doc_id",
-        T.minhash_perm(shs, 0).alias("mh0"),
-        T.minhash_perm(shs, 1).alias("mh1"),
-        T.minhash_perm(shs, 2).alias("mh2"),
-        T.minhash_perm(shs, 3).alias("mh3"),
-    )
+    return minhash_signatures(docs, "doc_id", "text", k=4)
 
 
 @register(

@@ -80,6 +80,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Keep driver chatter down in benchmarks.
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
