@@ -1,0 +1,274 @@
+"""Table maintenance jobs.
+
+Parity with the reference's four server-side jobs
+(/root/reference/ice-rest-catalog/src/main/java/com/altinity/ice/rest/catalog/internal/maintenance/),
+with the same defaults (BASELINE.md):
+
+- data compaction  (DataCompaction.java:67-268): files smaller than
+  target (512 MB default, 64 MB min) and older than min age (24 h),
+  greedily binned per partition until target size or >= min_input_files
+  (5); merged with Spark (a sorted table re-sorts — the reference's
+  k-way PriorityQueue merge is Spark's sort, DataCompaction.java:189-224);
+  committed as one replace snapshot (245-262).
+- manifest compaction (ManifestCompaction.java:15-27): rewrite the
+  current manifest (drops tombstoned manifests of older snapshots).
+- snapshot cleanup (SnapshotCleanup.java:18-45): expire snapshots
+  older than max age (120 h) keeping at least min (1).
+- orphan cleanup (OrphanCleanup.java:49-201): files under the table
+  location minus the transitive closure of known files, with
+  retention age (3 days) and path whitelist.
+
+Every job supports dry_run (plan only), like the CLI's
+perform-maintenance (ice-rest-catalog/.../Main.java:103-208).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import os
+import time
+import uuid
+
+from ice_spark.catalog.table import Table
+
+MB = 1024 * 1024
+DEFAULT_TARGET_FILE_SIZE_MB = 512
+MIN_TARGET_FILE_SIZE_MB = 64
+DEFAULT_MIN_INPUT_FILES = 5
+DEFAULT_CANDIDATE_MIN_AGE_HOURS = 24.0
+DEFAULT_MAX_SNAPSHOT_AGE_HOURS = 120.0
+DEFAULT_MIN_SNAPSHOTS_TO_KEEP = 1
+DEFAULT_ORPHAN_RETENTION_DAYS = 3.0
+DEFAULT_ORPHAN_WHITELIST = ["*/metadata/*", "*/data/*"]
+
+
+def compact_data(
+    table: Table,
+    target_file_size_mb: int = DEFAULT_TARGET_FILE_SIZE_MB,
+    min_input_files: int = DEFAULT_MIN_INPUT_FILES,
+    candidate_min_age_hours: float = DEFAULT_CANDIDATE_MIN_AGE_HOURS,
+    dry_run: bool = False,
+) -> dict:
+    """Greedy per-partition binpack + Spark rewrite."""
+    target_file_size_mb = max(target_file_size_mb, MIN_TARGET_FILE_SIZE_MB)
+    target = target_file_size_mb * MB
+    table.refresh()
+    now = time.time()
+    entries = table.files()
+
+    # group candidates per partition (DataCompaction.java:80-123)
+    by_part: dict[tuple, list[dict]] = {}
+    for e in entries:
+        p = os.path.join(table.location, e["path"])
+        age_ok = True
+        try:
+            age_ok = (now - os.path.getmtime(p)) >= candidate_min_age_hours * 3600
+        except OSError:
+            age_ok = False
+        if e.get("size_bytes", 0) < target and age_ok and not e.get("external"):
+            by_part.setdefault(tuple(sorted((e.get("partition") or {}).items())), []).append(e)
+
+    groups: list[list[dict]] = []
+    for _part, cands in by_part.items():
+        bin_: list[dict] = []
+        size = 0
+        for e in sorted(cands, key=lambda x: x.get("size_bytes", 0)):
+            bin_.append(e)
+            size += e.get("size_bytes", 0)
+            if size >= target:
+                groups.append(bin_)
+                bin_, size = [], 0
+        if len(bin_) >= min_input_files:  # leftovers need >= min files
+            groups.append(bin_)
+
+    plan = {
+        "groups": [[e["path"] for e in g] for g in groups],
+        "rewritten": 0,
+        "dry_run": dry_run,
+    }
+    if dry_run or not groups:
+        return plan
+
+    spark = table.spark
+    compact_set = {e["path"] for g in groups for e in g}
+    new_entries = [e for e in entries if e["path"] not in compact_set]
+    sorder = table.sort_order
+    for g in groups:
+        paths = [os.path.join(table.location, e["path"]) for e in g]
+        ver = min(e.get("schema_version", 1) for e in g)
+        df = spark.read.parquet(*paths).coalesce(1)
+        if sorder:
+            # sorted table ⇒ merged output re-sorted (the reference's
+            # k-way merge; Spark's sort does the same job)
+            df = df.sortWithinPartitions(*[s.expr() for s in sorder])
+        part = dict(sorted((g[0].get("partition") or {}).items()))
+        part_dirs = [f"{k}={v}" for k, v in part.items()]
+        dst_dir = os.path.join(table.data_dir, *part_dirs)
+        os.makedirs(dst_dir, exist_ok=True)
+        tmp_out = os.path.join(table.location, f"_compact_{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(tmp_out)
+        for root, _d, fnames in os.walk(tmp_out):
+            for fn in fnames:
+                if fn.endswith(".parquet"):
+                    dst = os.path.join(dst_dir, f"{int(now*1000)}-{uuid.uuid4().hex[:16]}.parquet")
+                    os.replace(os.path.join(root, fn), dst)
+                    import pyarrow.parquet as pq
+
+                    md = pq.ParquetFile(dst).metadata
+                    new_entries.append(
+                        {
+                            "path": os.path.relpath(dst, table.location),
+                            "partition": part,
+                            "records": md.num_rows,
+                            "size_bytes": os.path.getsize(dst),
+                            "schema_version": ver,
+                        }
+                    )
+        import shutil
+
+        shutil.rmtree(tmp_out, ignore_errors=True)
+    table.append_snapshot(
+        new_entries, operation="replace", extra_summary={"compacted-groups": len(groups)}
+    )
+    plan["rewritten"] = len(groups)
+    return plan
+
+
+def expire_snapshots(
+    table: Table,
+    max_age_hours: float = DEFAULT_MAX_SNAPSHOT_AGE_HOURS,
+    min_to_keep: int = DEFAULT_MIN_SNAPSHOTS_TO_KEEP,
+    dry_run: bool = False,
+) -> dict:
+    """SnapshotCleanup parity: expireOlderThan(now - maxAge),
+    retainLast(min_to_keep); data files no longer referenced by any
+    retained snapshot are deleted."""
+    table.refresh()
+    cutoff_ms = int((time.time() - max_age_hours * 3600) * 1000)
+    snaps = sorted(table.snapshots(), key=lambda s: s["timestamp_ms"])
+    current_id = table.meta.get("current_snapshot_id")
+    keep, expire = [], []
+    for i, s in enumerate(snaps):
+        remaining = len(snaps) - i
+        if (
+            s["timestamp_ms"] < cutoff_ms
+            and remaining > min_to_keep
+            and s["snapshot_id"] != current_id
+        ):
+            expire.append(s)
+        else:
+            keep.append(s)
+    plan = {"expired": [s["snapshot_id"] for s in expire], "deleted_files": 0, "dry_run": dry_run}
+    if dry_run or not expire:
+        return plan
+
+    kept_paths: set[str] = set()
+    for s in keep:
+        import json as _json
+
+        with open(table.manifest_path(s)) as f:
+            kept_paths.update(e["path"] for e in _json.load(f)["files"])
+    removed = 0
+    for s in expire:
+        import json as _json
+
+        with open(table.manifest_path(s)) as f:
+            for e in _json.load(f)["files"]:
+                p = e["path"]
+                if p not in kept_paths and not e.get("external"):
+                    full = os.path.join(table.location, p)
+                    if os.path.exists(full):
+                        os.remove(full)
+                        removed += 1
+
+    expired_ids = {s["snapshot_id"] for s in expire}
+
+    def mutate(meta: dict) -> dict:
+        meta["snapshots"] = [
+            s for s in meta["snapshots"] if s["snapshot_id"] not in expired_ids
+        ]
+        return meta
+
+    table.commit(mutate)
+    for s in expire:
+        mp = table.manifest_path(s)
+        if os.path.exists(mp):
+            os.remove(mp)
+    plan["deleted_files"] = removed
+    return plan
+
+
+def compact_manifests(table: Table, dry_run: bool = False) -> dict:
+    """ManifestCompaction parity: drop manifest files not referenced
+    by any live snapshot (our manifests are one file per snapshot, so
+    'rewrite' means garbage-collecting orphaned ones)."""
+    table.refresh()
+    live = {s["manifest"] for s in table.snapshots()}
+    orphans = [
+        f
+        for f in os.listdir(table.metadata_dir)
+        if f.startswith("manifest-") and f not in live
+    ]
+    if not dry_run:
+        for f in orphans:
+            os.remove(os.path.join(table.metadata_dir, f))
+    return {"removed_manifests": orphans, "dry_run": dry_run}
+
+
+def remove_orphans(
+    table: Table,
+    retention_days: float = DEFAULT_ORPHAN_RETENTION_DAYS,
+    whitelist: list[str] | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """OrphanCleanup parity: list files under the table location,
+    subtract the transitive closure of known files (all snapshots'
+    data files + metadata + manifests), apply retention age and
+    whitelist, delete the rest."""
+    table.refresh()
+    whitelist = whitelist or DEFAULT_ORPHAN_WHITELIST
+    known: set[str] = set()
+    for s in table.snapshots():
+        import json as _json
+
+        known.add(os.path.join(table.metadata_dir, s["manifest"]))
+        with open(table.manifest_path(s)) as f:
+            for e in _json.load(f)["files"]:
+                known.add(
+                    e["path"]
+                    if os.path.isabs(e["path"])
+                    else os.path.join(table.location, e["path"])
+                )
+    for f in os.listdir(table.metadata_dir):
+        if f.endswith(".metadata.json") or f == "version-hint.text":
+            known.add(os.path.join(table.metadata_dir, f))
+
+    cutoff = time.time() - retention_days * 86400
+    orphans = []
+    for root, _dirs, fnames in os.walk(table.location):
+        for fn in fnames:
+            full = os.path.join(root, fn)
+            if full in known:
+                continue
+            if not any(fnmatch.fnmatch(full, pat) for pat in whitelist):
+                continue
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue
+            except OSError:
+                continue
+            orphans.append(full)
+    if not dry_run:
+        for f in orphans:
+            os.remove(f)
+    return {"orphans": orphans, "deleted": 0 if dry_run else len(orphans), "dry_run": dry_run}
+
+
+def perform_maintenance(table: Table, dry_run: bool = True, **kwargs) -> dict:
+    """Run all four jobs (MaintenanceRunner.java:28-54 order)."""
+    return {
+        "data_compaction": compact_data(table, dry_run=dry_run),
+        "manifest_compaction": compact_manifests(table, dry_run=dry_run),
+        "snapshot_cleanup": expire_snapshots(table, dry_run=dry_run),
+        "orphan_cleanup": remove_orphans(table, dry_run=dry_run),
+    }

@@ -1,0 +1,385 @@
+"""Snapshot-versioned Parquet table.
+
+Layout (mirrors Iceberg's hadoop-catalog protocol, simplified):
+
+    <table location>/
+      metadata/
+        v1.metadata.json, v2.metadata.json, ...
+        manifest-<snapshot_id>.json       (full file list per snapshot)
+        version-hint.text                 (current version number)
+      data/
+        [<part>=<val>/...]*.parquet
+
+metadata.json fields: table_uuid, format_version, location, schema
+(Spark JSON), partition_spec, sort_order, properties,
+current_snapshot_id, snapshots[], metadata_log[], column_renames[],
+column_defaults[].
+
+Commits are optimistic CAS: stage metadata vN+1, then atomically
+replace version-hint (os.replace) after re-checking the version —
+the same protocol the reference's server implements over etcd
+(/root/reference/ice-rest-catalog/.../etcd/EtcdCatalog.java:588-640),
+with client-side retry mirroring Insert.java:937-1026.
+
+Scale note: manifests here are full file lists in JSON — fine for
+the tested scales; at 100 TB you'd shard manifests (as Iceberg does)
+and keep per-file column bounds for scan pruning, which we do record
+(bounds on partition/sort columns) and use in delete pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as SPT
+
+from ice_spark.catalog.transforms import (
+    PartitionField,
+    SortField,
+    parse_partition_spec,
+    parse_sort_order,
+)
+
+
+class CommitConflictError(RuntimeError):
+    pass
+
+
+class NoSuchTableError(ValueError):
+    pass
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+class Table:
+    def __init__(self, spark: SparkSession, location: str, identifier: str = ""):
+        self.spark = spark
+        self.location = location.rstrip("/")
+        self.identifier = identifier
+        self._meta: dict | None = None
+        self._version: int | None = None
+
+    # ---------- metadata io ----------
+
+    @property
+    def metadata_dir(self) -> str:
+        return os.path.join(self.location, "metadata")
+
+    @property
+    def data_dir(self) -> str:
+        return os.path.join(self.location, "data")
+
+    def _hint_path(self) -> str:
+        return os.path.join(self.metadata_dir, "version-hint.text")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._hint_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            raise NoSuchTableError(f"no table at {self.location}")
+
+    def metadata_path(self, version: int) -> str:
+        return os.path.join(self.metadata_dir, f"v{version}.metadata.json")
+
+    def refresh(self) -> "Table":
+        self._version = self.current_version()
+        with open(self.metadata_path(self._version)) as f:
+            self._meta = json.load(f)
+        return self
+
+    @property
+    def meta(self) -> dict:
+        if self._meta is None:
+            self.refresh()
+        return self._meta
+
+    @property
+    def schema(self) -> SPT.StructType:
+        return SPT.StructType.fromJson(self.meta["schema"])
+
+    def schema_at(self, version: int) -> SPT.StructType:
+        with open(self.metadata_path(version)) as f:
+            return SPT.StructType.fromJson(json.load(f)["schema"])
+
+    @property
+    def partition_spec(self) -> list[PartitionField]:
+        return parse_partition_spec(self.meta.get("partition_spec", []))
+
+    @property
+    def sort_order(self) -> list[SortField]:
+        return parse_sort_order(self.meta.get("sort_order", []))
+
+    @property
+    def properties(self) -> dict:
+        return dict(self.meta.get("properties", {}))
+
+    # ---------- creation / commit ----------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        location: str,
+        schema: SPT.StructType,
+        partition_spec: list[dict] | None = None,
+        sort_order: list[dict] | None = None,
+        properties: dict | None = None,
+        identifier: str = "",
+    ) -> "Table":
+        parse_partition_spec(partition_spec or [])  # validate
+        parse_sort_order(sort_order or [])
+        t = Table(spark, location, identifier)
+        if os.path.exists(t._hint_path()):
+            raise ValueError(f"table already exists at {location}")
+        os.makedirs(t.metadata_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        meta = {
+            "table_uuid": str(uuid.uuid4()),
+            "format_version": 1,
+            "location": t.location,
+            "schema": schema.jsonValue(),
+            "partition_spec": partition_spec or [],
+            "sort_order": sort_order or [],
+            "properties": properties or {},
+            "current_snapshot_id": None,
+            "snapshots": [],
+            "metadata_log": [],
+            "column_renames": [],
+            "column_defaults": [],
+        }
+        t._write_metadata(meta, expected_version=0)
+        return t.refresh()
+
+    def _write_metadata(self, meta: dict, expected_version: int) -> int:
+        """CAS commit: fails if someone committed since we loaded."""
+        current = 0
+        if os.path.exists(self._hint_path()):
+            current = self.current_version()
+        if current != expected_version:
+            raise CommitConflictError(
+                f"expected v{expected_version}, found v{current} at {self.location}"
+            )
+        new_version = expected_version + 1
+        meta.setdefault("metadata_log", []).append(
+            {"timestamp_ms": _now_ms(), "metadata_file": f"v{new_version}.metadata.json"}
+        )
+        path = self.metadata_path(new_version)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, path)
+        hint_tmp = self._hint_path() + f".tmp.{os.getpid()}.{new_version}"
+        with open(hint_tmp, "w") as f:
+            f.write(str(new_version))
+        os.replace(hint_tmp, self._hint_path())  # atomic pointer swap
+        self._version = new_version
+        self._meta = meta
+        return new_version
+
+    def commit(
+        self,
+        mutate,
+        retries: int = 10,
+        backoff_ms: int = 50,
+    ) -> int:
+        """Optimistic commit loop: `mutate(meta) -> meta` is re-applied
+        on conflict against freshly loaded metadata (mirrors the
+        reference's jittered retry, Insert.java:883-888,937-1026)."""
+        for attempt in range(retries + 1):
+            self.refresh()
+            meta = json.loads(json.dumps(self._meta))  # deep copy
+            meta = mutate(meta)
+            try:
+                return self._write_metadata(meta, expected_version=self._version)
+            except CommitConflictError:
+                if attempt == retries:
+                    raise
+                time.sleep(min(backoff_ms * (2**attempt), 30_000) / 1000.0)
+        raise AssertionError("unreachable")
+
+    # ---------- snapshots / files ----------
+
+    def snapshots(self) -> list[dict]:
+        return list(self.meta.get("snapshots", []))
+
+    def snapshot(self, snapshot_id: int | None = None) -> dict | None:
+        snaps = self.snapshots()
+        if snapshot_id is None:
+            cur = self.meta.get("current_snapshot_id")
+            return next((s for s in snaps if s["snapshot_id"] == cur), None)
+        s = next((s for s in snaps if s["snapshot_id"] == snapshot_id), None)
+        if s is None:
+            raise ValueError(f"no snapshot {snapshot_id}")
+        return s
+
+    def manifest_path(self, snapshot: dict) -> str:
+        return os.path.join(self.metadata_dir, snapshot["manifest"])
+
+    def files(self, snapshot_id: int | None = None) -> list[dict]:
+        """Data-file entries of a snapshot: path, partition, records,
+        size_bytes, source_path, schema_version."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return []
+        with open(self.manifest_path(snap)) as f:
+            return json.load(f)["files"]
+
+    def write_manifest(self, snapshot_id: int, files: list[dict]) -> str:
+        name = f"manifest-{snapshot_id}.json"
+        path = os.path.join(self.metadata_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"files": files}, f, indent=1)
+        os.replace(tmp, path)
+        return name
+
+    def new_snapshot_id(self) -> int:
+        return _now_ms() * 1000 + (uuid.uuid4().int % 1000)
+
+    def append_snapshot(
+        self, files: list[dict], operation: str = "append", extra_summary: dict | None = None
+    ) -> int:
+        """Commit a snapshot whose file list = current files + new
+        files (or exactly `files` for replace/delete ops)."""
+        sid = self.new_snapshot_id()
+
+        def mutate(meta: dict) -> dict:
+            cur = meta.get("current_snapshot_id")
+            if operation == "append":
+                base = self.files(cur) if cur is not None else []
+                all_files = base + files
+            else:  # replace / delete / overwrite: caller passes full list
+                all_files = files
+            manifest = self.write_manifest(sid, all_files)
+            added = len(files) if operation == "append" else None
+            meta["snapshots"].append(
+                {
+                    "snapshot_id": sid,
+                    "parent_snapshot_id": cur,
+                    "timestamp_ms": _now_ms(),
+                    "operation": operation,
+                    "manifest": manifest,
+                    "summary": {
+                        "total-data-files": len(all_files),
+                        "total-records": sum(f.get("records", 0) for f in all_files),
+                        **({"added-data-files": added} if added is not None else {}),
+                        **(extra_summary or {}),
+                    },
+                }
+            )
+            meta["current_snapshot_id"] = sid
+            return meta
+
+        self.commit(mutate)
+        return sid
+
+    # ---------- read path ----------
+
+    def _align_to_current(self, df: DataFrame, file_schema_version: int) -> DataFrame:
+        """Project a file-version DataFrame onto the current schema:
+        apply renames that happened after the file was written, fill
+        added columns (with their initial_default for pre-existing
+        rows), drop removed columns, apply type promotions."""
+        for r in self.meta.get("column_renames", []):
+            if r["at_version"] > file_schema_version and r["from"] in df.columns:
+                df = df.withColumnRenamed(r["from"], r["to"])
+        defaults = {
+            d["column"]: d.get("initial_default")
+            for d in self.meta.get("column_defaults", [])
+            if d["at_version"] > file_schema_version
+        }
+        out = []
+        for field in self.schema.fields:
+            if field.name in df.columns:
+                out.append(F.col(field.name).cast(field.dataType).alias(field.name))
+            else:
+                out.append(
+                    F.lit(defaults.get(field.name)).cast(field.dataType).alias(field.name)
+                )
+        return df.select(*out)
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """DataFrame of the table at a snapshot (time travel when
+        snapshot_id is given). Files are grouped by the schema version
+        they were written under; each group is read with its own
+        schema and aligned to the current one — honest schema
+        evolution without a field-id format."""
+        entries = self.files(snapshot_id)
+        if not entries:
+            return self.spark.createDataFrame([], self.schema)
+        by_ver: dict[int, list[str]] = {}
+        for e in entries:
+            by_ver.setdefault(e.get("schema_version", 1), []).append(
+                os.path.join(self.location, e["path"])
+            )
+        parts: list[DataFrame] = []
+        for ver, paths in sorted(by_ver.items()):
+            df = self.spark.read.schema(self.schema_at(ver)).parquet(*paths)
+            parts.append(self._align_to_current(df, ver))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def scan(self, limit: int = 10, snapshot_id: int | None = None) -> list[dict]:
+        """Reference `scan` verb: first N rows as dicts
+        (ice/.../cmd/Scan.java:37-65)."""
+        return [r.asDict(recursive=True) for r in self.read(snapshot_id).limit(limit).collect()]
+
+    def partitions(self) -> list[dict]:
+        """Distinct partition tuples with file/record counts
+        (ListPartitions.java:31-59)."""
+        out: dict[tuple, dict] = {}
+        for e in self.files():
+            key = tuple(sorted((e.get("partition") or {}).items()))
+            agg = out.setdefault(
+                key, {"partition": dict(key), "files": 0, "records": 0}
+            )
+            agg["files"] += 1
+            agg["records"] += e.get("records", 0)
+        return sorted(out.values(), key=lambda d: json.dumps(d["partition"], sort_keys=True))
+
+    def history(self) -> list[dict]:
+        return [
+            {
+                "timestamp_ms": s["timestamp_ms"],
+                "snapshot_id": s["snapshot_id"],
+                "parent_id": s.get("parent_snapshot_id"),
+                "operation": s.get("operation"),
+            }
+            for s in self.snapshots()
+        ]
+
+    def describe(self, show_schema: bool = False, show_properties: bool = False) -> dict:
+        """Reference `describe` verb (Describe.java:52-114)."""
+        snap = self.snapshot()
+        out: dict = {
+            "identifier": self.identifier,
+            "location": self.location,
+            "current_version": self._version,
+            "current_snapshot": (
+                {
+                    "snapshot_id": snap["snapshot_id"],
+                    "parent_id": snap.get("parent_snapshot_id"),
+                    "timestamp_ms": snap["timestamp_ms"],
+                    "operation": snap.get("operation"),
+                    "summary": snap.get("summary", {}),
+                }
+                if snap
+                else None
+            ),
+        }
+        if show_schema:
+            out["schema"] = self.schema.jsonValue()
+            out["partition_spec"] = self.meta.get("partition_spec", [])
+            out["sort_order"] = self.meta.get("sort_order", [])
+        if show_properties:
+            out["properties"] = self.properties
+        return out

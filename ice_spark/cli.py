@@ -1,0 +1,288 @@
+"""ice-compatible CLI.
+
+Verb set mirrors the reference CLI
+(/root/reference/ice/src/main/java/com/altinity/ice/cli/Main.java:79-86):
+check, create-namespace, delete-namespace, list-namespaces,
+create-table, alter-table, delete-table, list-tables, insert, scan,
+describe, files, list-partitions, list-snapshots, describe-parquet,
+describe-metadata, delete, catalog-export, catalog-import,
+perform-maintenance, watch.
+
+Usage:  python -m ice_spark.cli --warehouse /path/wh <verb> [...]
+Output is JSON (the reference prints YAML/JSON; JSON only here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _json_arg(s: str):
+    return json.loads(s)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ice-spark")
+    p.add_argument("--warehouse", required=True, help="warehouse directory")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("check")
+
+    sp = sub.add_parser("create-namespace")
+    sp.add_argument("namespace")
+    sp.add_argument("-p", "--parents", action="store_true")
+
+    sp = sub.add_parser("delete-namespace")
+    sp.add_argument("namespace")
+
+    sp = sub.add_parser("list-namespaces")
+    sp.add_argument("parent", nargs="?")
+
+    sp = sub.add_parser("create-table")
+    sp.add_argument("table")
+    sp.add_argument("--schema-from-parquet")
+    sp.add_argument("--partition", type=_json_arg, default=None)
+    sp.add_argument("--sort", type=_json_arg, default=None)
+    sp.add_argument("--location")
+    sp.add_argument("-p", "--ignore-exists", action="store_true")
+
+    sp = sub.add_parser("alter-table")
+    sp.add_argument("table")
+    sp.add_argument("operations", type=_json_arg, help="JSON op list")
+
+    sp = sub.add_parser("delete-table")
+    sp.add_argument("table")
+    sp.add_argument("--purge", action="store_true")
+
+    sp = sub.add_parser("list-tables")
+    sp.add_argument("namespace")
+
+    sp = sub.add_parser("insert")
+    sp.add_argument("table")
+    sp.add_argument("files", nargs="*")
+    sp.add_argument("--files-from")
+    sp.add_argument("-p", "--create-table", action="store_true")
+    sp.add_argument("--partition", type=_json_arg, default=None)
+    sp.add_argument("--sort", type=_json_arg, default=None)
+    sp.add_argument("--skip-duplicates", action="store_true")
+    sp.add_argument("--force-duplicates", action="store_true")
+    sp.add_argument("--no-copy", action="store_true")
+    sp.add_argument("--force-no-copy", action="store_true")
+    sp.add_argument("--no-commit", action="store_true")
+    sp.add_argument("--compression", default="gzip")
+
+    sp = sub.add_parser("scan")
+    sp.add_argument("table")
+    sp.add_argument("--limit", type=int, default=10)
+    sp.add_argument("--snapshot", type=int, default=None)
+
+    sp = sub.add_parser("describe")
+    sp.add_argument("target")
+    sp.add_argument("-s", "--schema", action="store_true")
+    sp.add_argument("-a", "--all", action="store_true")
+    sp.add_argument("--properties", action="store_true")
+
+    sp = sub.add_parser("files")
+    sp.add_argument("table")
+
+    sp = sub.add_parser("list-partitions")
+    sp.add_argument("table")
+
+    sp = sub.add_parser("list-snapshots")
+    sp.add_argument("table")
+    sp.add_argument("--limit", type=int, default=None)
+
+    sp = sub.add_parser("describe-parquet")
+    sp.add_argument("file")
+
+    sp = sub.add_parser("describe-metadata")
+    sp.add_argument("metadata_file")
+
+    sp = sub.add_parser("delete")
+    sp.add_argument("table")
+    sp.add_argument("filters", type=_json_arg)
+    sp.add_argument("--dry-run", dest="dry_run", action="store_true", default=True)
+    sp.add_argument("--no-dry-run", dest="dry_run", action="store_false")
+    sp.add_argument("--purge", action="store_true")
+
+    sub.add_parser("catalog-export")
+
+    sp = sub.add_parser("catalog-import")
+    sp.add_argument("registry_file")
+    sp.add_argument("--overwrite", action="store_true")
+    sp.add_argument("--dry-run", action="store_true")
+
+    sp = sub.add_parser("perform-maintenance")
+    sp.add_argument("table", nargs="?")
+    sp.add_argument("--dry-run", dest="dry_run", action="store_true", default=True)
+    sp.add_argument("--no-dry-run", dest="dry_run", action="store_false")
+
+    sp = sub.add_parser("watch")
+    sp.add_argument("table")
+    sp.add_argument("directory")
+    sp.add_argument("--fire-once", action="store_true")
+    sp.add_argument("--checkpoint")
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    # describe-parquet needs no Spark at all (pyarrow footer reader,
+    # like the reference's Hadoop-free Metadata.java)
+    if args.cmd == "describe-parquet":
+        from ice_spark.sources.parquet_meta import describe_parquet
+
+        print(json.dumps(describe_parquet(args.file), indent=1, default=str))
+        return 0
+    if args.cmd == "describe-metadata":
+        with open(args.metadata_file) as f:
+            print(json.dumps(json.load(f), indent=1))
+        return 0
+
+    from ice_spark.catalog import Catalog
+    from ice_spark.session import get_spark
+
+    spark = get_spark("ice_spark_cli")
+    cat = Catalog(spark, args.warehouse)
+    out = None
+
+    if args.cmd == "check":
+        out = {"ok": cat.check()}
+    elif args.cmd == "create-namespace":
+        cat.create_namespace(args.namespace, parents=args.parents, exist_ok=args.parents)
+        out = {"created": args.namespace}
+    elif args.cmd == "delete-namespace":
+        cat.delete_namespace(args.namespace)
+        out = {"deleted": args.namespace}
+    elif args.cmd == "list-namespaces":
+        out = cat.list_namespaces(args.parent)
+    elif args.cmd == "create-table":
+        t = cat.create_table(
+            args.table,
+            schema_from_parquet=args.schema_from_parquet,
+            partition_spec=args.partition,
+            sort_order=args.sort,
+            location=args.location,
+            exist_ok=args.ignore_exists,
+        )
+        out = {"created": args.table, "location": t.location}
+    elif args.cmd == "alter-table":
+        from ice_spark.catalog.alter import apply_operations
+
+        ops = args.operations
+        renames = [o for o in ops if "rename_to" in o]
+        apply_operations(cat.load_table(args.table), [o for o in ops if "rename_to" not in o])
+        for r in renames:
+            cat.rename_table(args.table, r["rename_to"]["name"])
+        out = {"altered": args.table, "ops": len(ops)}
+    elif args.cmd == "delete-table":
+        cat.drop_table(args.table, purge=args.purge)
+        out = {"deleted": args.table, "purged": args.purge}
+    elif args.cmd == "list-tables":
+        out = cat.list_tables(args.namespace)
+    elif args.cmd == "insert":
+        from ice_spark.ingest import insert as do_insert
+
+        files = list(args.files)
+        if args.files_from:
+            with open(args.files_from) as f:
+                files += [line.strip() for line in f if line.strip()]
+        if files == ["-"]:
+            files = [line.strip() for line in sys.stdin if line.strip()]
+        if args.create_table and not cat.table_exists(args.table):
+            cat.create_table(
+                args.table,
+                schema_from_parquet=files[0],
+                partition_spec=args.partition,
+                sort_order=args.sort,
+            )
+        out = do_insert(
+            cat.load_table(args.table),
+            files,
+            skip_duplicates=args.skip_duplicates,
+            force_duplicates=args.force_duplicates,
+            no_copy=args.no_copy,
+            force_no_copy=args.force_no_copy,
+            compression=args.compression,
+            partition_spec=args.partition,
+            sort_order=args.sort,
+            no_commit=args.no_commit,
+        )
+    elif args.cmd == "scan":
+        out = cat.load_table(args.table).scan(limit=args.limit, snapshot_id=args.snapshot)
+    elif args.cmd == "describe":
+        if cat.table_exists(args.target):
+            out = cat.load_table(args.target).describe(
+                show_schema=args.schema or args.all,
+                show_properties=args.properties or args.all,
+            )
+        else:
+            out = {
+                "namespace": args.target,
+                "tables": cat.list_tables(args.target),
+            }
+    elif args.cmd == "files":
+        t = cat.load_table(args.table)
+        snap = t.snapshot()
+        out = {
+            "snapshot": snap["snapshot_id"] if snap else None,
+            "manifest": snap["manifest"] if snap else None,
+            "files": t.files(),
+        }
+    elif args.cmd == "list-partitions":
+        t = cat.load_table(args.table)
+        out = {
+            "spec": t.meta.get("partition_spec", []),
+            "partitions": t.partitions(),
+        }
+    elif args.cmd == "list-snapshots":
+        snaps = cat.load_table(args.table).snapshots()
+        snaps.sort(key=lambda s: s["timestamp_ms"])
+        if args.limit:
+            snaps = snaps[-args.limit :]
+        out = snaps
+    elif args.cmd == "delete":
+        from ice_spark.catalog.delete import delete as do_delete
+
+        out = do_delete(
+            cat.load_table(args.table), args.filters, dry_run=args.dry_run, purge=args.purge
+        )
+    elif args.cmd == "catalog-export":
+        out = cat.export_registry()
+    elif args.cmd == "catalog-import":
+        with open(args.registry_file) as f:
+            out = cat.import_registry(
+                json.load(f), overwrite=args.overwrite, dry_run=args.dry_run
+            )
+    elif args.cmd == "perform-maintenance":
+        from ice_spark.catalog.maintenance import perform_maintenance
+
+        idents = (
+            [args.table]
+            if args.table
+            else [
+                f"{ns}.{t}"
+                for ns in cat.export_registry()["namespaces"]
+                for t in cat.list_tables(ns)
+            ]
+        )
+        out = {i: perform_maintenance(cat.load_table(i), dry_run=args.dry_run) for i in idents}
+    elif args.cmd == "watch":
+        from ice_spark.streaming.watch import watch
+
+        out = watch(
+            cat.load_table(args.table),
+            args.directory,
+            fire_once=args.fire_once,
+            checkpoint=args.checkpoint,
+        )
+    print(json.dumps(out, indent=1, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
