@@ -48,9 +48,11 @@ def main() -> None:
     spark = get_spark("ice_spark_bench")
     specs = load_all()
 
-    # Warm the JVM + parquet footers with a trivial action so the first
+    # Warm the JVM, codegen, and parquet reader paths so the first
     # measured query doesn't pay session startup.
     spark.read.parquet(os.path.join(sf, "region.parquet")).count()
+    warm = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+    warm.groupBy("l_returnflag").count().collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -194,6 +194,14 @@ class Catalog:
             raise ValueError(f"target exists: {new_ident}")
         os.rename(src, dst)
 
+    def register_views(self, ns: str, prefix: str = "") -> list[str]:
+        """Register every table of a namespace as Spark temp views, so
+        users run plain spark.sql over catalog tables."""
+        out = []
+        for t in self.list_tables(ns):
+            out += self.load_table(f"{ns}.{t}").create_views(prefix)
+        return out
+
     # ---------- export / import ----------
 
     def export_registry(self) -> dict:

@@ -357,7 +357,12 @@ class Table:
             for s in self.snapshots()
         ]
 
-    def describe(self, show_schema: bool = False, show_properties: bool = False) -> dict:
+    def describe(
+        self,
+        show_schema: bool = False,
+        show_properties: bool = False,
+        show_metrics: bool = False,
+    ) -> dict:
         """Reference `describe` verb (Describe.java:52-114)."""
         snap = self.snapshot()
         out: dict = {
@@ -382,4 +387,22 @@ class Table:
             out["sort_order"] = self.meta.get("sort_order", [])
         if show_properties:
             out["properties"] = self.properties
+        if show_metrics:
+            # describe -m: per-file column metrics (Describe.java:155-238)
+            out["file_metrics"] = [
+                {
+                    "path": e["path"],
+                    "records": e.get("records"),
+                    "columns": e.get("column_metrics", {}),
+                }
+                for e in self.files()
+            ]
         return out
+
+    def create_views(self, prefix: str = "") -> list[str]:
+        """Register this table as a Spark temp view so spark.sql()
+        queries (joins/aggs/windows — the whole point of the rebuild)
+        work against catalog tables directly."""
+        name = prefix + self.identifier.split(".")[-1] if self.identifier else "table"
+        self.read().createOrReplaceTempView(name)
+        return [name]

@@ -83,6 +83,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-s", "--schema", action="store_true")
     sp.add_argument("-a", "--all", action="store_true")
     sp.add_argument("--properties", action="store_true")
+    sp.add_argument("-m", "--metrics", action="store_true")
 
     sp = sub.add_parser("files")
     sp.add_argument("table")
@@ -219,6 +220,7 @@ def main(argv: list[str] | None = None) -> int:
             out = cat.load_table(args.target).describe(
                 show_schema=args.schema or args.all,
                 show_properties=args.properties or args.all,
+                show_metrics=args.metrics or args.all,
             )
         else:
             out = {

@@ -53,6 +53,54 @@ def _footer_stats(path: str) -> tuple[int, int]:
     return md.num_rows, os.path.getsize(path)
 
 
+def _footer_column_metrics(path: str) -> dict:
+    """Per-column value/null counts and lower/upper bounds from the
+    Parquet footer — the reference builds Iceberg metrics the same way
+    (ParquetUtil.footerMetrics, Insert.java:654-655; rendered by
+    describe -m, Describe.java:155-238)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    cols: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            s = c.statistics
+            agg = cols.setdefault(
+                c.path_in_schema, {"nulls": 0, "values": 0, "min": None, "max": None}
+            )
+            agg["values"] += g.num_rows
+            if s is None:
+                continue
+            if s.null_count is not None:
+                agg["nulls"] += s.null_count
+            if s.has_min_max:
+                mn, mx = s.min, s.max
+                if agg["min"] is None or (mn is not None and mn < agg["min"]):
+                    agg["min"] = mn
+                if agg["max"] is None or (mx is not None and mx > agg["max"]):
+                    agg["max"] = mx
+    # stringify for JSON manifests (bytes/timestamps aren't JSON-safe)
+    for agg in cols.values():
+        for k in ("min", "max"):
+            if agg[k] is not None and not isinstance(agg[k], (int, float, bool)):
+                agg[k] = str(agg[k])
+    return cols
+
+
+def sniff_compression(path: str) -> str:
+    """--compression as-source: codec of the first column chunk
+    (Insert.java:556-568)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    if md.num_row_groups == 0 or md.row_group(0).num_columns == 0:
+        return "gzip"
+    codec = md.row_group(0).column(0).compression.lower()
+    return {"uncompressed": "none", "brotli": "gzip"}.get(codec, codec)
+
+
 def insert(
     table: Table,
     files: list[str],
@@ -65,10 +113,36 @@ def insert(
     partition_spec: list[dict] | None = None,
     sort_order: list[dict] | None = None,
     no_commit: bool = False,
+    retry_list: str | None = None,
 ) -> dict:
-    """Ingest parquet files; returns a summary dict."""
+    """Ingest parquet files; returns a summary dict.
+
+    retry_list: path of a file to append the inputs to if the insert
+    fails, for later re-run (Insert.java:202-251 / RetryLog.java).
+    """
+    if compression == "as-source":
+        compression = sniff_compression(files[0]) if files else "gzip"
     if compression not in COMPRESSIONS:
         raise ValueError(f"unsupported compression {compression!r}")
+    if retry_list is not None:
+        try:
+            return insert(
+                table,
+                files,
+                skip_duplicates=skip_duplicates,
+                force_duplicates=force_duplicates,
+                no_copy=no_copy,
+                force_no_copy=force_no_copy,
+                compression=compression,
+                partition_spec=partition_spec,
+                sort_order=sort_order,
+                no_commit=no_commit,
+            )
+        except Exception:
+            with open(retry_list, "a") as f:
+                for x in files:
+                    f.write(x + "\n")
+            raise
     if len(set(files)) != len(files):
         # duplicate-input rejection (Insert.java:150-168)
         raise DuplicateInputError("duplicate input paths given")
@@ -141,6 +215,7 @@ def insert(
                     "source_path": f,
                     "schema_version": version,
                     "external": True,
+                    "column_metrics": _footer_column_metrics(absf),
                 }
             )
     else:
@@ -260,6 +335,7 @@ def _write_df(
                         "size_bytes": size,
                         "source_path": files[0] if len(files) == 1 else None,
                         "schema_version": schema_version,
+                        "column_metrics": _footer_column_metrics(dst),
                     }
                 )
         return entries

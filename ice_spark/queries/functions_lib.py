@@ -1,0 +1,298 @@
+"""Scalar-function library coverage: strings, dates, arrays, maps,
+JSON, conditionals, statistics, join shapes.
+
+The reference has no scalar function surface at all (SURVEY.md §2.8)
+— in the rebuild these come from Spark SQL; each query here pins one
+family's semantics against the DuckDB oracle so the library is
+demonstrably complete, not just available.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ice_spark.queries.helpers import dsum
+from ice_spark.queries.registry import register
+from ice_spark.tables import load_table
+
+
+@register(
+    "f01_string_functions",
+    """
+    SELECT c_custkey,
+           UPPER(c_mktsegment) AS seg_upper,
+           LOWER(c_name) AS name_lower,
+           SUBSTRING(c_name, 10, 9) AS cust_num,
+           LENGTH(c_name) AS name_len,
+           CONCAT(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_short,
+           CASE WHEN c_name LIKE '%000001%' THEN 1 ELSE 0 END AS has_1k_pattern,
+           regexp_extract(c_name, '[0-9]+', 0) AS digits,
+           LTRIM(RTRIM(CONCAT(' ', c_mktsegment, ' '))) AS trimmed
+    FROM customer
+    WHERE c_custkey < 50
+    """,
+    doc="String functions: upper/lower/substring/length/concat/replace/"
+    "like/regexp_extract/trim.",
+)
+def f01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 50)
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.substring("c_name", 10, 9).alias("cust_num"),
+        F.length("c_name").alias("name_len"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("name_short"),
+        F.when(F.col("c_name").like("%000001%"), 1).otherwise(0).alias("has_1k_pattern"),
+        F.regexp_extract("c_name", "[0-9]+", 0).alias("digits"),
+        F.ltrim(F.rtrim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" ")))).alias(
+            "trimmed"
+        ),
+    )
+
+
+@register(
+    "f02_date_functions",
+    """
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(month FROM o_orderdate) AS mon,
+           EXTRACT(day FROM o_orderdate) AS dom,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow_sunday0,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS iso_date,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+           CAST(DATE_TRUNC('quarter', o_orderdate) AS DATE) AS quarter_start
+    FROM orders
+    WHERE o_orderkey < 40
+    """,
+    doc="Date/time functions: extract, format, interval arithmetic, "
+    "datediff, quarter truncation.",
+)
+def f02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 40)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow_sunday0"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
+        F.date_add(F.col("o_orderdate").cast("date"), 90).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_2002"),
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter_start"),
+    )
+
+
+@register(
+    "f03_array_functions",
+    """
+    SELECT label,
+           len(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val,
+           len(list_filter(embedding, v -> v > 0)) AS n_positive,
+           ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list_slice(embedding, 1, 4), v -> CAST(v AS DOUBLE))),
+                 (a, b) -> a + b), 6) AS head_sum
+    FROM embeddings
+    WHERE vec_id < 30
+    """,
+    doc="Array functions: size, index, min/max, filter, slice, fold.",
+)
+def f03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 30)
+    return e.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("first_val"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+        F.size(F.filter("embedding", lambda v: v > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate(
+                F.slice("embedding", 1, 4),
+                F.lit(0.0),
+                lambda a, v: a + v.cast("double"),
+            ),
+            6,
+        ).alias("head_sum"),
+    )
+
+
+@register(
+    "f04_stats_aggregates",
+    """
+    SELECT l_returnflag,
+           ROUND(CAST(stddev_samp(l_quantity) AS DOUBLE), 6) AS qty_stddev,
+           ROUND(CAST(var_samp(l_quantity) AS DOUBLE), 4) AS qty_var,
+           ROUND(CAST(corr(l_quantity, l_extendedprice) AS DOUBLE), 6) AS qty_price_corr,
+           ROUND(CAST(covar_samp(l_quantity, l_discount) AS DOUBLE), 6) AS qty_disc_covar,
+           ROUND(CAST(skewness(l_extendedprice) AS DOUBLE), 4) AS price_skew
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates: stddev/variance/corr/covar/skewness "
+    "(rounded: variance accumulation differs in last ulps across engines).",
+)
+def f04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+        F.round(F.skewness("l_extendedprice"), 4).alias("price_skew"),
+    )
+
+
+@register(
+    "f05_join_shapes",
+    """
+    WITH with_orders AS (
+      SELECT n_name, COUNT(o_orderkey) AS n_orders
+      FROM nation
+      LEFT OUTER JOIN customer ON n_nationkey = c_nationkey
+      LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY n_name
+    ),
+    no_supplier AS (
+      SELECT n_nationkey FROM nation
+      WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+    )
+    SELECT w.n_name, w.n_orders,
+           CASE WHEN ns.n_nationkey IS NOT NULL THEN 1 ELSE 0 END AS lacks_supplier
+    FROM with_orders w
+    JOIN nation n ON w.n_name = n.n_name
+    LEFT OUTER JOIN no_supplier ns ON n.n_nationkey = ns.n_nationkey
+    """,
+    doc="Join shapes: left outer chain, anti-join (NOT EXISTS), "
+    "null-producing outer join flags.",
+)
+def f05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    with_orders = (
+        nation.join(cust, nation.n_nationkey == cust.c_nationkey, "left_outer")
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("n_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    no_supplier = nation.join(
+        supp, nation.n_nationkey == supp.s_nationkey, "left_anti"
+    ).select(F.col("n_nationkey").alias("ns_key"))
+    nation2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("n2_name"), F.col("n_nationkey").alias("n2_key")
+    )
+    return (
+        with_orders.join(nation2, with_orders.n_name == F.col("n2_name"))
+        .join(F.broadcast(no_supplier), F.col("n2_key") == F.col("ns_key"), "left_outer")
+        .select(
+            "n_name",
+            "n_orders",
+            F.when(F.col("ns_key").isNotNull(), 1).otherwise(0).alias("lacks_supplier"),
+        )
+    )
+
+
+@register(
+    "f06_conditional_null_handling",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS n_big,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_label,
+           CAST(SUM(CAST(GREATEST(o_totalprice - 250000, 0) AS DECIMAL(18,2))) AS DOUBLE)
+             AS excess_over_250k,
+           CAST(SUM(CAST(LEAST(o_totalprice, 100000) AS DECIMAL(18,2))) AS DOUBLE)
+             AS capped_at_100k
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Conditionals/null handling: CASE, COALESCE, NULLIF, "
+    "GREATEST/LEAST.",
+)
+def f06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_totalprice") > 300000, 1).otherwise(0)).alias("n_big"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_label"
+        ),
+        dsum(F.greatest(F.col("o_totalprice") - 250000, F.lit(0))).alias("excess_over_250k"),
+        dsum(F.least(F.col("o_totalprice"), F.lit(100000))).alias("capped_at_100k"),
+    )
+
+
+@register(
+    "f07_math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+           ROUND(LN(l_extendedprice), 6) AS price_ln,
+           ROUND(LOG10(l_extendedprice), 6) AS price_log10,
+           ROUND(POWER(l_quantity, 2), 2) AS qty_sq,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           ABS(l_discount - 0.05) AS disc_dist,
+           MOD(CAST(l_quantity AS BIGINT), 7) AS qty_mod7
+    FROM lineitem
+    WHERE l_orderkey < 10
+    """,
+    doc="Math functions: sqrt/ln/log10/power/ceil/floor/abs/mod "
+    "(IEEE-deterministic per row in both engines).",
+)
+def f07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 10)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.round(F.pow("l_quantity", 2), 2).alias("qty_sq"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dist"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
+    )
+
+
+@register(
+    "f08_in_subqueries",
+    """
+    SELECT p_type, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM part
+    WHERE p_partkey IN (
+        SELECT l_partkey FROM lineitem WHERE l_quantity >= 45
+      )
+      AND p_size NOT IN (1, 2, 3)
+    GROUP BY p_type
+    """,
+    doc="IN / NOT IN subqueries (semi join + literal exclusion).",
+)
+def f08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    heavy = li.select(F.col("l_partkey")).distinct()
+    return (
+        part.join(heavy, part.p_partkey == heavy.l_partkey, "left_semi")
+        .where(~F.col("p_size").isin(1, 2, 3))
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("p_retailprice").alias("total_price"),
+        )
+    )
