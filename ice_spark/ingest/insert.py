@@ -114,6 +114,7 @@ def insert(
     sort_order: list[dict] | None = None,
     no_commit: bool = False,
     retry_list: str | None = None,
+    assume_sorted: bool = False,
 ) -> dict:
     """Ingest parquet files; returns a summary dict.
 
@@ -137,6 +138,7 @@ def insert(
                 partition_spec=partition_spec,
                 sort_order=sort_order,
                 no_commit=no_commit,
+                assume_sorted=assume_sorted,
             )
         except Exception:
             with open(retry_list, "a") as f:
@@ -198,6 +200,8 @@ def insert(
     entries: list[dict] = []
 
     if no_copy:
+        from ice_spark.ingest.inspect import check_sorted, infer_partition
+
         # register in place (add_files analog)
         for f in files:
             absf = os.path.abspath(f)
@@ -205,11 +209,23 @@ def insert(
                 raise ValueError(
                     f"--no-copy input outside table location: {f} (use force_no_copy)"
                 )
+            # partition inference from row-group stats: the whole file
+            # must map to one partition (Partitioning.java:189-271)
+            partition = infer_partition(absf, table.partition_spec)
+            # sorted-table guard: a no-copy file must already be
+            # sorted, since it won't be rewritten (Sorting.checkSorted,
+            # Insert.java:464-480); --assume-sorted skips the scan.
+            if table.sort_order and not assume_sorted:
+                if not check_sorted(absf, table.sort_order):
+                    raise ValueError(
+                        f"{f} is not sorted by the table sort order; "
+                        "rewrite (copy insert) or pass assume_sorted"
+                    )
             rows, size = _footer_stats(absf)
             entries.append(
                 {
                     "path": absf,
-                    "partition": {},
+                    "partition": partition,
                     "records": rows,
                     "size_bytes": size,
                     "source_path": f,
