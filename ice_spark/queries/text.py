@@ -312,3 +312,40 @@ def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc"))
         .where(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "t05_bpe_token_counts",
+    r"""
+    SELECT lang,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_bpe) AS DOUBLE) / COUNT(*) AS avg_bpe_tokens,
+           CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+           ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 4) AS bpe_to_ws_ratio
+    FROM (
+      SELECT lang,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 	
+]+')) AS n_bpe,
+             len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_ws
+      FROM documents
+    ) d
+    GROUP BY lang
+    """,
+    doc="BPE-ish regex tokenization (letter runs / digit runs / "
+    "punctuation runs) vs whitespace tokens, per language.",
+)
+def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]+', 0)")
+        ).alias("n_bpe"),
+        T.token_count("text").alias("n_ws"),
+    )
+    return d.groupBy("lang").agg(
+        F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+        (F.sum("n_bpe").cast("double") / F.count(F.lit(1))).alias("avg_bpe_tokens"),
+        F.sum("n_ws").cast("long").alias("total_ws_tokens"),
+        F.round(F.sum("n_bpe").cast("double") / F.sum("n_ws"), 4).alias("bpe_to_ws_ratio"),
+    )
