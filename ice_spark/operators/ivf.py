@@ -1,0 +1,133 @@
+"""IVF (inverted-file) approximate nearest neighbor.
+
+The second scale path next to LSH (operators/similarity.py):
+
+1. TRAIN: k-means over a deterministic sample — a fixed number of
+   Lloyd iterations, each one a single join+aggregate job (assign →
+   recompute centroids). Initial centroids are picked by stable row
+   hash, so the index is reproducible without RNG state.
+2. ASSIGN: every corpus vector gets its nearest-centroid list id —
+   at 100 TB you persist this (partitioned by list id) once.
+3. PROBE: a query scans only its n_probe nearest lists — corpus
+   pruned to ~n_probe/n_lists of the data, then exact cosine re-rank.
+
+Everything is DataFrame ops: assignment is a broadcast join against
+the (tiny) centroid table + per-row argmin; no collect of vectors
+(only centroids, which are n_lists × dim floats, come to the driver
+between iterations — that IS the k-means sync barrier, same as MLlib).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ice_spark.operators.similarity import cosine
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_lists: int,
+    iterations: int = 3,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Fixed-iteration Lloyd k-means; returns centroid vectors.
+    Deterministic: seeds are the n_lists rows with smallest
+    xxhash64(vector-as-string)."""
+    vecs = corpus.select(F.col(vec_col).alias("v"))
+    if sample_fraction:
+        vecs = vecs.sample(fraction=sample_fraction, seed=42)
+    seeds = (
+        vecs.withColumn("__h", F.xxhash64(F.col("v").cast("string")))
+        .orderBy("__h")
+        .limit(n_lists)
+        .select("v")
+        .collect()
+    )
+    centroids = [list(r.v) for r in seeds]
+    for _ in range(iterations):
+        assigned = assign_lists(vecs, "v", centroids)
+        new = (
+            assigned.select("__list", F.posexplode("v").alias("d", "x"))
+            .groupBy("__list", "d")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("__list")
+            .agg(F.sort_array(F.collect_list(F.struct("d", "m"))).alias("dims"))
+            .select("__list", F.col("dims.m").alias("c"))
+            .collect()
+        )
+        for r in new:
+            centroids[r['__list']] = list(r['c'])
+    return centroids
+
+
+def assign_lists(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Add __list = argmin_j dist(vec, centroid_j). The centroid array
+    is a literal (broadcast with the plan); per-row argmin is one
+    narrow expression — no join, no shuffle."""
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    dists = F.transform(cent_lit, lambda c: _sq_dist(F.col(vec_col), c))
+    best = F.array_position(dists, F.array_min(dists)) - 1
+    return df.withColumn("__list", best.cast("int"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    k: int = 3,
+    iterations: int = 2,
+) -> DataFrame:
+    """Approximate top-k: probe the n_probe nearest lists per query,
+    exact cosine re-rank within them."""
+    centroids = train_centroids(corpus, vec_col, n_lists, iterations)
+    c_assigned = assign_lists(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "__cv",
+        centroids,
+    )
+    # per query: the n_probe nearest centroid ids as an array
+    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
+    )
+    dist_structs = F.transform(
+        cent_lit,
+        lambda c, i: F.struct(_sq_dist(F.col("__qv"), c).alias("d"), i.alias("lid")),
+    )
+    probes = F.slice(F.array_sort(dist_structs), 1, n_probe)
+    q = q.withColumn("__probe", F.transform(probes, lambda s: s["lid"].cast("int")))
+    scored = (
+        c_assigned.join(
+            F.broadcast(q),
+            F.array_contains(F.col("__probe"), F.col("__list"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

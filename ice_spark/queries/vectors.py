@@ -163,3 +163,22 @@ def v05(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         n_planes=6,
     )
+
+
+@register(
+    "v06_ivf_ann",
+    None,  # k-means index contents aren't SQL-expressible; recall vs
+    # brute force is asserted in tests/test_ivf.py
+    doc="IVF approximate NN: deterministic k-means lists, probe the "
+    "nearest n_probe lists, exact cosine re-rank (the partition-"
+    "pruned scale path next to LSH).",
+)
+def v06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        n_lists=8, n_probe=3, k=3, iterations=1,
+    )

@@ -1,0 +1,42 @@
+"""IVF ANN: determinism, assignment sanity, recall vs brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ice_spark.operators.ivf import assign_lists, ivf_topk, train_centroids
+from ice_spark.operators.similarity import brute_force_topk
+from ice_spark.tables import load_table
+
+
+def test_train_deterministic_and_assignment_cover(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = train_centroids(emb, "embedding", n_lists=4, iterations=1)
+    c2 = train_centroids(emb, "embedding", n_lists=4, iterations=1)
+    assert c1 == c2
+    assert len(c1) == 4 and len(c1[0]) == 64
+    assigned = assign_lists(emb.select("vec_id", F.col("embedding").alias("v")), "v", c1)
+    lists = {r['__list'] for r in assigned.select("__list").distinct().collect()}
+    assert lists <= {0, 1, 2, 3} and len(lists) >= 2
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=3
+    ).collect()
+    approx = ivf_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        n_lists=4, n_probe=3, k=3, iterations=1,
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # probing 3 of 4 lists: demand >= 2/3 of true neighbors on average
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(v) for v in exact_sets.values())
+    assert hits / total >= 0.6, f"recall {hits}/{total}"
