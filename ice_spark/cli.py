@@ -120,6 +120,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--dry-run", dest="dry_run", action="store_true", default=True)
     sp.add_argument("--no-dry-run", dest="dry_run", action="store_false")
 
+    sub.add_parser("shell")
+
     sp = sub.add_parser("watch")
     sp.add_argument("table")
     sp.add_argument("directory")
@@ -129,8 +131,36 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def shell(warehouse: str) -> int:
+    """Interactive REPL: one CLI verb per line, shared session
+    (reference `shell`, ice/.../cli/Main.java:1106-1181 — jline
+    niceties replaced by plain stdin)."""
+    import shlex
+
+    print("ice-spark shell — verbs as lines, 'exit' to quit", file=sys.stderr)
+    while True:
+        try:
+            line = input("ice> ")
+        except EOFError:
+            return 0
+        line = line.strip()
+        if not line:
+            continue
+        if line in {"exit", "quit"}:
+            return 0
+        try:
+            main(["--warehouse", warehouse, *shlex.split(line)])
+        except SystemExit as e:  # argparse errors shouldn't kill the shell
+            if e.code not in (0, None):
+                print(f"error: exit {e.code}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 - REPL survives bad commands
+            print(f"error: {e}", file=sys.stderr)
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cmd == "shell":
+        return shell(args.warehouse)
 
     # describe-parquet needs no Spark at all (pyarrow footer reader,
     # like the reference's Hadoop-free Metadata.java)
