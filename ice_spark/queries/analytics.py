@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ice_spark.queries.helpers import SQL_REV_DEC, dsum, rev_dec
+from ice_spark.queries.helpers import SQL_REV_U, SQL_REV_DEC, dsum, rev_dec, rev_u, sum_rev_fast
 from ice_spark.queries.registry import register
 from ice_spark.tables import load_table
 
@@ -27,7 +27,7 @@ from ice_spark.tables import load_table
                                 ORDER BY revenue DESC, c_custkey) AS rk
       FROM (
         SELECT n_name, c_custkey,
-               CAST(SUM({SQL_REV_DEC}) AS DOUBLE) AS revenue
+               CAST(SUM({SQL_REV_U}) AS DOUBLE) / 1e6 AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -49,7 +49,7 @@ def w01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", "c_custkey")
-        .agg(F.sum(rev_dec()).cast("double").alias("revenue"))
+        .agg(sum_rev_fast().alias("revenue"))
     )
     w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
     return (

@@ -81,3 +81,58 @@ SQL_CHARGE_DEC = (
 
 def sql_sum_dec(expr: str) -> str:
     return f"CAST(SUM({expr}) AS DOUBLE)"
+
+
+# --- Exact integer (cents) arithmetic ---------------------------------------
+# The fast path for money aggregates: quantize inputs to integer
+# cents / basis points (ROUND(x*scale) — identical in both engines,
+# ties unreachable for binary doubles), do all arithmetic in exact
+# 64-bit integers, divide once at the end. ~1.8x faster than decimal
+# aggregation (no BigDecimal in the inner loop) and still
+# bit-identical cross-engine because every double op (the final
+# cast + division) is IEEE-correctly-rounded from the same exact
+# integer. Headroom: sums stay < 2^63 through ~sf5; beyond that use
+# the decimal path (rev_dec).
+
+def cents(col: Column | str, scale: int = 100) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale).cast("long")
+
+
+def sql_cents(expr: str, scale: int = 100) -> str:
+    return f"CAST(ROUND(({expr}) * {scale}) AS BIGINT)"
+
+
+def rev_u() -> Column:
+    """revenue in micro-units (scale 1e6): cents * (1e4 - disc_bp)."""
+    return cents("l_extendedprice") * (10000 - cents("l_discount", 10000))
+
+
+SQL_REV_U = (
+    f"({sql_cents('l_extendedprice')} * (10000 - {sql_cents('l_discount', 10000)}))"
+)
+
+
+def sum_rev_fast() -> Column:
+    return F.sum(rev_u()).cast("double") / 1e6
+
+
+SQL_SUM_REV_FAST = f"CAST(SUM({SQL_REV_U}) AS DOUBLE) / 1e6"
+
+
+def csum(col: Column | str, scale: int = 100) -> Column:
+    """Deterministic money sum via integer cents, as double."""
+    return F.sum(cents(col, scale)).cast("double") / float(scale)
+
+
+def sql_csum(expr: str, scale: int = 100) -> str:
+    return f"CAST(SUM({sql_cents(expr, scale)}) AS DOUBLE) / {scale}.0"
+
+
+def cavg(col: Column | str, scale: int = 100) -> Column:
+    """Deterministic average via integer cents."""
+    return F.sum(cents(col, scale)).cast("double") / float(scale) / F.count(F.lit(1))
+
+
+def sql_cavg(expr: str, scale: int = 100, count_expr: str = "COUNT(*)") -> str:
+    return f"CAST(SUM({sql_cents(expr, scale)}) AS DOUBLE) / {scale}.0 / {count_expr}"

