@@ -55,27 +55,31 @@ def main() -> None:
     warm.groupBy("l_returnflag").count().collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = specs[name]
         t0 = time.time()
-        df = spec.spark_fn(spark, sf)
-        # Materialize every row without collecting to the driver.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            df = spec.spark_fn(spark, sf)
+            # Materialize every row without collecting to the driver.
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # one bad query must not kill the line
+            errors[name] = str(e).splitlines()[0][:200]
+            timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     sf_label = os.path.basename(sf.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf_label) if sf_label else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf_label) if sf_label else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

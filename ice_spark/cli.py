@@ -316,5 +316,23 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def entrypoint() -> int:
+    """Console entry: one-line errors, exit 1 (the reference prints
+    clean errors, not stack traces)."""
+    try:
+        return main()
+    except KeyboardInterrupt:
+        return 130
+    except BrokenPipeError:
+        return 0
+    except Exception as e:  # noqa: BLE001 - deliberate UX boundary
+        import os
+
+        if os.environ.get("ICE_SPARK_DEBUG"):
+            raise
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(entrypoint())
