@@ -349,3 +349,51 @@ def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ws").cast("long").alias("total_ws_tokens"),
         F.round(F.sum("n_bpe").cast("double") / F.sum("n_ws"), 4).alias("bpe_to_ws_ratio"),
     )
+
+
+@register(
+    "p01_clean_corpus_pipeline",
+    f"""
+    WITH keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    ),
+    scored AS (
+      SELECT d.lang, len(toks) AS n_tokens,
+             len(list_filter(list_transform(toks, t -> lower(t)),
+                 t -> list_contains([{", ".join(f"'{w}'" for w in T.EN_STOPWORDS)}], t)))
+               AS sw_hits
+      FROM (SELECT doc_id, lang, {_SQL_TOKS.format(col='text')} AS toks
+            FROM documents) d
+      JOIN keep ON d.doc_id = keep.doc_id
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE n_tokens >= 20
+                            AND CAST(sw_hits AS DOUBLE) / GREATEST(n_tokens, 1) >= 0.02)
+             AS n_clean,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM scored
+    GROUP BY lang
+    """,
+    doc="Composed training-data cleaning pipeline: exact dedup (keep "
+    "min doc_id per text) -> quality gate -> per-language corpus "
+    "stats. One declarative plan; each stage is the operator users "
+    "compose at 100 TB.",
+)
+def p01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = exact_dedup(docs, ["text"], "doc_id")
+    scored = deduped.select(
+        "lang",
+        T.token_count("text").alias("n_tokens"),
+        T.stopword_ratio("text").alias("sw_ratio"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when((F.col("n_tokens") >= 20) & (F.col("sw_ratio") >= 0.02), 1).otherwise(0)
+        ).alias("n_clean"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
