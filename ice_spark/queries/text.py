@@ -12,6 +12,8 @@ quadratic self-join.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 - needed to resolve pandas_udf type hints
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -396,4 +398,81 @@ def p01(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("n_tokens") >= 20) & (F.col("sw_ratio") >= 0.02), 1).otherwise(0)
         ).alias("n_clean"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@register(
+    "s05_hash_sample",
+    f"""
+    WITH b AS (
+      SELECT lang,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+               list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+               (a, x) -> (a * 131 + x) % 1000000007) % 10000 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE bucket < 2000) AS n_sampled,
+           COUNT(*) FILTER (WHERE bucket >= 1000) AS n_train,
+           COUNT(*) FILTER (WHERE bucket < 1000) AS n_heldout
+    FROM b
+    GROUP BY lang
+    """,
+    doc="Deterministic hash-bucket sampling: 20% sample + disjoint "
+    "90/10 train/heldout split, reproducible across engines, "
+    "partitionings and retries (operators/sampling.py).",
+)
+def s05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select("lang", hash_bucket(F.col("doc_id")).alias("bucket"))
+    return b.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("bucket") < 2000, 1).otherwise(0)).alias("n_sampled"),
+        F.sum(F.when(F.col("bucket") >= 1000, 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("bucket") < 1000, 1).otherwise(0)).alias("n_heldout"),
+    )
+
+
+@register(
+    "t06_pandas_udf_readability",
+    """
+    SELECT lang,
+           ROUND(AVG(206.835 - 1.015 * n_words / GREATEST(n_sent, 1)
+                     - 84.6 * n_chars_w / GREATEST(n_words, 1) / 4.7), 4)
+             AS avg_readability
+    FROM (
+      SELECT lang,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))
+               AS n_words,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_chars_w
+      FROM documents
+    ) d
+    GROUP BY lang
+    """,
+    doc="Arrow-vectorized scalar pandas_udf (Flesch-style readability) "
+    "— demonstrates the @pandas_udf surface; per-row arithmetic is "
+    "IEEE-deterministic so it stays oracle-able.",
+)
+def t06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def readability(text: pd.Series) -> pd.Series:
+        words = text.str.split().str.len().astype("float64")
+        sents = (
+            text.str.findall(r"[.!?]+").str.len().clip(lower=1).astype("float64")
+        )
+        chars = text.str.replace(r"[^A-Za-z]", "", regex=True).str.len().astype("float64")
+        return 206.835 - 1.015 * words / sents - 84.6 * chars / words.clip(lower=1) / 4.7
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", readability("text").alias("r"))
+        .groupBy("lang")
+        .agg(F.round(F.avg("r"), 4).alias("avg_readability"))
     )
