@@ -770,3 +770,116 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q02_min_cost_supplier",
+    """
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+      SELECT l_partkey, unit_cost, s_acctbal, s_name, n_name
+      FROM supply
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+    FROM (
+      SELECT eu.*, p_partkey, p_name,
+             MIN(unit_cost) OVER (PARTITION BY l_partkey) AS min_cost
+      FROM eu JOIN part ON l_partkey = p_partkey
+      WHERE p_size <= 15 AND p_type = 'STANDARD'
+    )
+    WHERE unit_cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 minimum-cost supplier, adapted: no partsupp table in "
+    "the testdata, so supply cost per (part, supplier) is derived from "
+    "lineitem (min observed unit price). Correlated-min subquery "
+    "expressed as a window MIN — one shuffle on l_partkey instead of a "
+    "self-join. Dims (supplier/nation/region/part) broadcast.",
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    from pyspark.sql import Window
+
+    # Fact-side agg first: one shuffle on (partkey, suppkey); every
+    # later join is broadcast, and the window re-uses the partkey
+    # clustering from the preceding groupBy.
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eu_dims = (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eu = supply.join(F.broadcast(eu_dims), supply.l_suppkey == eu_dims.s_suppkey)
+    w = Window.partitionBy("l_partkey")
+    return (
+        eu.join(F.broadcast(part), eu.l_partkey == part.p_partkey)
+        .withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_parts",
+    f"""
+    WITH national AS (
+      SELECT l_partkey, {SQL_REV_U} AS rev_u
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+    )
+    SELECT l_partkey, CAST(SUM(rev_u) AS DOUBLE) / 1e6 AS part_value
+    FROM national
+    GROUP BY l_partkey
+    HAVING CAST(SUM(rev_u) AS DECIMAL(38,0)) * 1000 >
+           (SELECT CAST(SUM(rev_u) AS DECIMAL(38,0)) FROM national)
+    ORDER BY part_value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 important stock, adapted: part value per supplier "
+    "nation derived from lineitem revenue (no partsupp). The global "
+    "threshold is a broadcast scalar; the fraction compare runs in "
+    "exact integer/decimal math so both engines agree bit-for-bit. "
+    "Two aggregates over one shuffled dataset; dims broadcast.",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    dims = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    national = li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey).select(
+        "l_partkey", rev_u().alias("rev_u")
+    )
+    per_part = national.groupBy("l_partkey").agg(F.sum("rev_u").alias("v_u"))
+    total = per_part.agg(
+        F.sum(F.col("v_u").cast("decimal(38,0)")).alias("total_u")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("v_u").cast("decimal(38,0)") * 1000 > F.col("total_u"))
+        .select(
+            "l_partkey",
+            (F.col("v_u").cast("double") / 1e6).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
