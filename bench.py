@@ -54,6 +54,21 @@ def main() -> None:
     warm = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
     warm.groupBy("l_returnflag").count().collect()
 
+    # Whole-stage-codegen compile costs ~1s per distinct plan shape and
+    # is cached by generated source. Running each headline query once
+    # against the tiniest SF compiles the same generated classes the
+    # sf run will use, so measured timings reflect steady-state
+    # execution, not one-time JIT.
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf) and os.path.realpath(warm_sf) != os.path.realpath(sf):
+        for name in HEADLINE:
+            try:
+                specs[name].spark_fn(spark, warm_sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # warm-up is best-effort; the measured run reports errors
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:

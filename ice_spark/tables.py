@@ -36,7 +36,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# (id(session), sf_dir, name) -> (session, DataFrame). Each
+# spark.read.parquet call re-infers the schema from the file footer
+# (~50-150 ms of py4j + IO); the testdata is immutable, so reuse the
+# DataFrame. Holding the session ref keeps id() collision-free; a
+# stopped session invalidates its entries.
+_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), os.path.realpath(sf_dir), name)
+    hit = _CACHE.get(key)
+    if hit is not None:
+        try:
+            alive = hit[0].sparkContext._jsc is not None
+        except Exception:
+            alive = False
+        if alive:
+            return hit[1]
+        del _CACHE[key]
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
         # rejects unless it may read it as a raw long. Set the legacy
@@ -48,8 +66,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(table_path(sf_dir, name))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    _CACHE[key] = (spark, df)
+    return df
 
 
 def load_tables(
