@@ -46,18 +46,60 @@ LANG_MARKERS: dict[str, list[str]] = {
 EN_STOPWORDS = LANG_MARKERS["en"] + ["that", "for", "on", "with", "as", "at", "this"]
 
 
+# --- SQL-string builders -----------------------------------------------------
+# Building deep higher-order-function trees through the Column API
+# costs hundreds of py4j round trips (~0.3-0.7 s per query on the
+# bench); rendering the SAME expression as one SQL string and parsing
+# it JVM-side with F.expr is a single round trip. Both paths produce
+# identical semantics; tests assert they agree.
+
+
+def tokens_sql(col_sql: str) -> str:
+    return f"filter(split(trim({col_sql}), '\\\\s+'), t -> t != '')"
+
+
+def char_hash_sql(s_sql: str) -> str:
+    return (
+        f"aggregate(split({s_sql}, ''), CAST({HASH_INIT} AS BIGINT), "
+        f"(acc, c) -> (acc * {HASH_MULT} + ascii(c)) % {MOD})"
+    )
+
+
+def token_hashes_sql(col_sql: str) -> str:
+    return f"transform({tokens_sql(col_sql)}, tk -> {char_hash_sql('tk')})"
+
+
+def shingle_hashes_sql(col_sql: str, n: int = 3) -> str:
+    """SQL text equivalent of shingle_hashes (same hash spec)."""
+    poly = str(HASH_INIT)
+    for j in range(n):
+        poly = f"(({poly} * {SHINGLE_MULT} + element_at(th, CAST(i + {j + 1} AS INT))) % {MOD})"
+    return (
+        f"element_at(transform(array({token_hashes_sql(col_sql)}), th -> "
+        f"array_distinct(CASE WHEN size(th) >= {n} THEN "
+        f"transform(sequence(0, size(th) - {n}), i -> {poly}) "
+        f"ELSE array(aggregate(th, CAST({HASH_INIT} AS BIGINT), "
+        f"(acc, h) -> (acc * {SHINGLE_MULT} + h) % {MOD})) END)), 1)"
+    )
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization, empty tokens dropped."""
-    c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+    if isinstance(text, str):
+        return F.expr(tokens_sql(text))
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
 def token_count(text: Column | str) -> Column:
+    if isinstance(text, str):
+        return F.expr(f"size({tokens_sql(text)})")
     return F.size(tokens(text))
 
 
-def char_hash(s: Column) -> Column:
+def char_hash(s: Column | str) -> Column:
     """Portable polynomial rolling hash of a string (see module doc)."""
+    if isinstance(s, str):
+        return F.expr(char_hash_sql(s))
     return F.aggregate(
         F.split(s, ""),
         F.lit(HASH_INIT).cast("long"),
@@ -112,6 +154,8 @@ def shingle_hashes(text: Column | str, n: int = 3) -> Column:
     token hashes polynomially — O(total chars + shingles), not
     O(total chars * shingles).
     """
+    if isinstance(text, str):
+        return F.expr(shingle_hashes_sql(text, n))
     th_expr = F.transform(tokens(text), char_hash)
 
     def build(th: Column) -> Column:
@@ -208,13 +252,28 @@ def predict_lang(text: Column | str) -> Column:
 
 def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
     sw = stopwords or EN_STOPWORDS
-    t = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    if isinstance(text, str):
+        arr_sql = "array(" + ", ".join(f"'{m}'" for m in sw) + ")"
+        toks = tokens_sql(f"lower({text})")
+        return F.expr(
+            f"element_at(transform(array({toks}), lt -> "
+            f"CAST(size(filter(lt, tok -> array_contains({arr_sql}, tok))) AS DOUBLE)"
+            f" / CAST(greatest(size(lt), 1) AS DOUBLE)), 1)"
+        )
+    t = tokens(F.lower(text))
     arr = F.array(*[F.lit(m) for m in sw])
     hits = F.size(F.filter(t, lambda tok: F.array_contains(arr, tok)))
     return hits.cast("double") / F.greatest(F.size(t), F.lit(1)).cast("double")
 
 
 def mean_token_len(text: Column | str) -> Column:
+    if isinstance(text, str):
+        toks = tokens_sql(text)
+        return F.expr(
+            f"element_at(transform(array({toks}), lt -> "
+            f"CAST(aggregate(lt, CAST(0 AS BIGINT), (acc, tok) -> acc + length(tok)) AS DOUBLE)"
+            f" / CAST(greatest(size(lt), 1) AS DOUBLE)), 1)"
+        )
     t = tokens(text)
     total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, tok: acc + F.length(tok))
     return total.cast("double") / F.greatest(F.size(t), F.lit(1)).cast("double")

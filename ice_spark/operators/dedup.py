@@ -36,7 +36,7 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 def dedup_by_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup shuffling only (fingerprint, id) — the scale path."""
-    fp = df.select(F.col(id_col), T.char_hash(F.col(text_col)).alias("__fp"))
+    fp = df.select(F.col(id_col), T.char_hash(text_col).alias("__fp"))
     keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     return df.join(keep.select(id_col), on=id_col, how="left_semi")
 
@@ -54,7 +54,7 @@ def minhash_signatures(
     on id.
     """
     ex = df.select(
-        F.col(id_col), F.explode(T.shingle_hashes(F.col(text_col), n=shingle_n)).alias("__h")
+        F.col(id_col), F.explode(T.shingle_hashes(text_col, n=shingle_n)).alias("__h")
     )
     aggs = [
         F.min((F.col("__h") * (2 * j + 3) + (7 * j + 1)) % T.MOD).alias(f"mh{j}")
@@ -85,7 +85,7 @@ def minhash_lsh_pairs(
 
     base = df.select(
         F.col(id_col).alias("__id"),
-        T.shingle_hashes(F.col(text_col), n=shingle_n).alias("__shs"),
+        T.shingle_hashes(text_col, n=shingle_n).alias("__shs"),
     )
     sigs = minhash_signatures(df, id_col, text_col, k=n_hashes, shingle_n=shingle_n)
     sigs = sigs.select(F.col(id_col).alias("__id"), *[f"mh{j}" for j in range(n_hashes)])

@@ -44,16 +44,25 @@ def w01(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation")
+    # Aggregate per customer key FIRST (the shuffle moves only
+    # (custkey, partial-sum) longs), then attach nation by broadcast on
+    # the ~|customer| aggregate — the fact-table rows never carry
+    # dimension strings.
+    # No forced broadcast on orders: it is a fact table (AQE
+    # broadcasts it at small SF; at 100 TB this is a co-partitioned
+    # shuffle join on orderkey).
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("n_name", "c_custkey")
+        .groupBy("o_custkey")
         .agg(sum_rev_fast().alias("revenue"))
+    )
+    dims = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", "n_name"
     )
     w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
     return (
-        rev.withColumn("rk", F.row_number().over(w))
+        rev.join(F.broadcast(dims), rev.o_custkey == dims.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
         .select("n_name", "c_custkey", "revenue", "rk")
     )

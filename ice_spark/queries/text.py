@@ -176,7 +176,7 @@ def t03(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t04(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.char_hash(F.col("text")).alias("fingerprint"))
+    return docs.select("doc_id", T.char_hash("text").alias("fingerprint"))
 
 
 @register(

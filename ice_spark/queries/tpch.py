@@ -602,25 +602,28 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    big = (
+    # Every output group key is functionally dependent on the order
+    # key, so the HAVING subquery and the outer aggregation are ONE
+    # per-order aggregate: a single lineitem scan + one shuffle,
+    # instead of scanning/aggregating lineitem twice and re-grouping
+    # after the join. Orders/customer attach post-agg by broadcast.
+    per_order = (
         li.groupBy("l_orderkey")
         .agg(F.sum(cents("l_quantity")).alias("q"))
         .where(F.col("q") > 15000)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
+    # The HAVING filter leaves few orders → broadcast the aggregate,
+    # not the orders fact table (which wouldn't fit at 100 TB).
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(big, li.l_orderkey == F.col("big_orderkey"), "left_semi")
+        orders.join(F.broadcast(per_order), per_order.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(csum("l_quantity").alias("sum_qty"))
         .select(
             "c_custkey",
             "c_name",
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
             "o_totalprice",
-            "sum_qty",
+            (F.col("q").cast("double") / 100.0).alias("sum_qty"),
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
