@@ -5,59 +5,62 @@ These tests pin the plan shapes that make the engine viable at
 bounded dim), selective scans must push filters into the parquet
 reader, single-shuffle operators must stay single-shuffle. A future
 change that silently regresses a plan fails here, not in production.
+
+Inspection helpers live in ice_spark.plans (the user-facing audit
+API); tests go through the same code path.
 """
 
 from __future__ import annotations
 
-import re
-
 import pytest
 
+from ice_spark.plans import audit
 
-def _plan(spark, sf_dir, name: str) -> str:
+
+def _audit(spark, sf_dir, name: str):
     from ice_spark.queries.registry import load_all
 
-    df = load_all()[name].spark_fn(spark, sf_dir)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return audit(load_all()[name].spark_fn(spark, sf_dir))
 
 
 def test_star_join_broadcasts_all_dims(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "q05_local_supplier_volume")
-    assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 4
+    a = _audit(spark, sf_dir, "q05_local_supplier_volume")
+    assert a.sort_merge_joins == 0
+    assert a.broadcast_joins >= 4
 
 
 def test_selective_scan_pushes_filters(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "q06_forecast_revenue")
-    # plan toString truncates long filter lists — assert on the prefix
-    m = re.search(r"PushedFilters: \[(\w+)", plan)
-    assert m, plan
-    assert "PushedFilters: []" not in plan
+    a = _audit(spark, sf_dir, "q06_forecast_revenue")
+    # plan toString truncates long filter lists — assert on presence
+    assert a.pushed_filters, a.plan
+    assert not a.has_empty_pushed_filters
 
 
 def test_column_pruning_reaches_scan(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "q06_forecast_revenue")
-    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    assert schemas, plan
+    a = _audit(spark, sf_dir, "q06_forecast_revenue")
+    assert a.read_schemas, a.plan
     # q06 needs exactly 4 lineitem columns
-    assert all(len(s.split(",")) <= 4 for s in schemas), schemas
+    assert all(len(s.split(",")) <= 4 for s in a.read_schemas), a.read_schemas
 
 
 @pytest.mark.parametrize(
     "name,max_exchanges",
     [
         ("q01_pricing_summary", 1),  # one shuffle for the final agg
+        ("q18_large_volume_customer", 1),  # per-order agg, dims broadcast
+        ("w01_top_customers_per_nation", 3),  # agg + window repartition
         ("e03_sessionization", 2),  # one shuffle by user + agg reuse
         ("e06_asof_click_before_purchase", 2),  # union+window asof: by key
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
-    plan = _plan(spark, sf_dir, name)
-    # count only real shuffles, not broadcast exchanges
-    shuffles = plan.count("Exchange hashpartitioning") + plan.count(
-        "Exchange rangepartitioning"
-    )
-    assert shuffles <= max_exchanges, f"{name}: {shuffles} shuffles\n{plan[:2000]}"
+    a = _audit(spark, sf_dir, name)
+    assert a.shuffles <= max_exchanges, f"{name}: {a.shuffles} shuffles\n{a.plan[:2000]}"
+
+
+def test_q18_scans_lineitem_once(spark, sf_dir):
+    a = _audit(spark, sf_dir, "q18_large_volume_customer")
+    assert a.plan.count("lineitem.parquet") == 1, "q18 must not re-scan the fact table"
 
 
 def test_no_cartesian_products_in_headline(spark, sf_dir):
@@ -67,5 +70,11 @@ def test_no_cartesian_products_in_headline(spark, sf_dir):
         "q18_large_volume_customer",
         "d04_minhash_lsh_pairs",
     ):
-        plan = _plan(spark, sf_dir, name)
-        assert "CartesianProduct" not in plan, name
+        a = _audit(spark, sf_dir, name)
+        assert "CartesianProduct" not in a.plan, name
+
+
+def test_audit_report_renders(spark, sf_dir):
+    a = _audit(spark, sf_dir, "q05_local_supplier_volume")
+    rep = a.report()
+    assert "broadcast hash joins" in rep and "shuffles" in rep
