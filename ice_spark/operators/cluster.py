@@ -1,0 +1,128 @@
+"""Near-duplicate clustering: connected components over a pair list.
+
+A dedup pipeline rarely stops at *pairs* — to keep one canonical doc
+per duplicate group you need the transitive closure of the near-dup
+relation. The reference has nothing like this (SURVEY.md §2.8);
+it is a beyond-reference training-data operator.
+
+Two implementations, both pure DataFrame loops (the per-iteration
+work is shuffles Catalyst plans; the driver only counts changes):
+
+- ``alternating_star_components``: the large-star/small-star
+  algorithm (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC'14). Converges in O(log^2 n) rounds regardless of
+  component diameter — the 100 TB path, where a chain of near-dups
+  (doc A ~ B ~ C ~ ... at shingle drift) can have large diameter.
+- ``label_propagation_components``: min-label flooding; rounds =
+  component diameter. Simpler plan per round; fine when components
+  are known-small.
+
+Each round materializes the frontier with ``localCheckpoint`` —
+otherwise the lineage doubles per iteration and Catalyst re-analyzes
+an exponentially growing plan (the classic iterative-Spark trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).where(
+        F.col("u") != F.col("v")
+    )
+
+
+def alternating_star_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
+) -> DataFrame:
+    """(node, component) with component = min node id in the component.
+
+    Each round: large-star hangs every neighbor v > u onto
+    m = min(N(u) ∪ {u}); small-star re-hangs the rest. The edge set
+    monotonically flattens into stars around component minima.
+    """
+    e = _symmetrize(edges, src, dst).distinct().localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # large-star: for each u, m = min(neighbors ∪ self);
+        # connect strictly larger neighbors to m.
+        mins = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            e.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        e1 = _symmetrize(large, "a", "b").distinct()
+        # small-star: connect neighbors <= u (plus u itself) to m.
+        mins1 = e1.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        small = (
+            e1.join(mins1, "u")
+            .where(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mins1.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+        e_next = _symmetrize(small, "a", "b").distinct().localCheckpoint(eager=True)
+        # Converged when the edge relation is stable.
+        if (
+            e_next.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(e_next).limit(1).count() == 0
+        ):
+            e = e_next
+            break
+        e = e_next
+    # Star state: every node's component is min(neighbors ∪ self).
+    return e.groupBy(F.col("u").alias("node")).agg(
+        F.least(F.min("v"), F.first("u")).alias("component")
+    )
+
+
+def label_propagation_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """(node, component) by min-label flooding (rounds = diameter)."""
+    sym = _symmetrize(edges, src, dst).distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
+            .where(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """Drop every member of a near-dup cluster except the min-id doc."""
+    comp = alternating_star_components(pairs, a, b)
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

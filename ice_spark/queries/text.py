@@ -316,6 +316,62 @@ def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_NEARDUP_EDGES = f"""
+    docs AS (
+      SELECT doc_id, {_SQL_SHINGLE_HASHES} AS sh
+      FROM (SELECT doc_id, {_SQL_TOKH} AS th
+            FROM (SELECT doc_id, {_SQL_TOKS.format(col='text')} AS toks FROM documents))
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    prs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+    pairs AS (
+      SELECT doc_a, doc_b FROM prs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+    )
+"""
+
+
+@register(
+    "d06_neardup_clusters",
+    f"""
+    WITH RECURSIVE
+    {_SQL_NEARDUP_EDGES},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+    FROM reach GROUP BY u
+    ORDER BY doc_id
+    """,
+    doc="Near-dup clusters: connected components over the exact-Jaccard "
+    "pair graph (J >= 0.8) via alternating large-star/small-star "
+    "(operators/cluster.py) — O(log^2 n) rounds independent of "
+    "component diameter, each round a pair of shuffles. The oracle is "
+    "DuckDB's recursive transitive closure (fine at oracle SF; the "
+    "Spark path is the one that scales).",
+)
+def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.cluster import alternating_star_components
+    from ice_spark.queries.registry import QUERIES
+
+    pairs = QUERIES["d02_ngram_jaccard_pairs"].spark_fn(spark, sf_dir)
+    comp = alternating_star_components(pairs, "doc_a", "doc_b")
+    return comp.select(F.col("node").alias("doc_id"), "component").orderBy("doc_id")
+
+
 @register(
     "t05_bpe_token_counts",
     r"""
