@@ -56,8 +56,10 @@ def minhash_signatures(
     ex = df.select(
         F.col(id_col), F.explode(T.shingle_hashes(text_col, n=shingle_n)).alias("__h")
     )
+    # One F.expr per aggregate (single py4j call each) — the Column
+    # API costs ~6 round trips per permutation, measurable at k=16.
     aggs = [
-        F.min((F.col("__h") * (2 * j + 3) + (7 * j + 1)) % T.MOD).alias(f"mh{j}")
+        F.expr(f"min((__h * {2 * j + 3} + {7 * j + 1}) % {T.MOD}) AS mh{j}")
         for j in range(k)
     ]
     return ex.groupBy(id_col).agg(*aggs)
@@ -90,20 +92,16 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, id_col, text_col, k=n_hashes, shingle_n=shingle_n)
     sigs = sigs.select(F.col(id_col).alias("__id"), *[f"mh{j}" for j in range(n_hashes)])
 
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_", *[F.col(f"mh{b * r + i}").cast("string") for i in range(r)]
-                ).alias("key"),
-            )
-            for b in range(bands)
-        ]
+    structs = ", ".join(
+        "struct({b} AS band, concat_ws('_', {cols}) AS key)".format(
+            b=b,
+            cols=", ".join(f"cast(mh{b * r + i} AS string)" for i in range(r)),
+        )
+        for b in range(bands)
     )
-    buckets = sigs.select("__id", F.explode(band_structs).alias("bk")).select(
-        "__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    buckets = sigs.select(
+        "__id", F.expr(f"explode(array({structs})) AS bk")
+    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     # Same band + same key → candidate pair. The distinct() collapses
     # pairs that collide in multiple bands before the (expensive)
     # exact verification join.
