@@ -83,6 +83,48 @@ def main() -> None:
             errors[name] = str(e).splitlines()[0][:200]
             timings[name] = round(time.time() - t0, 3)
 
+    # Ingest throughput — the reference's actual performance surface
+    # (its hot path is parquet→table ingest with client-side
+    # partitioning + sorting; SURVEY.md §3.1). Partitioned+sorted
+    # write of lineitem through the engine's insert verb.
+    ingest: dict[str, float] = {}
+    try:
+        import shutil
+        import tempfile
+
+        from ice_spark.catalog.catalog import Catalog
+        from ice_spark.ingest.insert import insert
+
+        wh = tempfile.mkdtemp(prefix="ice_bench_wh_")
+        try:
+            cat = Catalog(spark, wh)
+            cat.create_namespace("bench")
+            src = os.path.join(sf, "lineitem.parquet")
+            n_rows = spark.read.parquet(src).count()
+            t0 = time.time()
+            t = cat.create_table(
+                "bench.lineitem_part",
+                schema_from_parquet=src,
+                partition_spec=[
+                    {"column": "l_shipdate", "transform": "year", "name": "Year"}
+                ],
+                sort_order=[{"column": "l_orderkey"}],
+            )
+            insert(t, [src])
+            ingest["partitioned_sorted_sec"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            t2 = cat.create_table("bench.lineitem_plain", schema_from_parquet=src)
+            insert(t2, [src])
+            ingest["plain_copy_sec"] = round(time.time() - t0, 3)
+            ingest["rows"] = n_rows
+            ingest["rows_per_sec_partitioned"] = round(
+                n_rows / max(ingest["partitioned_sorted_sec"], 1e-9)
+            )
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+    except Exception as e:  # ingest bench is additive; never break the line
+        ingest["error"] = str(e).splitlines()[0][:200]
+
     total = round(sum(timings.values()), 3)
     sf_label = os.path.basename(sf.rstrip("/")).replace("sf", "")
     out = {
@@ -91,6 +133,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf_label) if sf_label else sf,
+        "ingest": ingest,
     }
     if errors:
         out["errors"] = errors
