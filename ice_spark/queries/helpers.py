@@ -16,14 +16,23 @@ MONEY = "decimal(18,2)"
 HI = "decimal(30,10)"  # for per-row double products before summing
 
 
+# String-named columns go through F.expr (one py4j round trip, parsed
+# JVM-side) — the sql_* builders below emit SQL that is valid in BOTH
+# engines, so the Spark expression and the DuckDB oracle share text.
+# Column inputs keep the Column-API path.
+
+
 def dsum(col: Column | str, scale: str = MONEY) -> Column:
     """Order-insensitive sum of a double column, returned as double."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(scale)).cast("double")
+    if isinstance(col, str):
+        return F.expr(sql_dsum(col, scale.upper()))
+    return F.sum(col.cast(scale)).cast("double")
 
 
 def davg(col: Column | str, count_col: Column | None = None, scale: str = MONEY) -> Column:
     """Deterministic average: exact decimal sum → double, / count."""
+    if isinstance(col, str) and count_col is None:
+        return F.expr(sql_davg(col, scale=scale.upper()))
     c = F.col(col) if isinstance(col, str) else col
     cnt = count_col if count_col is not None else F.count(F.lit(1))
     return F.sum(c.cast(scale)).cast("double") / cnt
@@ -95,8 +104,9 @@ def sql_sum_dec(expr: str) -> str:
 # the decimal path (rev_dec).
 
 def cents(col: Column | str, scale: int = 100) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * scale).cast("long")
+    if isinstance(col, str):
+        return F.expr(sql_cents(col, scale))
+    return F.round(col * scale).cast("long")
 
 
 def sql_cents(expr: str, scale: int = 100) -> str:
@@ -105,7 +115,7 @@ def sql_cents(expr: str, scale: int = 100) -> str:
 
 def rev_u() -> Column:
     """revenue in micro-units (scale 1e6): cents * (1e4 - disc_bp)."""
-    return cents("l_extendedprice") * (10000 - cents("l_discount", 10000))
+    return F.expr(SQL_REV_U)
 
 
 SQL_REV_U = (
@@ -114,7 +124,7 @@ SQL_REV_U = (
 
 
 def sum_rev_fast() -> Column:
-    return F.sum(rev_u()).cast("double") / 1e6
+    return F.expr(SQL_SUM_REV_FAST)
 
 
 SQL_SUM_REV_FAST = f"CAST(SUM({SQL_REV_U}) AS DOUBLE) / 1e6"
@@ -122,6 +132,8 @@ SQL_SUM_REV_FAST = f"CAST(SUM({SQL_REV_U}) AS DOUBLE) / 1e6"
 
 def csum(col: Column | str, scale: int = 100) -> Column:
     """Deterministic money sum via integer cents, as double."""
+    if isinstance(col, str):
+        return F.expr(sql_csum(col, scale))
     return F.sum(cents(col, scale)).cast("double") / float(scale)
 
 
@@ -131,6 +143,8 @@ def sql_csum(expr: str, scale: int = 100) -> str:
 
 def cavg(col: Column | str, scale: int = 100) -> Column:
     """Deterministic average via integer cents."""
+    if isinstance(col, str):
+        return F.expr(sql_cavg(col, scale))
     return F.sum(cents(col, scale)).cast("double") / float(scale) / F.count(F.lit(1))
 
 
