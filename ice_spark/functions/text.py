@@ -277,3 +277,26 @@ def mean_token_len(text: Column | str) -> Column:
     t = tokens(text)
     total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, tok: acc + F.length(tok))
     return total.cast("double") / F.greatest(F.size(t), F.lit(1)).cast("double")
+
+
+def chunk_expr(col_sql: str, width: int = 64, stride: int = 48) -> Column:
+    """Explode a document into overlapping token-window chunks.
+
+    Returns an inline()-style generator column producing
+    (chunk_idx INT, chunk_text STRING, n_tokens INT) rows per doc:
+    chunk i covers tokens [i*stride, i*stride + width). Docs with
+    <= width tokens yield exactly one chunk. Pure JVM expression —
+    at 100 TB chunking is a map-only stage, no shuffle.
+    """
+    toks = tokens_sql(col_sql)
+    n_chunks = (
+        f"CASE WHEN size(t) <= {width} THEN 0 "
+        f"ELSE (size(t) - {width} + {stride} - 1) div {stride} END"
+    )
+    return F.expr(
+        f"inline(element_at(transform(array({toks}), t -> "
+        f"transform(sequence(0, {n_chunks}), i -> struct("
+        f"CAST(i AS INT) AS chunk_idx, "
+        f"array_join(slice(t, i * {stride} + 1, {width}), ' ') AS chunk_text, "
+        f"size(slice(t, i * {stride} + 1, {width})) AS n_tokens))), 1))"
+    )

@@ -590,3 +590,39 @@ def t07(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tfidf", "rk")
         .orderBy("doc_id", "rk")
     )
+
+
+@register(
+    "c01_token_chunks",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_TOKS.format(col='text')} AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 64 THEN 0
+                  ELSE (len(toks) - 64 + 48 - 1) // 48 END AS k
+      FROM d
+    ),
+    chunks AS (
+      SELECT doc_id, unnest(generate_series(0, k)) AS chunk_idx, toks
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS INT)
+             AS n_tokens
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="Document chunking into overlapping token windows (width 64, "
+    "stride 48) — the LLM-pretraining chunker. Map-only generator "
+    "expression (functions/text.chunk_expr): no shuffle at any scale.",
+)
+def c01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.chunk_expr("text", width=64, stride=48)
+    ).orderBy("doc_id", "chunk_idx")
