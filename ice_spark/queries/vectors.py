@@ -182,3 +182,71 @@ def v06(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", "vec_id", "embedding",
         n_lists=8, n_probe=3, k=3, iterations=1,
     )
+
+
+_SQL_Q8_SCALE = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))), "
+    "(a, b) -> greatest(a, b)) / 127"
+)
+# mean abs reconstruction error of symmetric int8 quantization
+_SQL_Q8_MAE = (
+    "CASE WHEN s = 0 THEN CAST(0 AS DOUBLE) ELSE "
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(embedding, v -> "
+    "abs(CAST(v AS DOUBLE) - round(CAST(v AS DOUBLE) / s) * s))), "
+    "(a, b) -> a + b) / len(embedding) END"
+)
+
+
+@register(
+    "v07_int8_quantization",
+    f"""
+    WITH per_vec AS (
+      SELECT label, s,
+             CAST(ROUND({_SQL_Q8_MAE} * 1e6) AS BIGINT) AS mae_u,
+             CAST(ROUND(s * 1e9) AS BIGINT) AS scale_u
+      FROM (SELECT label, embedding, {_SQL_Q8_SCALE} AS s FROM embeddings)
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(scale_u) AS DOUBLE) / 1e9 / COUNT(*) AS avg_scale,
+           CAST(SUM(mae_u) AS DOUBLE) / 1e6 / COUNT(*) AS avg_mae,
+           CAST(MAX(mae_u) AS DOUBLE) / 1e6 AS max_mae
+    FROM per_vec
+    GROUP BY label
+    """,
+    doc="Symmetric int8 embedding quantization quality per label: "
+    "per-vector scale = max|v|/127, mean-abs reconstruction error. "
+    "Map-only per-vector expressions + one aggregate shuffle; error "
+    "stats aggregated in exact integer micro-units so both engines "
+    "agree bit-for-bit. At 100 TB this is the pre-write audit for an "
+    "int8-quantized vector store (4x footprint cut).",
+)
+def v07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = (
+        "aggregate(embedding, CAST(0 AS DOUBLE), "
+        "(a, v) -> greatest(a, abs(CAST(v AS DOUBLE)))) / 127"
+    )
+    mae = (
+        "CASE WHEN s = 0D THEN 0D ELSE "
+        "aggregate(embedding, CAST(0 AS DOUBLE), "
+        "(a, v) -> a + abs(CAST(v AS DOUBLE) - round(CAST(v AS DOUBLE) / s) * s))"
+        " / size(embedding) END"
+    )
+    per_vec = emb.select(
+        "label",
+        F.expr(scale).alias("s"),
+        "embedding",
+    ).select(
+        "label",
+        F.expr(f"CAST(ROUND(({mae}) * 1e6) AS BIGINT)").alias("mae_u"),
+        F.expr("CAST(ROUND(s * 1e9) AS BIGINT)").alias("scale_u"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.sum("scale_u").cast("double") / 1e9 / F.count(F.lit(1))).alias("avg_scale"),
+        (F.sum("mae_u").cast("double") / 1e6 / F.count(F.lit(1))).alias("avg_mae"),
+        (F.max("mae_u").cast("double") / 1e6).alias("max_mae"),
+    )
