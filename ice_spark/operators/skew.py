@@ -67,3 +67,21 @@ def salted_join_hot_keys(
     joined_hot = salted_join(fact_hot, dim_hot, on, n_salts)
     joined_cold = fact_cold.join(dim, on)
     return joined_hot.unionByName(joined_cold)
+
+
+def skew_safe_count_distinct(df: DataFrame, key: str, col: str) -> DataFrame:
+    """COUNT(DISTINCT col) GROUP BY key without a hot-key bottleneck.
+
+    A plain count-distinct shuffles every value of a key into one
+    partition (partial aggregation cannot compress distincts), so one
+    hot key serializes on one executor. The two-stage form first
+    distincts (key, col) pairs — that shuffle spreads by BOTH columns
+    — then counts per key, where partial aggregation reduces to one
+    long per key per partition. Identical results at any skew.
+    """
+    return (
+        df.select(key, col)
+        .distinct()
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias(f"n_distinct_{col}"))
+    )

@@ -232,3 +232,24 @@ def e07(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min(F.col("ts").cast("date")), "yyyy-MM-dd").alias("first_day"),
         F.date_format(F.max(F.col("ts").cast("date")), "yyyy-MM-dd").alias("last_day"),
     )
+
+
+@register(
+    "e08_skew_safe_distinct_users",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Distinct users per event type via the skew-safe two-stage "
+    "plan (operators/skew.skew_safe_count_distinct): distinct on "
+    "(type, user) spreads hot event types across partitions before "
+    "the per-type count — a plain COUNT(DISTINCT) serializes each "
+    "hot key on one executor at 100 TB. Oracle is the plain form; "
+    "results are identical by construction.",
+)
+def e08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.skew import skew_safe_count_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_safe_count_distinct(ev, "event_type", "user_id")
