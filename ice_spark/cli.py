@@ -95,6 +95,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("table")
     sp.add_argument("--limit", type=int, default=None)
 
+    sp = sub.add_parser("changes")
+    sp.add_argument("table")
+    sp.add_argument("--from-snapshot", dest="from_snapshot", type=int, default=None)
+    sp.add_argument("--to-snapshot", dest="to_snapshot", type=int, default=None)
+    sp.add_argument("--rows", action="store_true", help="also count appended rows")
+
     sp = sub.add_parser("describe-parquet")
     sp.add_argument("file")
 
@@ -277,6 +283,18 @@ def main(argv: list[str] | None = None) -> int:
         if args.limit:
             snaps = snaps[-args.limit :]
         out = snaps
+    elif args.cmd == "changes":
+        t = cat.load_table(args.table)
+        diff = t.changed_files(args.from_snapshot, args.to_snapshot)
+        out = {
+            "added": [e["path"] for e in diff["added"]],
+            "removed": [e["path"] for e in diff["removed"]],
+            "added_records": sum(e.get("records", 0) for e in diff["added"]),
+        }
+        if args.rows:
+            out["appended_rows"] = t.read_incremental(
+                args.from_snapshot, args.to_snapshot
+            ).count()
     elif args.cmd == "delete":
         from ice_spark.catalog.delete import delete as do_delete
 

@@ -1,0 +1,97 @@
+"""Copy-on-write MERGE upsert + incremental (CDC-style) snapshot
+reads. Beyond-reference surface: the reference's only mutation is
+whole-file partition delete (SURVEY.md §2.4); upsert + incremental
+consumption are what a training-data pipeline needs on top."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from ice_spark.catalog import Catalog
+from ice_spark.catalog.merge import merge_upsert
+from ice_spark.ingest.insert import append_dataframe
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = Catalog(spark, str(tmp_path / "wh"))
+    c.create_namespace("ns")
+    return c
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_merge_updates_and_inserts(spark, cat):
+    t = cat.create_table("ns.t", schema=SCHEMA)
+    append_dataframe(t, _mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    res = merge_upsert(t, _mk(spark, [(2, "B"), (4, "d")]), ["id"])
+    assert res["rows_replaced"] == 1
+    got = {(r.id, r.v) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+    snap = t.snapshot()
+    assert snap["operation"] == "overwrite"
+
+
+def test_merge_prunes_disjoint_files(spark, cat):
+    t = cat.create_table("ns.t2", schema=SCHEMA)
+    append_dataframe(t, _mk(spark, [(1, "a"), (2, "b")]))
+    append_dataframe(t, _mk(spark, [(100, "x"), (200, "y")]))
+    before = {e["path"] for e in t.files()}
+    res = merge_upsert(t, _mk(spark, [(100, "X"), (150, "z")]), ["id"])
+    # the low-id file's bounds [1,2] are disjoint from source [100,150]
+    assert res["files_kept"] >= 1 and res["files_rewritten"] >= 1
+    kept_paths = {e["path"] for e in t.files()} & before
+    assert kept_paths, "expected at least one untouched data file"
+    got = {(r.id, r.v) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "b"), (100, "X"), (150, "z"), (200, "y")}
+
+
+def test_merge_empty_source_noop(spark, cat):
+    t = cat.create_table("ns.t3", schema=SCHEMA)
+    append_dataframe(t, _mk(spark, [(1, "a")]))
+    v = t.current_version()
+    res = merge_upsert(t, _mk(spark, []), ["id"])
+    assert res["files_rewritten"] == 0
+    assert t.current_version() == v  # no commit
+
+
+def test_incremental_read_appends(spark, cat):
+    t = cat.create_table("ns.t4", schema=SCHEMA)
+    append_dataframe(t, _mk(spark, [(1, "a")]))
+    s1 = t.snapshot()["snapshot_id"]
+    append_dataframe(t, _mk(spark, [(2, "b")]))
+    append_dataframe(t, _mk(spark, [(3, "c")]))
+    s3 = t.snapshot()["snapshot_id"]
+    inc = t.read_incremental(s1)
+    assert {r.id for r in inc.collect()} == {2, 3}
+    # bounded range [s1, s2]
+    s2 = t.snapshots()[-2]["snapshot_id"]
+    assert {r.id for r in t.read_incremental(s1, s2).collect()} == {2}
+    # since-creation = full content
+    assert t.read_incremental(None, s3).count() == 3
+    diff = t.changed_files(s1, s3)
+    assert len(diff["added"]) >= 2 and not diff["removed"]
+
+
+def test_incremental_skips_replace_rejects_overwrite(spark, cat):
+    t = cat.create_table("ns.t5", schema=SCHEMA)
+    append_dataframe(t, _mk(spark, [(1, "a")]))
+    s1 = t.snapshot()["snapshot_id"]
+    # a compaction-style replace snapshot: same logical content
+    t.append_snapshot(t.files(), "replace")
+    append_dataframe(t, _mk(spark, [(2, "b")]))
+    assert {r.id for r in t.read_incremental(s1).collect()} == {2}
+    # an overwrite makes the range non-append-only
+    merge_upsert(t, _mk(spark, [(1, "A")]), ["id"])
+    with pytest.raises(ValueError, match="not.*append-only|overwrite"):
+        t.read_incremental(s1)
