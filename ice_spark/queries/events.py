@@ -253,3 +253,50 @@ def e08(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return skew_safe_count_distinct(ev, "event_type", "user_id")
+
+
+@register(
+    "e09_error_recovery_windows",
+    """
+    SELECT w.event_id AS wid,
+           w.user_id AS user_id,
+           STRFTIME(w.ts, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.event_type) AS n_types
+    FROM events w
+    JOIN events e
+      ON e.user_id = w.user_id
+     AND e.ts >= w.ts
+     AND e.ts < w.ts + INTERVAL 30 MINUTE
+     AND e.event_id <> w.event_id
+    WHERE w.event_type = 'error'
+    GROUP BY 1, 2, 3
+    """,
+    doc="Per-error 30-minute recovery window: same-user events inside "
+    "each window, via the bucketized range join "
+    "(operators/rangejoin.bucketed_range_join) — an equi-join on "
+    "(user, time bucket) + exact filter instead of the cartesian "
+    "BETWEEN join the oracle runs. Identical results, linear cost.",
+)
+def e09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.rangejoin import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    windows = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("wid"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    others = ev.select("event_id", "user_id", "ts", "event_type")
+    j = bucketed_range_join(
+        others, windows, ["user_id"], "ts", "w_start", "w_end", bucket_seconds=1800
+    ).where(F.col("event_id") != F.col("wid"))
+    return j.groupBy(
+        "wid",
+        "user_id",
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
