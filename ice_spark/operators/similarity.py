@@ -147,3 +147,52 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# --- Signed random projections (SRP / hyperplane LSH) -----------------------
+# Rademacher ±1 hyperplanes derived from a portable integer formula,
+# so ANY engine (the DuckDB oracle included) reconstructs the exact
+# same planes — no floats shipped, no RNG state. Signature bit p is
+# sign(Σ_d w(p,d)·x_d); cos-similar vectors agree on most bits, so
+# equal signatures are near-duplicate candidates. The projection sum
+# folds left-to-right over d in both engines, making even the ==0
+# boundary deterministic.
+
+SRP_MOD = 1_000_000_007
+
+
+def srp_weight_sql(p_sql: str, d_sql: str) -> str:
+    """±1 weight of plane p, dimension d (shared Spark/DuckDB text)."""
+    return (
+        f"(CASE WHEN (({p_sql} * 7919 + {d_sql} * 104729) % {SRP_MOD}) % 2 = 0 "
+        "THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
+    )
+
+
+def srp_signature_sql(vec_sql: str, n_planes: int = 16) -> str:
+    """Spark SQL expression: n_planes-bit SRP signature as a BIGINT."""
+    proj = (
+        f"aggregate(sequence(1, size({vec_sql})), CAST(0 AS DOUBLE), "
+        f"(s, d) -> s + CAST(element_at({vec_sql}, d) AS DOUBLE) * "
+        f"{srp_weight_sql('p', 'd')})"
+    )
+    return (
+        f"aggregate(sequence(0, {n_planes - 1}), CAST(0 AS BIGINT), "
+        f"(acc, p) -> acc * 2 + (CASE WHEN {proj} >= 0 THEN 1 ELSE 0 END))"
+    )
+
+
+def srp_signature_duckdb_sql(vec_sql: str, n_planes: int = 16) -> str:
+    """The same signature in DuckDB list-function dialect."""
+    proj = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({vec_sql})), "
+        f"d -> CAST({vec_sql}[d] AS DOUBLE) * {srp_weight_sql('p', 'd')})), "
+        "(x, y) -> x + y)"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(0, {n_planes - 1}), "
+        f"p -> CAST(CASE WHEN {proj} >= 0 THEN 1 ELSE 0 END AS BIGINT))), "
+        "(a, b) -> a * 2 + b)"
+    )

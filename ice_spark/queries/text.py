@@ -626,3 +626,89 @@ def c01(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", T.chunk_expr("text", width=64, stride=48)
     ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "s06_stratified_sample",
+    """
+    WITH b AS (
+      SELECT lang,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+               list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+               (a, x) -> (a * 131 + x) % 1000000007) % 10000 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE (lang <> 'en' OR bucket < 2000)
+                              AND (lang <> 'es' OR bucket < 5000)) AS n_kept
+    FROM b
+    GROUP BY lang
+    """,
+    doc="Stratified deterministic downsampling: keep 20% of 'en', 50% "
+    "of 'es', all other strata whole "
+    "(operators/sampling.stratified_hash_sample) — reproducible "
+    "language rebalancing for training corpora.",
+)
+def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(docs, "doc_id", "lang", {"en": 0.2, "es": 0.5})
+    tot = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    k = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return tot.join(k, "lang", "left").select(
+        "lang", "n_total", F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept")
+    )
+
+
+@register(
+    "t08_unigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, t.tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> x <> '')) AS t(tok)
+    ),
+    cnts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS n_total FROM toks)
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           SUM(1) AS n_tokens,
+           CAST(SUM(CAST(ROUND(LN(cnt) * 1000000) AS BIGINT))
+                - COUNT(*) * (SELECT CAST(ROUND(LN(n_total) * 1000000) AS BIGINT)
+                              FROM tot) AS DOUBLE)
+             / COUNT(*) / 1000000.0 AS avg_logprob
+    FROM toks JOIN cnts USING (tok)
+    GROUP BY source
+    """,
+    doc="Corpus unigram language-model score: token-weighted mean "
+    "log-probability under the corpus unigram distribution, per "
+    "source — the classic cheap LM-quality signal. Log values are "
+    "quantized to integer micro-units before summing so the "
+    "aggregation is order-insensitive and cross-engine exact; the "
+    "only double ops are one cast and two divisions at the very end.",
+)
+def t08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.expr(T.tokens_sql("text"))).alias("tok")
+    )
+    cnts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        toks.join(F.broadcast(cnts), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.lit(1)).alias("n_tokens"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(LN(cnt) * 1000000) AS BIGINT))"
+                " - COUNT(*) * ANY_VALUE(CAST(ROUND(LN(n_total) * 1000000) AS BIGINT))"
+                " AS DOUBLE) / COUNT(*) / 1000000.0"
+            ).alias("avg_logprob"),
+        )
+    )

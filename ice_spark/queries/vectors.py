@@ -250,3 +250,51 @@ def v07(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("mae_u").cast("double") / 1e6 / F.count(F.lit(1))).alias("avg_mae"),
         (F.max("mae_u").cast("double") / 1e6).alias("max_mae"),
     )
+
+
+def _v08_oracle() -> str:
+    from ice_spark.operators.similarity import srp_signature_duckdb_sql
+
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id, label,
+             {srp_signature_duckdb_sql('embedding', 16)} AS sig
+      FROM embeddings
+    )
+    SELECT sig,
+           COUNT(*) AS n_vecs,
+           COUNT(DISTINCT label) AS n_labels,
+           MIN(vec_id) AS min_vec_id
+    FROM sigs
+    GROUP BY sig
+    HAVING COUNT(*) >= 2
+    """
+
+
+@register(
+    "v08_srp_signature_buckets",
+    _v08_oracle(),
+    doc="Signed-random-projection (hyperplane LSH) signatures: 16 "
+    "Rademacher planes from a portable integer formula, one 16-bit "
+    "signature per vector, bucketed to near-duplicate candidate "
+    "groups. Map-only signature pass + one aggregation shuffle; at "
+    "100 TB the bucket join replaces an O(n^2) cosine sweep. The "
+    "projection fold is order-pinned so both engines agree on every "
+    "sign bit (operators/similarity.srp_signature_sql).",
+)
+def v08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.similarity import srp_signature_sql
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = emb.select(
+        "vec_id", "label", F.expr(srp_signature_sql("embedding", 16)).alias("sig")
+    )
+    return (
+        sigs.groupBy("sig")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("label").alias("n_labels"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .where(F.col("n_vecs") >= 2)
+    )
