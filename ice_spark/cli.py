@@ -72,6 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--force-no-copy", action="store_true")
     sp.add_argument("--no-commit", action="store_true")
     sp.add_argument("--compression", default="gzip")
+    sp.add_argument("--format", dest="input_format", default="parquet",
+                    choices=["parquet", "csv", "json"])
 
     sp = sub.add_parser("scan")
     sp.add_argument("table")
@@ -231,9 +233,11 @@ def main(argv: list[str] | None = None) -> int:
         if files == ["-"]:
             files = [line.strip() for line in sys.stdin if line.strip()]
         if args.create_table and not cat.table_exists(args.table):
+            from ice_spark.ingest.insert import read_input
+
             cat.create_table(
                 args.table,
-                schema_from_parquet=files[0],
+                schema=read_input(cat.spark, files[0], args.input_format).schema,
                 partition_spec=args.partition,
                 sort_order=args.sort,
             )
@@ -248,6 +252,7 @@ def main(argv: list[str] | None = None) -> int:
             partition_spec=args.partition,
             sort_order=args.sort,
             no_commit=args.no_commit,
+            input_format=args.input_format,
         )
     elif args.cmd == "scan":
         out = cat.load_table(args.table).scan(limit=args.limit, snapshot_id=args.snapshot)

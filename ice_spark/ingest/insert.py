@@ -41,6 +41,23 @@ from ice_spark.catalog.table import Table
 
 COMPRESSIONS = {"gzip", "zstd", "snappy", "lz4", "uncompressed", "none"}
 
+# Input formats. The reference ingests Parquet only (PARQUET is
+# hardcoded at Insert.java:658-665); CSV/JSON ingestion is
+# beyond-reference convenience for landing raw exports. Data always
+# lands in the table as Parquet regardless of input format.
+FORMATS = {"parquet", "csv", "json"}
+
+
+def read_input(spark, path: str, fmt: str = "parquet"):
+    """Read one input file in the given format with schema inference."""
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "csv":
+        return spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    if fmt == "json":
+        return spark.read.json(path)
+    raise ValueError(f"unsupported input format {fmt!r} (one of {sorted(FORMATS)})")
+
 
 class DuplicateInputError(ValueError):
     pass
@@ -115,6 +132,7 @@ def insert(
     no_commit: bool = False,
     retry_list: str | None = None,
     assume_sorted: bool = False,
+    input_format: str = "parquet",
 ) -> dict:
     """Ingest parquet files; returns a summary dict.
 
@@ -139,6 +157,7 @@ def insert(
                 sort_order=sort_order,
                 no_commit=no_commit,
                 assume_sorted=assume_sorted,
+                input_format=input_format,
             )
         except Exception:
             with open(retry_list, "a") as f:
@@ -185,9 +204,14 @@ def insert(
         summary["added"] = 0
         return summary
 
+    if input_format not in FORMATS:
+        raise ValueError(f"unsupported input format {input_format!r}")
+    if no_copy and input_format != "parquet":
+        raise ValueError("no_copy requires parquet inputs (footer metrics)")
+
     # --- schema gate per file (Insert.java:504-509)
     for f in files:
-        fschema = spark.read.parquet(f).schema
+        fschema = read_input(spark, f, input_format).schema
         try:
             check_compatible(fschema, table.schema)
         except SchemaIncompatibleError as e:
@@ -235,7 +259,7 @@ def insert(
                 }
             )
     else:
-        entries = _copy_write(table, files, compression, version)
+        entries = _copy_write(table, files, compression, version, input_format)
 
     if no_commit:
         summary["staged"] = len(entries)
@@ -270,7 +294,11 @@ def append_dataframe(
 
 
 def _copy_write(
-    table: Table, files: list[str], compression: str, schema_version: int
+    table: Table,
+    files: list[str],
+    compression: str,
+    schema_version: int,
+    input_format: str = "parquet",
 ) -> list[dict]:
     """Read inputs (each with its own schema, aligned to the table
     schema), apply partition transforms + sort order, write parquet,
@@ -278,7 +306,7 @@ def _copy_write(
     spark = table.spark
     aligned = None
     for f in files:
-        df = spark.read.parquet(f)
+        df = read_input(spark, f, input_format)
         sel = [
             (F.col(fl.name) if fl.name in df.columns else F.lit(None))
             .cast(fl.dataType)
