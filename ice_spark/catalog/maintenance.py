@@ -272,3 +272,134 @@ def perform_maintenance(table: Table, dry_run: bool = True, **kwargs) -> dict:
         "snapshot_cleanup": expire_snapshots(table, dry_run=dry_run),
         "orphan_cleanup": remove_orphans(table, dry_run=dry_run),
     }
+
+
+# --- Z-order clustering rewrite ---------------------------------------------
+# Beyond the reference's binpack/sort compaction: rewrite data files
+# along a Morton (Z-order) curve over several columns so every file
+# gets tight min/max bounds on ALL of them. The manifests record
+# per-file column bounds (ingest/insert._footer_column_metrics);
+# delete planning and merge_upsert prune on those bounds, so
+# clustering directly multiplies how many files those operations can
+# skip. At 100 TB this is the difference between "every merge touches
+# every file" and "a merge touches one curve segment".
+
+
+def _zvalue_sql(scaled_cols: list[str], bits: int) -> str:
+    """Interleave `bits` bits of each pre-scaled BIGINT column."""
+    n = len(scaled_cols)
+    terms = " | ".join(
+        f"shiftleft(shiftright({c}, i) & 1, i * {n} + {j})"
+        for j, c in enumerate(scaled_cols)
+    )
+    return (
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc | {terms})"
+    )
+
+
+def cluster_files(
+    table: Table,
+    columns: list[str],
+    target_file_size_mb: int = DEFAULT_TARGET_FILE_SIZE_MB,
+    bits: int = 16,
+    n_output_files: int | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """Rewrite the table's data along a Z-order curve over `columns`.
+
+    One distributed job: scale each column to a fixed-point grid with
+    the table-wide min/max, interleave bits into a Z-value, range-
+    partition + sort on it, rewrite. Commits a `replace` snapshot
+    (logical content unchanged — incremental readers skip it)."""
+    from pyspark.sql import functions as F
+
+    from ice_spark.ingest.insert import _footer_column_metrics, _footer_stats
+
+    table.refresh()
+    if table.partition_spec:
+        raise ValueError(
+            "cluster_files currently targets unpartitioned tables; "
+            "partitioned tables cluster per-partition via sort compaction"
+        )
+    entries = table.files()
+    total = sum(e.get("size_bytes", 0) for e in entries)
+    if n_output_files is not None:
+        n_files = max(1, n_output_files)
+    else:
+        n_files = max(
+            1, -(-total // (max(target_file_size_mb, MIN_TARGET_FILE_SIZE_MB) * MB))
+        )
+    plan = {
+        "columns": columns,
+        "input_files": len(entries),
+        "planned_files": int(n_files),
+        "dry_run": dry_run,
+    }
+    if dry_run or not entries:
+        return plan
+
+    df = table.read()
+    for c in columns:
+        if c not in df.columns:
+            raise ValueError(f"cluster column {c!r} not in table schema")
+    stats = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in columns],
+        *[F.max(c).alias(f"hi_{c}") for c in columns],
+    ).collect()[0]
+    scaled = []
+    top = (1 << bits) - 1
+    for c in columns:
+        lo, hi = stats[f"lo_{c}"], stats[f"hi_{c}"]
+        if lo is None or hi is None or hi == lo:
+            scaled.append("CAST(0 AS BIGINT)")
+        else:
+            scaled.append(
+                f"CAST((CAST(`{c}` AS DOUBLE) - {float(lo)!r}) / "
+                f"({float(hi)!r} - {float(lo)!r}) * {top} AS BIGINT)"
+            )
+    z = df.withColumn("__z", F.expr(_zvalue_sql(scaled, bits)))
+    out = (
+        z.repartitionByRange(int(n_files), F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+    import shutil
+    import tempfile
+
+    ver = table.current_version()
+    tmpdir = tempfile.mkdtemp(prefix="ice_spark_zorder_", dir=table.location)
+    try:
+        out.write.mode("overwrite").parquet(tmpdir)
+        new_entries: list[dict] = []
+        now_ms = int(time.time() * 1000)
+        for root, _d, fnames in os.walk(tmpdir):
+            for fn in fnames:
+                if not fn.endswith(".parquet"):
+                    continue
+                dst = os.path.join(
+                    table.data_dir, f"{now_ms}-{uuid.uuid4().hex[:16]}.parquet"
+                )
+                os.replace(os.path.join(root, fn), dst)
+                rows, size = _footer_stats(dst)
+                new_entries.append(
+                    {
+                        "path": os.path.relpath(dst, table.location),
+                        "partition": {},
+                        "records": rows,
+                        "size_bytes": size,
+                        "schema_version": ver,
+                        "column_metrics": _footer_column_metrics(dst),
+                    }
+                )
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+    table.append_snapshot(
+        new_entries,
+        operation="replace",
+        extra_summary={"zorder-columns": columns},
+    )
+    plan["rewritten_files"] = len(new_entries)
+    return plan

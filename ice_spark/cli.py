@@ -128,6 +128,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--dry-run", dest="dry_run", action="store_true", default=True)
     sp.add_argument("--no-dry-run", dest="dry_run", action="store_false")
 
+    sp = sub.add_parser("cluster")
+    sp.add_argument("table")
+    sp.add_argument("--by", required=True, help="comma-separated z-order columns")
+    sp.add_argument("--target-file-size-mb", type=int, default=512)
+    sp.add_argument("--dry-run", dest="dry_run", action="store_true", default=True)
+    sp.add_argument("--no-dry-run", dest="dry_run", action="store_false")
+
     sub.add_parser("shell")
 
     sp = sub.add_parser("watch")
@@ -313,6 +320,15 @@ def main(argv: list[str] | None = None) -> int:
             out = cat.import_registry(
                 json.load(f), overwrite=args.overwrite, dry_run=args.dry_run
             )
+    elif args.cmd == "cluster":
+        from ice_spark.catalog.maintenance import cluster_files
+
+        out = cluster_files(
+            cat.load_table(args.table),
+            [c.strip() for c in args.by.split(",") if c.strip()],
+            target_file_size_mb=args.target_file_size_mb,
+            dry_run=args.dry_run,
+        )
     elif args.cmd == "perform-maintenance":
         from ice_spark.catalog.maintenance import perform_maintenance
 

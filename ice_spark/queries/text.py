@@ -712,3 +712,92 @@ def t08(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "t09_repetition_filter",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, source, len(t) AS n_tok,
+             CASE WHEN len(t) >= 2 THEN
+               CAST(ROUND((1 - CAST(len(list_distinct(
+                 list_transform(generate_series(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i + 1]))) AS DOUBLE)
+                 / (len(t) - 1)) * 1000000) AS BIGINT)
+             ELSE 0 END AS dup2_u
+      FROM toks
+    ),
+    top AS (
+      SELECT doc_id,
+             CAST(ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) * 1000000) AS BIGINT)
+               AS top_u
+      FROM (
+        SELECT doc_id, tok, COUNT(*) AS cnt
+        FROM toks, UNNEST(t) AS u(tok)
+        GROUP BY doc_id, tok
+      ) c
+      GROUP BY doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE dup2_u > 100000 OR top_u > 200000) AS n_flagged,
+           CAST(SUM(dup2_u) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_dup_bigram,
+           CAST(SUM(top_u) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_top_token
+    FROM bi JOIN top USING (doc_id)
+    GROUP BY source
+    """,
+    doc="Gopher-style repetition quality filter: per-doc duplicate "
+    "bigram fraction (map-only array expression) and most-common-"
+    "token mass (one explode+agg), flagged against the classic "
+    ">10% dup-bigram / >20% top-token thresholds, rolled up per "
+    "source. Ratios quantized to integer micro-units before "
+    "averaging so both engines agree exactly.",
+)
+def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.expr(T.tokens_sql("text")).alias("t")
+    )
+    bi = toks.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CASE WHEN size(t) >= 2 THEN "
+            "CAST(ROUND((1 - CAST(size(array_distinct("
+            "transform(sequence(1, size(t) - 1), "
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))))) AS DOUBLE)"
+            " / (size(t) - 1)) * 1000000) AS BIGINT) ELSE 0 END"
+        ).alias("dup2_u"),
+    )
+    top = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST(ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) * 1000000) AS BIGINT)"
+            ).alias("top_u")
+        )
+    )
+    return (
+        bi.join(top, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when((F.col("dup2_u") > 100000) | (F.col("top_u") > 200000), 1).otherwise(0)
+            ).alias("n_flagged"),
+            F.expr("CAST(SUM(dup2_u) AS DOUBLE) / COUNT(*) / 1000000.0").alias(
+                "avg_dup_bigram"
+            ),
+            F.expr("CAST(SUM(top_u) AS DOUBLE) / COUNT(*) / 1000000.0").alias(
+                "avg_top_token"
+            ),
+        )
+    )
