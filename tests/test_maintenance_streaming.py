@@ -162,3 +162,47 @@ def test_cli_end_to_end(tmp_path):
     assert "data_compaction" in maint["ns.orders"]
     run("delete-table", "ns.orders", "--purge")
     assert run("list-tables", "ns") == []
+
+
+def test_streaming_upsert_watch(cat, tmp_path):
+    from pyspark.sql import types as T
+
+    from ice_spark.streaming.upsert import upsert_watch
+
+    spark = cat.spark
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    cat.create_namespace("up", parents=True)
+    t = cat.create_table("up.t", schema=schema)
+    incoming = tmp_path / "incoming_upsert"
+    incoming.mkdir()
+    ckpt = str(tmp_path / "ckpt_upsert")
+
+    def drop_file(df, name: str) -> None:
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        shutil.move(str(part), str(incoming / name))
+
+    drop_file(spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], schema), "b1.parquet")
+    res = upsert_watch(t, str(incoming), ["id"], order_col="seq", fire_once=True, checkpoint=ckpt)
+    assert res["batches"] == 1
+    assert {(r.id, r.v) for r in t.read().collect()} == {(1, "a"), (2, "b")}
+
+    # second drop: update id=2 (two versions in one batch; seq wins) + insert id=3
+    drop_file(
+        spark.createDataFrame([(2, 2, "stale"), (2, 3, "B"), (3, 1, "c")], schema),
+        "b2.parquet",
+    )
+    upsert_watch(t, str(incoming), ["id"], order_col="seq", fire_once=True, checkpoint=ckpt)
+    assert {(r.id, r.v) for r in t.read().collect()} == {(1, "a"), (2, "B"), (3, "c")}
+
+    # idempotent restart: nothing new, nothing changes
+    v = t.current_version()
+    upsert_watch(t, str(incoming), ["id"], order_col="seq", fire_once=True, checkpoint=ckpt)
+    assert t.current_version() == v
