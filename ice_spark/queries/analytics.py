@@ -368,3 +368,46 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "w04_customer_order_gaps",
+    """
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap
+      FROM orders
+    )
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           COUNT(gap) AS n_gaps,
+           CAST(SUM(gap) AS BIGINT) AS total_gap_days,
+           CAST(SUM(gap) AS DOUBLE) / NULLIF(COUNT(gap), 0) AS avg_gap_days
+    FROM g
+    GROUP BY o_custkey
+    """,
+    doc="LAG window + date arithmetic: per-customer inter-order gaps. "
+    "Deterministic lag via (date, orderkey) tie-break; exact integer "
+    "day sums; NULL average for single-order customers in both "
+    "engines.",
+)
+def w04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = orders.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap"),
+    )
+    return g.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("gap").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("total_gap_days"),
+        (F.sum("gap").cast("double") / F.nullif(F.count("gap"), F.lit(0))).alias(
+            "avg_gap_days"
+        ),
+    )

@@ -296,3 +296,33 @@ def f08(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("p_retailprice").alias("total_price"),
         )
     )
+
+
+@register(
+    "f09_regexp_functions",
+    """
+    SELECT regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           COUNT(*) AS n_parts,
+           COUNT(*) FILTER (WHERE regexp_matches(p_name, 'red|blue'))
+             AS n_colored,
+           CAST(SUM(length(regexp_replace(p_name, '[aeiou]', '', 'g')))
+                AS BIGINT) AS consonant_chars
+    FROM part
+    GROUP BY 1
+    """,
+    doc="Regexp scalar family: extract (capture group), boolean match, "
+    "global replace - all JVM-side codegen expressions, no UDFs.",
+)
+def f09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = load_table(spark, sf_dir, "part")
+    return pt.groupBy(
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word")
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(
+            F.when(F.col("p_name").rlike("red|blue"), 1).otherwise(0)
+        ).alias("n_colored"),
+        F.sum(F.length(F.regexp_replace("p_name", "[aeiou]", "")))
+        .cast("long")
+        .alias("consonant_chars"),
+    )
