@@ -699,7 +699,9 @@ def t08(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
     return (
-        toks.join(F.broadcast(cnts), "tok")
+        # vocab size is unbounded at scale: let AQE pick broadcast vs
+        # shuffle for the count side (it broadcasts at bench SFs)
+        toks.join(cnts, "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("source")
         .agg(
