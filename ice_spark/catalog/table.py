@@ -219,6 +219,18 @@ class Table:
             raise ValueError(f"no snapshot {snapshot_id}")
         return s
 
+    def snapshot_as_of(self, timestamp_ms: int) -> dict | None:
+        """Latest snapshot committed at or before `timestamp_ms`
+        (Iceberg `TIMESTAMP AS OF` analog; history timestamps come
+        from list-snapshots parity, ListSnapshots.java:33-57)."""
+        best = None
+        for s in self.snapshots():
+            if s["timestamp_ms"] <= timestamp_ms and (
+                best is None or s["timestamp_ms"] > best["timestamp_ms"]
+            ):
+                best = s
+        return best
+
     def manifest_path(self, snapshot: dict) -> str:
         return os.path.join(self.metadata_dir, snapshot["manifest"])
 
@@ -305,12 +317,22 @@ class Table:
                 )
         return df.select(*out)
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
-        """DataFrame of the table at a snapshot (time travel when
-        snapshot_id is given). Files are grouped by the schema version
-        they were written under; each group is read with its own
-        schema and aligned to the current one — honest schema
-        evolution without a field-id format."""
+    def read(
+        self, snapshot_id: int | None = None, as_of_ms: int | None = None
+    ) -> DataFrame:
+        """DataFrame of the table at a snapshot (time travel via
+        snapshot_id = `VERSION AS OF`, or as_of_ms = `TIMESTAMP AS
+        OF`). Files are grouped by the schema version they were
+        written under; each group is read with its own schema and
+        aligned to the current one — honest schema evolution without
+        a field-id format."""
+        if as_of_ms is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or as_of_ms, not both")
+            snap = self.snapshot_as_of(as_of_ms)
+            if snap is None:
+                return self.spark.createDataFrame([], self.schema)
+            snapshot_id = snap["snapshot_id"]
         return self._read_entries(self.files(snapshot_id))
 
     def _read_entries(self, entries: list[dict]) -> DataFrame:

@@ -79,6 +79,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("table")
     sp.add_argument("--limit", type=int, default=10)
     sp.add_argument("--snapshot", type=int, default=None)
+    sp.add_argument("--as-of", dest="as_of", default=None,
+                    help="ISO timestamp or epoch ms: read as of this time")
 
     sp = sub.add_parser("describe")
     sp.add_argument("target")
@@ -262,7 +264,18 @@ def main(argv: list[str] | None = None) -> int:
             input_format=args.input_format,
         )
     elif args.cmd == "scan":
-        out = cat.load_table(args.table).scan(limit=args.limit, snapshot_id=args.snapshot)
+        t = cat.load_table(args.table)
+        if args.as_of is not None:
+            try:
+                ms = int(args.as_of)
+            except ValueError:
+                import datetime as _dt
+
+                ms = int(_dt.datetime.fromisoformat(args.as_of).timestamp() * 1000)
+            df = t.read(as_of_ms=ms).limit(args.limit)
+            out = [r.asDict(recursive=True) for r in df.collect()]
+        else:
+            out = t.scan(limit=args.limit, snapshot_id=args.snapshot)
     elif args.cmd == "describe":
         if cat.table_exists(args.target):
             out = cat.load_table(args.target).describe(

@@ -95,3 +95,15 @@ def test_incremental_skips_replace_rejects_overwrite(spark, cat):
     merge_upsert(t, _mk(spark, [(1, "A")]), ["id"])
     with pytest.raises(ValueError, match="not.*append-only|overwrite"):
         t.read_incremental(s1)
+
+
+def test_timestamp_time_travel(spark, cat):
+    t = cat.create_table("ns.tt", schema=SCHEMA)
+    append_dataframe(t, _mk(spark, [(1, "a")]))
+    ts1 = t.snapshot()["timestamp_ms"]
+    append_dataframe(t, _mk(spark, [(2, "b")]))
+    assert t.read(as_of_ms=ts1).count() == 1
+    assert t.read(as_of_ms=ts1 - 1).count() == 0  # before first commit
+    assert t.read(as_of_ms=t.snapshot()["timestamp_ms"]).count() == 2
+    with pytest.raises(ValueError, match="not both"):
+        t.read(snapshot_id=1, as_of_ms=ts1)
