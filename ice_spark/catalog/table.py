@@ -357,6 +357,92 @@ class Table:
         (ice/.../cmd/Scan.java:37-65)."""
         return [r.asDict(recursive=True) for r in self.read(snapshot_id).limit(limit).collect()]
 
+    # ---------- filtered scan planning (manifest pruning) ----------
+    #
+    # The point of keeping per-file partition values AND column bounds
+    # in the manifest (ingest writes both) is that a filtered scan can
+    # skip whole files without opening them — the same manifest
+    # pruning the reference uses for deletes
+    # (ice/.../cmd/Delete.java:87-97) applied to reads, and the same
+    # trick Iceberg scan planning performs before Spark ever lists a
+    # file. At 100 TB this is the difference between "plan touches
+    # manifest JSON" and "plan stats every parquet footer".
+
+    def plan_files(
+        self, filters: list[dict] | None = None, snapshot_id: int | None = None
+    ) -> list[dict]:
+        """Manifest entries that MIGHT match `filters` (same JSON
+        format as delete: [{"name", "op", "values"}], OR across
+        values, AND across filters). Conservative: a file is kept
+        unless its partition value or column bounds PROVE no row can
+        match."""
+        entries = self.files(snapshot_id)
+        if not filters:
+            return entries
+        return [e for e in entries if all(self._file_might_match(e, f) for f in filters)]
+
+    @staticmethod
+    def _file_might_match(entry: dict, flt: dict) -> bool:
+        from ice_spark.catalog.delete import _OPS, _coerce
+
+        name, op_name = flt["name"], flt.get("op", "equals")
+        op = _OPS[op_name]
+        values = flt.get("values", [])
+        part = entry.get("partition") or {}
+        if name in part:
+            # identity partition value: exact evaluation
+            return any(op(*_coerce(part[name], v)) for v in values)
+        m = (entry.get("column_metrics") or {}).get(name)
+        if not m or m.get("min") is None or m.get("max") is None:
+            return True  # no stats — cannot prune
+        lo, hi = m["min"], m["max"]
+        for v in values:
+            same_num = isinstance(lo, (int, float)) and isinstance(v, (int, float))
+            same_str = isinstance(lo, str) and isinstance(v, str)
+            if not (same_num or same_str) or isinstance(lo, bool) != isinstance(v, bool):
+                return True  # type mismatch — cannot prune
+            if (
+                (op_name == "equals" and lo <= v <= hi)
+                or (op_name == "less_than" and lo < v)
+                or (op_name == "less_than_or_equal" and lo <= v)
+                or (op_name == "greater_than" and hi > v)
+                or (op_name == "greater_than_or_equal" and hi >= v)
+            ):
+                return True
+        return False
+
+    def read_filtered(
+        self, filters: list[dict], snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Filtered read: manifest-pruned file set + the exact row
+        predicate on top (files may contain non-matching rows)."""
+        entries = self.plan_files(filters, snapshot_id)
+        df = self._read_entries(entries)
+        spark_ops = {
+            "equals": "=",
+            "less_than": "<",
+            "greater_than": ">",
+            "less_than_or_equal": "<=",
+            "greater_than_or_equal": ">=",
+        }
+        cond = None
+        for flt in filters:
+            sym = spark_ops[flt.get("op", "equals")]
+            clause = None
+            for v in flt.get("values", []):
+                lit = F.lit(v)
+                cmp = {
+                    "=": F.col(flt["name"]) == lit,
+                    "<": F.col(flt["name"]) < lit,
+                    ">": F.col(flt["name"]) > lit,
+                    "<=": F.col(flt["name"]) <= lit,
+                    ">=": F.col(flt["name"]) >= lit,
+                }[sym]
+                clause = cmp if clause is None else (clause | cmp)
+            if clause is not None:
+                cond = clause if cond is None else (cond & clause)
+        return df.where(cond) if cond is not None else df
+
     # ---------- incremental (CDC-style) reads ----------
     #
     # Iceberg-analog incremental append scan (Spark reads Iceberg

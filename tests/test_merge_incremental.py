@@ -107,3 +107,35 @@ def test_timestamp_time_travel(spark, cat):
     assert t.read(as_of_ms=t.snapshot()["timestamp_ms"]).count() == 2
     with pytest.raises(ValueError, match="not both"):
         t.read(snapshot_id=1, as_of_ms=ts1)
+
+
+def test_manifest_pruned_filtered_read(spark, cat):
+    t = cat.create_table("ns.pf", schema=SCHEMA)
+    append_dataframe(t, _mk(spark, [(1, "a"), (5, "b")]).coalesce(1))
+    append_dataframe(t, _mk(spark, [(100, "x"), (200, "y")]).coalesce(1))
+    assert len(t.files()) == 2
+
+    # bounds-based pruning: only the low file can contain id=5
+    planned = t.plan_files([{"name": "id", "op": "equals", "values": [5]}])
+    assert len(planned) == 1
+
+    got = {(r.id, r.v) for r in t.read_filtered(
+        [{"name": "id", "op": "equals", "values": [5]}]
+    ).collect()}
+    assert got == {(5, "b")}
+
+    # range op + OR values across files
+    planned = t.plan_files(
+        [{"name": "id", "op": "greater_than", "values": [150]}]
+    )
+    assert len(planned) == 1
+    got = {r.id for r in t.read_filtered(
+        [{"name": "id", "op": "equals", "values": [1, 200]}]
+    ).collect()}
+    assert got == {1, 200}
+
+    # no stats for unknown column -> no pruning, filter still applies
+    got = {r.id for r in t.read_filtered(
+        [{"name": "v", "op": "equals", "values": ["x"]}]
+    ).collect()}
+    assert got == {100}
