@@ -78,3 +78,24 @@ def test_audit_report_renders(spark, sf_dir):
     a = _audit(spark, sf_dir, "q05_local_supplier_volume")
     rep = a.report()
     assert "broadcast hash joins" in rep and "shuffles" in rep
+
+
+def test_range_join_is_hash_join(spark, sf_dir):
+    a = _audit(spark, sf_dir, "e09_error_recovery_windows")
+    assert "NestedLoop" not in a.plan and "CartesianProduct" not in a.plan
+    # bucketized: an equi-join (broadcast at this SF, shuffled at scale)
+    assert a.broadcast_joins + a.sort_merge_joins + a.plan.count("ShuffledHashJoin") >= 1
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("t08_unigram_logprob", 4),  # tok counts + join + source agg
+        ("t09_repetition_filter", 4),  # per-doc aggs + doc join + source agg
+        ("w04_customer_order_gaps", 2),  # window by custkey + reuse for agg
+        ("s06_stratified_sample", 3),  # two aggs + join on lang
+    ],
+)
+def test_new_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
+    a = _audit(spark, sf_dir, name)
+    assert a.shuffles <= max_exchanges, f"{name}: {a.shuffles} shuffles\n{a.plan[:2000]}"
