@@ -130,6 +130,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--dry-run", dest="dry_run", action="store_true", default=True)
     sp.add_argument("--no-dry-run", dest="dry_run", action="store_false")
 
+    sp = sub.add_parser("build-corpus")
+    sp.add_argument("source", help="parquet path or catalog table of raw documents")
+    sp.add_argument("namespace")
+    sp.add_argument("--heldout-fraction", type=float, default=0.1)
+    sp.add_argument("--min-tokens", type=int, default=20)
+
     sp = sub.add_parser("cluster")
     sp.add_argument("table")
     sp.add_argument("--by", required=True, help="comma-separated z-order columns")
@@ -333,6 +339,23 @@ def main(argv: list[str] | None = None) -> int:
             out = cat.import_registry(
                 json.load(f), overwrite=args.overwrite, dry_run=args.dry_run
             )
+    elif args.cmd == "build-corpus":
+        from ice_spark.operators.pipeline import build_corpus
+
+        docs = (
+            cat.load_table(args.source).read()
+            if cat.table_exists(args.source)
+            else cat.spark.read.parquet(args.source)
+        )
+        if not cat.table_exists(args.namespace) and args.namespace not in cat.list_namespaces():
+            cat.create_namespace(args.namespace, parents=True)
+        out = build_corpus(
+            cat,
+            docs,
+            args.namespace,
+            heldout_fraction=args.heldout_fraction,
+            min_tokens=args.min_tokens,
+        )
     elif args.cmd == "cluster":
         from ice_spark.catalog.maintenance import cluster_files
 
