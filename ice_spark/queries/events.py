@@ -300,3 +300,37 @@ def e09(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+@register(
+    "e10_daily_top_event_types",
+    """
+    SELECT day, event_type, n, rnk FROM (
+      SELECT day, event_type, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY day
+                                     ORDER BY n DESC, event_type) AS INT) AS rnk
+      FROM (
+        SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               event_type, COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+      ) c
+    ) r WHERE rnk <= 3
+    """,
+    doc="Top-3 event types per day: pre-aggregate then rank — the "
+    "window runs over (days x types) rows, never raw events, so the "
+    "window state is tiny at any scale. Total order via (count desc, "
+    "type) tie-break.",
+)
+def e10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("day").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+        .select("day", "event_type", "n", "rnk")
+    )

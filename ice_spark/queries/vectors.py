@@ -298,3 +298,63 @@ def v08(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_vecs") >= 2)
     )
+
+
+@register(
+    "v09_centroid_pairwise_cosine",
+    """
+    WITH c AS (
+      SELECT label, i AS dim,
+             CAST(ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*) * 1000000)
+                  AS BIGINT) AS cu
+      FROM embeddings, generate_series(1, 64) t(i)
+      GROUP BY label, i
+    ),
+    n AS (SELECT label, SUM(cu * cu) AS nsq FROM c GROUP BY label),
+    p AS (
+      SELECT a.label AS label_a, b.label AS label_b, SUM(a.cu * b.cu) AS dot
+      FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT label_a, label_b,
+           ROUND(dot / SQRT(na.nsq) / SQRT(nb.nsq), 6) AS cos_sim
+    FROM p
+    JOIN n na ON na.label = p.label_a
+    JOIN n nb ON nb.label = p.label_b
+    """,
+    doc="Pairwise cosine similarity between label centroids: centroids "
+    "quantized to integer micro-units per dimension, so the dot "
+    "products and norms are exact bigint sums; only sqrt and one "
+    "division run in floating point. Label-space output (45 pairs) "
+    "regardless of corpus size.",
+)
+def v09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = (
+        emb.select("label", F.posexplode("embedding").alias("dim0", "v"))
+        .groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg(
+            F.expr(
+                "CAST(ROUND(SUM(CAST(v AS DOUBLE)) / COUNT(*) * 1000000) AS BIGINT)"
+            ).alias("cu")
+        )
+    )
+    n = c.groupBy("label").agg(F.sum(F.col("cu") * F.col("cu")).alias("nsq"))
+    a, b = c.alias("a"), c.alias("b")
+    p = (
+        a.join(b, (F.col("a.dim") == F.col("b.dim")) & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(F.sum(F.col("a.cu") * F.col("b.cu")).alias("dot"))
+    )
+    na, nb = n.alias("na"), n.alias("nb")
+    return (
+        p.join(na, F.col("na.label") == F.col("label_a"))
+        .join(nb, F.col("nb.label") == F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot") / F.sqrt(F.col("na.nsq")) / F.sqrt(F.col("nb.nsq")), 6
+            ).alias("cos_sim"),
+        )
+    )
