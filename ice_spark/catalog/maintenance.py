@@ -298,48 +298,23 @@ def _zvalue_sql(scaled_cols: list[str], bits: int) -> str:
     )
 
 
-def cluster_files(
+def _zorder_rewrite_group(
     table: Table,
+    entries: list[dict],
     columns: list[str],
-    target_file_size_mb: int = DEFAULT_TARGET_FILE_SIZE_MB,
-    bits: int = 16,
-    n_output_files: int | None = None,
-    dry_run: bool = False,
-) -> dict:
-    """Rewrite the table's data along a Z-order curve over `columns`.
-
-    One distributed job: scale each column to a fixed-point grid with
-    the table-wide min/max, interleave bits into a Z-value, range-
-    partition + sort on it, rewrite. Commits a `replace` snapshot
-    (logical content unchanged — incremental readers skip it)."""
+    bits: int,
+    n_files: int,
+    partition: dict,
+) -> list[dict]:
+    """Rewrite one file group (a partition, or the whole unpartitioned
+    table) z-ordered on `columns`; returns new manifest entries.
+    Normalization min/max are computed within the group so bounds stay
+    tight per partition."""
     from pyspark.sql import functions as F
 
     from ice_spark.ingest.insert import _footer_column_metrics, _footer_stats
 
-    table.refresh()
-    if table.partition_spec:
-        raise ValueError(
-            "cluster_files currently targets unpartitioned tables; "
-            "partitioned tables cluster per-partition via sort compaction"
-        )
-    entries = table.files()
-    total = sum(e.get("size_bytes", 0) for e in entries)
-    if n_output_files is not None:
-        n_files = max(1, n_output_files)
-    else:
-        n_files = max(
-            1, -(-total // (max(target_file_size_mb, MIN_TARGET_FILE_SIZE_MB) * MB))
-        )
-    plan = {
-        "columns": columns,
-        "input_files": len(entries),
-        "planned_files": int(n_files),
-        "dry_run": dry_run,
-    }
-    if dry_run or not entries:
-        return plan
-
-    df = table.read()
+    df = table._read_entries(entries)
     for c in columns:
         if c not in df.columns:
             raise ValueError(f"cluster column {c!r} not in table schema")
@@ -369,6 +344,9 @@ def cluster_files(
     import tempfile
 
     ver = table.current_version()
+    part_dirs = [f"{k}={v}" for k, v in sorted(partition.items())]
+    dst_root = os.path.join(table.data_dir, *part_dirs)
+    os.makedirs(dst_root, exist_ok=True)
     tmpdir = tempfile.mkdtemp(prefix="ice_spark_zorder_", dir=table.location)
     try:
         out.write.mode("overwrite").parquet(tmpdir)
@@ -379,27 +357,90 @@ def cluster_files(
                 if not fn.endswith(".parquet"):
                     continue
                 dst = os.path.join(
-                    table.data_dir, f"{now_ms}-{uuid.uuid4().hex[:16]}.parquet"
+                    dst_root, f"{now_ms}-{uuid.uuid4().hex[:16]}.parquet"
                 )
                 os.replace(os.path.join(root, fn), dst)
                 rows, size = _footer_stats(dst)
                 new_entries.append(
                     {
                         "path": os.path.relpath(dst, table.location),
-                        "partition": {},
+                        "partition": dict(partition),
                         "records": rows,
                         "size_bytes": size,
                         "schema_version": ver,
                         "column_metrics": _footer_column_metrics(dst),
                     }
                 )
+        return new_entries
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
+
+def cluster_files(
+    table: Table,
+    columns: list[str],
+    target_file_size_mb: int = DEFAULT_TARGET_FILE_SIZE_MB,
+    bits: int = 16,
+    n_output_files: int | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """Rewrite the table's data along a Z-order curve over `columns`.
+
+    Unpartitioned tables rewrite as one range-partitioned job;
+    partitioned tables rewrite per partition (like Iceberg's
+    rewrite_data_files file groups), keeping single-file partitions
+    untouched. Commits ONE `replace` snapshot (logical content
+    unchanged — incremental readers skip it)."""
+    table.refresh()
+    entries = table.files()
+
+    def files_for(size: int) -> int:
+        if n_output_files is not None:
+            return max(1, n_output_files)
+        return max(
+            1, -(-size // (max(target_file_size_mb, MIN_TARGET_FILE_SIZE_MB) * MB))
+        )
+
+    groups: list[tuple[dict, list[dict]]] = []
+    kept: list[dict] = []
+    if table.partition_spec:
+        by_part: dict[tuple, list[dict]] = {}
+        for e in entries:
+            by_part.setdefault(
+                tuple(sorted((e.get("partition") or {}).items())), []
+            ).append(e)
+        for key, group in sorted(by_part.items()):
+            if len(group) >= 2:
+                groups.append((dict(key), group))
+            else:
+                kept.extend(group)  # single file: already clustered
+    elif entries:
+        groups.append(({}, entries))
+
+    plan = {
+        "columns": columns,
+        "input_files": len(entries),
+        "groups": len(groups),
+        "planned_files": sum(
+            files_for(sum(e.get("size_bytes", 0) for e in g)) for _p, g in groups
+        ),
+        "dry_run": dry_run,
+    }
+    if dry_run or not groups:
+        return plan
+
+    new_entries: list[dict] = list(kept)
+    for partition, group in groups:
+        size = sum(e.get("size_bytes", 0) for e in group)
+        new_entries.extend(
+            _zorder_rewrite_group(
+                table, group, columns, bits, files_for(size), partition
+            )
+        )
     table.append_snapshot(
         new_entries,
         operation="replace",
         extra_summary={"zorder-columns": columns},
     )
-    plan["rewritten_files"] = len(new_entries)
+    plan["rewritten_files"] = len(new_entries) - len(kept)
     return plan

@@ -67,9 +67,31 @@ def test_zorder_tightens_bounds_and_prunes(spark, cat):
     assert got == {"UP"}
 
 
-def test_zorder_rejects_partitioned(spark, cat):
-    t = cat.create_table(
-        "ns.zp", schema=SCHEMA, partition_spec=[{"column": "x"}]
+def test_zorder_partitioned_per_partition(spark, cat):
+    schema = T.StructType(
+        [
+            T.StructField("p", T.LongType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType()),
+        ]
     )
-    with pytest.raises(ValueError, match="unpartitioned"):
-        cluster_files(t, ["x", "y"])
+    t = cat.create_table(
+        "ns.zp", schema=schema, partition_spec=[{"column": "p"}]
+    )
+    rows = [(p, x, y) for p in (1, 2) for x in range(16) for y in range(16)]
+    rows.sort(key=lambda r: (r[1] * 7919 + r[2] * 104729) % 1000003)
+    # two appends -> >= 2 files per partition, eligible for rewrite
+    half = len(rows) // 2
+    df1 = spark.createDataFrame(rows[:half], schema)
+    df2 = spark.createDataFrame(rows[half:], schema)
+    append_dataframe(t, df1)
+    append_dataframe(t, df2)
+    before = t.read().orderBy("p", "x", "y").collect()
+
+    res = cluster_files(t, ["x", "y"], bits=8, n_output_files=2)
+    assert res["groups"] == 2 and res["rewritten_files"] >= 4
+    assert t.read().orderBy("p", "x", "y").collect() == before
+    # files stay inside their partition dirs with partition recorded
+    for e in t.files():
+        assert e["partition"] in ({"p": "1"}, {"p": "2"})
+        assert f"p={e['partition']['p']}" in e["path"]
