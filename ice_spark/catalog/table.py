@@ -357,6 +357,20 @@ class Table:
         (ice/.../cmd/Scan.java:37-65)."""
         return [r.asDict(recursive=True) for r in self.read(snapshot_id).limit(limit).collect()]
 
+    def rollback(self, snapshot_id: int) -> int:
+        """Roll the table back to an earlier snapshot's state (Iceberg
+        `rollback_to_snapshot` procedure analog): commits a NEW
+        snapshot whose file list equals the target's, preserving full
+        history — nothing is deleted, so the rolled-back-over
+        snapshots remain time-travelable until expiry."""
+        target_files = self.files(snapshot_id)  # validates the id
+        sid = self.append_snapshot(
+            target_files,
+            operation="rollback",
+            extra_summary={"rolled-back-to": snapshot_id},
+        )
+        return sid
+
     # ---------- filtered scan planning (manifest pruning) ----------
     #
     # The point of keeping per-file partition values AND column bounds

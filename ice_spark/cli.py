@@ -130,6 +130,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--dry-run", dest="dry_run", action="store_true", default=True)
     sp.add_argument("--no-dry-run", dest="dry_run", action="store_false")
 
+    sp = sub.add_parser("rollback")
+    sp.add_argument("table")
+    sp.add_argument("--to-snapshot", dest="to_snapshot", type=int, required=True)
+
     sp = sub.add_parser("build-corpus")
     sp.add_argument("source", help="parquet path or catalog table of raw documents")
     sp.add_argument("namespace")
@@ -339,6 +343,9 @@ def main(argv: list[str] | None = None) -> int:
             out = cat.import_registry(
                 json.load(f), overwrite=args.overwrite, dry_run=args.dry_run
             )
+    elif args.cmd == "rollback":
+        t = cat.load_table(args.table)
+        out = {"snapshot_id": t.rollback(args.to_snapshot), "rolled_back_to": args.to_snapshot}
     elif args.cmd == "build-corpus":
         from ice_spark.operators.pipeline import build_corpus
 

@@ -139,3 +139,22 @@ def test_manifest_pruned_filtered_read(spark, cat):
         [{"name": "v", "op": "equals", "values": ["x"]}]
     ).collect()}
     assert got == {100}
+
+
+def test_rollback_preserves_history(spark, cat):
+    t = cat.create_table("ns.rb", schema=SCHEMA)
+    append_dataframe(t, _mk(spark, [(1, "a")]))
+    s1 = t.snapshot()["snapshot_id"]
+    append_dataframe(t, _mk(spark, [(2, "b")]))
+    s2 = t.snapshot()["snapshot_id"]
+    t.rollback(s1)
+    assert {r.id for r in t.read().collect()} == {1}
+    # rolled-over snapshot still time-travelable
+    assert {r.id for r in t.read(snapshot_id=s2).collect()} == {1, 2}
+    assert t.snapshot()["operation"] == "rollback"
+    assert len(t.snapshots()) == 3
+    # incremental range across a rollback is not append-only
+    with pytest.raises(ValueError, match="rollback"):
+        t.read_incremental(s1)
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.rollback(123456)
