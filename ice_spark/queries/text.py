@@ -282,13 +282,54 @@ def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(docs, "doc_id", "text", k=4)
 
 
+def _d04_oracle() -> str:
+    # 16 portable permutations (h*(2j+3)+(7j+1)) % MOD, 8 bands of 2:
+    # the exact spec of operators/dedup.minhash_signatures, so the
+    # oracle reproduces banding bit-for-bit.
+    sig = ", ".join(
+        f"list_min(list_transform(shs, h -> (h * {2 * j + 3} + {7 * j + 1}) "
+        f"% 1000000007))"
+        for j in range(16)
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {_SQL_SHINGLE_HASHES} AS shs
+      FROM (SELECT doc_id, {_SQL_TOKH} AS th
+            FROM (SELECT doc_id, {_SQL_TOKS.format(col='text')} AS toks
+                  FROM documents))
+    ),
+    sig AS (SELECT doc_id, shs, [{sig}] AS mh FROM docs),
+    bk AS (
+      SELECT doc_id, b,
+             CAST(mh[2 * b + 1] AS VARCHAR) || '_' ||
+             CAST(mh[2 * b + 2] AS VARCHAR) AS key
+      FROM sig, generate_series(0, 7) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bk x JOIN bk y
+        ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+    ),
+    ver AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE) /
+             (len(da.shs) + len(db.shs) - len(list_intersect(da.shs, db.shs)))
+               AS j
+      FROM cand
+      JOIN docs da ON da.doc_id = cand.doc_a
+      JOIN docs db ON db.doc_id = cand.doc_b
+    )
+    SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM ver WHERE j >= 0.8
+    """
+
+
 @register(
     "d04_minhash_lsh_pairs",
-    None,  # LSH banding result depends on permutation count/banding —
-    # verified end-to-end in tests against the exact-Jaccard oracle.
+    _d04_oracle(),
     doc="Full MinHash+LSH near-dup pipeline: 16 permutations, 8 bands → "
     "band-bucket join → exact Jaccard verify >= 0.8. Scales as "
-    "O(candidates), not O(n^2).",
+    "O(candidates), not O(n^2). The oracle replays the identical "
+    "portable permutation/banding spec in DuckDB.",
 )
 def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ice_spark.operators.dedup import minhash_lsh_pairs
