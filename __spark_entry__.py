@@ -4,8 +4,8 @@ entry(spark)    — flagship query (TPC-H Q1 pricing summary) at sf0.001.
 queries()       — every implemented query from SURVEY.md §2 +
                   beyond-reference operators (ice_spark.queries).
 oracle_sql()    — DuckDB-equivalent SQL per query (omitted only for
-                  hash-seeded LSH variants, which get rows-only checks
-                  and are verified against exact oracles in tests/).
+                  IVF k-means ANN and the multimodal stubs, which get
+                  rows-only checks and are verified in tests/).
 """
 
 from __future__ import annotations

@@ -340,12 +340,33 @@ def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SIMHASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(0, 31), b -> "
+    "CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(th, h -> CASE WHEN (h >> b) & 1 = 1 "
+    "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), "
+    "(x, y) -> x + y) > 0 THEN CAST(1 AS BIGINT) << b "
+    "ELSE CAST(0 AS BIGINT) END)), (a, c) -> a + c)"
+)
+
+
 @register(
     "d05_simhash_buckets",
-    None,  # 32-bit simhash is portable too, but fold-over-bits SQL is
-    # prohibitively slow in the oracle; verified in tests instead.
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKH} AS th
+      FROM (SELECT doc_id, {_SQL_TOKS.format(col='text')} AS toks FROM documents)
+    ),
+    sh AS (SELECT doc_id, {_SQL_SIMHASH} AS simhash FROM t)
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc
+    FROM sh
+    GROUP BY simhash
+    HAVING COUNT(*) >= 2
+    """,
     doc="SimHash values + bucket histogram: docs sharing a simhash are "
-    "near-dup candidates in O(n) space.",
+    "near-dup candidates in O(n) space. Oracle replays the 32-bit "
+    "vote fold with the same portable token hashes.",
 )
 def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

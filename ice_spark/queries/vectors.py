@@ -140,12 +140,59 @@ def v04(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _v05_oracle() -> str:
+    # The hyperplanes are deterministic floats (LCG, operators/
+    # similarity._hyperplane); inlining the exact literals makes the
+    # projection fold reproducible in DuckDB, so even the bucket
+    # assignment is oracle-checked.
+    from ice_spark.operators.similarity import _hyperplane
+
+    def bucket(col: str) -> str:
+        terms = []
+        for pidx in range(6):
+            plane = _hyperplane(64, seed=pidx + 1)
+            lits = "[" + ", ".join(repr(v) for v in plane) + "]"
+            proj = (
+                f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform(generate_series(1, 64), "
+                f"i -> CAST({col}[i] AS DOUBLE) * ({lits})[i])), (x, y) -> x + y)"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {2 ** pidx} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, {bucket('embedding')} AS bq
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, {bucket('embedding')} AS bc
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND({_SQL_DOT.format(a='qv', b='cv')}
+                   / ({_SQL_NORM.format(a='qv')} * {_SQL_NORM.format(a='cv')}), 6)
+               AS cos_sim
+      FROM c JOIN q ON bq = bc AND query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS INT)
+               AS rank
+      FROM scored
+    ) r WHERE rank <= 3
+    """
+
+
 @register(
     "v05_lsh_ann",
-    None,  # bucket contents depend on hyperplane constants — recall is
-    # asserted against the brute-force oracle in tests instead.
+    _v05_oracle(),
     doc="LSH-bucketed approximate NN (random hyperplanes, sign-bit "
-    "buckets, exact re-rank within bucket).",
+    "buckets, exact re-rank within bucket). The oracle inlines the "
+    "deterministic hyperplane literals and replays bucketing, "
+    "candidate join, and rounded-cosine re-rank.",
 )
 def v05(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ice_spark.operators.similarity import lsh_topk
