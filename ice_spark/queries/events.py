@@ -334,3 +334,46 @@ def e10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("day", "event_type", "n", "rnk")
     )
+
+
+@register(
+    "e11_cohort_retention",
+    """
+    WITH first AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id,
+             f.d0,
+             date_diff('day', f.d0, CAST(e.ts AS DATE)) // 7 AS week_off
+      FROM events e JOIN first f ON e.user_id = f.user_id
+    )
+    SELECT STRFTIME(d0, '%Y-%m-%d') AS cohort_day,
+           week_off,
+           COUNT(*) AS n_users
+    FROM act
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention: users grouped by first-seen day, counted "
+    "per week offset of later activity. Two aggregations + one "
+    "equi-join on user_id; the first-seen side is a pre-aggregated "
+    "(one row per user) relation, broadcastable when users fit and "
+    "shuffled by AQE when they don't.",
+)
+def e11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    act = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "d0",
+            F.floor(F.datediff(F.col("ts").cast("date"), F.col("d0")) / 7)
+            .cast("long")
+            .alias("week_off"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"), "week_off"
+    ).agg(F.count(F.lit(1)).alias("n_users"))

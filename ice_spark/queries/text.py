@@ -865,3 +865,80 @@ def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "t10_token_entropy",
+    """
+    WITH c AS (
+      SELECT doc_id, lang, tok, COUNT(*) AS cnt
+      FROM (
+        SELECT doc_id, lang, t.tok
+        FROM documents,
+             UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS t(tok)
+      ) x
+      GROUP BY doc_id, lang, tok
+    ),
+    t AS (
+      SELECT doc_id, lang, cnt,
+             SUM(cnt) OVER (PARTITION BY doc_id) AS n
+      FROM c
+    ),
+    d AS (
+      SELECT doc_id, lang,
+             SUM(cnt) AS n_tok,
+             SUM(CAST(ROUND((CAST(cnt AS DOUBLE) / n)
+                            * LN(CAST(cnt AS DOUBLE) / n)
+                            * 1000000000) AS BIGINT)) AS neg_h_u
+      FROM t
+      GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(-neg_h_u) AS DOUBLE) / SUM(n_tok) / 1000000000.0
+             AS entropy_per_token,
+           COUNT(*) FILTER (WHERE CAST(-neg_h_u AS DOUBLE) / n_tok / 1000000000.0 < 2.0)
+             AS n_low_entropy
+    FROM d
+    GROUP BY lang
+    """,
+    doc="Per-document token-distribution entropy (nats), rolled up per "
+    "language with a low-entropy (repetitive/templated) flag — the "
+    "third classic cheap quality signal next to t08/t09. Per-term "
+    "p*ln(p) values are identical doubles in both engines (exact "
+    "integer ratios through LN), quantized to nano-units before "
+    "summing so aggregation order cannot matter.",
+)
+def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id")
+    c = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.expr(T.tokens_sql("text"))).alias("tok")
+        )
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("__n", F.sum("cnt").over(w))
+        .withColumn(
+            "term_u",
+            F.expr(
+                "CAST(ROUND((CAST(cnt AS DOUBLE) / __n) * LN(CAST(cnt AS DOUBLE) / __n)"
+                " * 1000000000) AS BIGINT)"
+            ),
+        )
+    )
+    d = c.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").alias("n_tok"), F.sum("term_u").alias("neg_h_u")
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(SUM(-neg_h_u) AS DOUBLE) / SUM(n_tok) / 1000000000.0").alias(
+            "entropy_per_token"
+        ),
+        F.expr(
+            "COUNT(*) FILTER (WHERE CAST(-neg_h_u AS DOUBLE) / n_tok / 1000000000.0 < 2.0)"
+        ).alias("n_low_entropy"),
+    )
