@@ -154,6 +154,35 @@ def set_tblproperty(table: Table, key: str, value: str | None) -> None:
     table.commit(mutate)
 
 
+def add_partition_field(
+    table: Table, column: str, transform: str = "identity", name: str | None = None
+) -> None:
+    """Partition evolution (beyond the reference, which only syncs the
+    spec while the table is empty, Insert.java:339-363, and drops
+    fields, AlterTable.java). Iceberg semantics: existing files keep
+    their old partition values in the manifest; only new writes use
+    the evolved spec. Reads are unaffected (partition values are
+    per-file metadata); deletes on the new field simply cannot prune
+    pre-evolution files (conservative keep)."""
+
+    def mutate(meta: dict) -> dict:
+        from ice_spark.catalog.transforms import parse_partition_spec
+
+        if column not in {f["name"] for f in meta["schema"]["fields"]}:
+            raise ValueError(f"no such column: {column}")
+        spec = meta.get("partition_spec", [])
+        entry = {"column": column, "transform": transform}
+        if name is not None:
+            entry["name"] = name
+        fields = parse_partition_spec(spec + [entry])  # validates
+        if len({f.field_name for f in fields}) != len(fields):
+            raise ValueError(f"duplicate partition field name for {column!r}")
+        meta["partition_spec"] = spec + [entry]
+        return meta
+
+    table.commit(mutate)
+
+
 def drop_partition_field(table: Table, field_name: str) -> None:
     def mutate(meta: dict) -> dict:
         spec = meta.get("partition_spec", [])
@@ -195,6 +224,13 @@ def apply_operations(table: Table, ops: list[dict]) -> None:
             drop_column(table, spec["name"])
         elif kind == "set_tblproperty":
             set_tblproperty(table, spec["key"], spec.get("value"))
+        elif kind == "add_partition_field":
+            add_partition_field(
+                table,
+                spec["column"],
+                transform=spec.get("transform", "identity"),
+                name=spec.get("name"),
+            )
         elif kind == "drop_partition_field":
             drop_partition_field(table, spec["name"])
         else:

@@ -263,3 +263,34 @@ def test_commit_conflict_retry(cat):
     insert(t2, [f"{SF}/region.parquet"], force_duplicates=True)
     assert t2.read().count() == 10
     assert len(t2.snapshots()) == 2
+
+
+def test_partition_evolution(cat, spark):
+    from ice_spark.catalog.alter import add_partition_field, apply_operations
+    from ice_spark.ingest.insert import append_dataframe
+
+    cat.create_namespace("pe")
+    t = cat.create_table("pe.t", schema_from_parquet=f"{SF}/orders.parquet")
+    res = insert(t, [f"{SF}/orders.parquet"])
+    assert res["added"] >= 1
+    n_before = t.read().count()
+    files_before = {e["path"] for e in t.files()}
+
+    # evolve the spec on a NON-empty table (beyond the reference's
+    # empty-only sync); existing files stay untouched
+    apply_operations(
+        t, [{"add_partition_field": {"column": "o_orderdate", "transform": "year", "name": "Year"}}]
+    )
+    assert {e["path"] for e in t.files()} == files_before
+
+    # new writes land partitioned by the evolved spec
+    append_dataframe(t, t.spark.read.parquet(f"{SF}/orders.parquet"))
+    new_files = [e for e in t.files() if e["path"] not in files_before]
+    assert new_files and all("Year" in (e.get("partition") or {}) for e in new_files)
+    # old + new read together fine
+    assert t.read().count() == 2 * n_before
+
+    with pytest.raises(ValueError, match="no such column"):
+        add_partition_field(t, "nope")
+    with pytest.raises(ValueError, match="duplicate"):
+        add_partition_field(t, "o_orderdate", transform="year", name="Year")
