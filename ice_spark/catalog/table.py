@@ -357,6 +357,42 @@ class Table:
         (ice/.../cmd/Scan.java:37-65)."""
         return [r.asDict(recursive=True) for r in self.read(snapshot_id).limit(limit).collect()]
 
+    # ---------- named refs (Iceberg tags analog) ----------
+
+    def set_ref(self, name: str, snapshot_id: int | None = None) -> int:
+        """Tag a snapshot with a stable name (Iceberg tag analog —
+        'the snapshot we trained run X on'). Defaults to current."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            raise ValueError("table has no snapshots to tag")
+        sid = snap["snapshot_id"]
+
+        def mutate(meta: dict) -> dict:
+            meta.setdefault("refs", {})[name] = sid
+            return meta
+
+        self.commit(mutate)
+        return sid
+
+    def drop_ref(self, name: str) -> None:
+        def mutate(meta: dict) -> dict:
+            refs = meta.get("refs", {})
+            if name not in refs:
+                raise ValueError(f"no such ref: {name}")
+            del refs[name]
+            return meta
+
+        self.commit(mutate)
+
+    def refs(self) -> dict[str, int]:
+        return dict(self.meta.get("refs", {}))
+
+    def resolve_ref(self, name: str) -> int:
+        refs = self.refs()
+        if name not in refs:
+            raise ValueError(f"no such ref: {name} (refs: {sorted(refs)})")
+        return refs[name]
+
     def rollback(self, snapshot_id: int) -> int:
         """Roll the table back to an earlier snapshot's state (Iceberg
         `rollback_to_snapshot` procedure analog): commits a NEW

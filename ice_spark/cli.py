@@ -81,6 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--snapshot", type=int, default=None)
     sp.add_argument("--as-of", dest="as_of", default=None,
                     help="ISO timestamp or epoch ms: read as of this time")
+    sp.add_argument("--ref", default=None, help="read the snapshot a tag points at")
 
     sp = sub.add_parser("describe")
     sp.add_argument("target")
@@ -129,6 +130,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("table", nargs="?")
     sp.add_argument("--dry-run", dest="dry_run", action="store_true", default=True)
     sp.add_argument("--no-dry-run", dest="dry_run", action="store_false")
+
+    sp = sub.add_parser("tag")
+    sp.add_argument("table")
+    sp.add_argument("name")
+    sp.add_argument("--snapshot", type=int, default=None)
+    sp.add_argument("--drop", action="store_true")
 
     sp = sub.add_parser("rollback")
     sp.add_argument("table")
@@ -273,9 +280,19 @@ def main(argv: list[str] | None = None) -> int:
             no_commit=args.no_commit,
             input_format=args.input_format,
         )
+    elif args.cmd == "tag":
+        t = cat.load_table(args.table)
+        if args.drop:
+            t.drop_ref(args.name)
+            out = {"dropped": args.name, "refs": t.refs()}
+        else:
+            sid = t.set_ref(args.name, args.snapshot)
+            out = {"tagged": args.name, "snapshot_id": sid, "refs": t.refs()}
     elif args.cmd == "scan":
         t = cat.load_table(args.table)
-        if args.as_of is not None:
+        if args.ref is not None:
+            out = t.scan(limit=args.limit, snapshot_id=t.resolve_ref(args.ref))
+        elif args.as_of is not None:
             try:
                 ms = int(args.as_of)
             except ValueError:

@@ -158,3 +158,20 @@ def test_rollback_preserves_history(spark, cat):
         t.read_incremental(s1)
     with pytest.raises(ValueError, match="no snapshot"):
         t.rollback(123456)
+
+
+def test_snapshot_tags(spark, cat):
+    t = cat.create_table("ns.tag", schema=SCHEMA)
+    append_dataframe(t, _mk(spark, [(1, "a")]))
+    sid1 = t.snapshot()["snapshot_id"]
+    t.set_ref("train-v1")  # defaults to current
+    append_dataframe(t, _mk(spark, [(2, "b")]))
+    assert t.resolve_ref("train-v1") == sid1
+    assert t.read(snapshot_id=t.resolve_ref("train-v1")).count() == 1
+    assert t.read().count() == 2
+    t.set_ref("latest", t.snapshot()["snapshot_id"])
+    assert set(t.refs()) == {"train-v1", "latest"}
+    t.drop_ref("train-v1")
+    assert set(t.refs()) == {"latest"}
+    with pytest.raises(ValueError, match="no such ref"):
+        t.resolve_ref("train-v1")
