@@ -357,6 +357,43 @@ class Table:
         (ice/.../cmd/Scan.java:37-65)."""
         return [r.asDict(recursive=True) for r in self.read(snapshot_id).limit(limit).collect()]
 
+    def analyze(self, approx: bool = True) -> dict:
+        """Compute table statistics (row count; per-column null count,
+        distinct count, min/max for orderable types) in ONE aggregation
+        pass and persist them as the `stats` table property — the
+        ANALYZE TABLE analog. `approx` uses HyperLogLog distinct
+        counts (constant memory per column — the only sane choice at
+        100 TB); exact countDistinct is for tests."""
+        df = self.read()
+        ndv = F.approx_count_distinct if approx else F.countDistinct
+        orderable = (
+            "integer", "long", "double", "float", "date", "string", "short", "byte",
+        )
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for fl in self.schema.fields:
+            c = fl.name
+            aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__n_{c}"))
+            aggs.append(ndv(c).alias(f"__d_{c}"))
+            if fl.dataType.typeName() in orderable:
+                aggs.append(F.min(c).cast("string").alias(f"__lo_{c}"))
+                aggs.append(F.max(c).cast("string").alias(f"__hi_{c}"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        stats: dict = {"row_count": row["__rows"], "analyzed_at_ms": _now_ms(), "columns": {}}
+        for fl in self.schema.fields:
+            c = fl.name
+            col_stats = {"nulls": row[f"__n_{c}"], "ndv": row[f"__d_{c}"]}
+            if f"__lo_{c}" in row:
+                col_stats["min"] = row[f"__lo_{c}"]
+                col_stats["max"] = row[f"__hi_{c}"]
+            stats["columns"][c] = col_stats
+
+        def mutate(meta: dict) -> dict:
+            meta.setdefault("properties", {})["stats"] = stats
+            return meta
+
+        self.commit(mutate)
+        return stats
+
     # ---------- named refs (Iceberg tags analog) ----------
 
     def set_ref(self, name: str, snapshot_id: int | None = None) -> int:

@@ -131,6 +131,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--dry-run", dest="dry_run", action="store_true", default=True)
     sp.add_argument("--no-dry-run", dest="dry_run", action="store_false")
 
+    sp = sub.add_parser("analyze")
+    sp.add_argument("table")
+    sp.add_argument("--exact", action="store_true", help="exact NDV (HLL default)")
+
     sp = sub.add_parser("tag")
     sp.add_argument("table")
     sp.add_argument("name")
@@ -256,6 +260,22 @@ def main(argv: list[str] | None = None) -> int:
         if args.files_from:
             with open(args.files_from) as f:
                 files += [line.strip() for line in f if line.strip()]
+        # wildcard expansion (the reference's s3://...* listing,
+        # S3.listWildcard — here the local-FS equivalent), sorted for
+        # deterministic ingest order
+        if any("*" in f or "?" in f for f in files):
+            import glob as _glob
+
+            expanded: list[str] = []
+            for f in files:
+                if "*" in f or "?" in f:
+                    hits = sorted(_glob.glob(f))
+                    if not hits:
+                        raise SystemExit(f"no files match {f!r}")
+                    expanded += hits
+                else:
+                    expanded.append(f)
+            files = expanded
         if files == ["-"]:
             files = [line.strip() for line in sys.stdin if line.strip()]
         if args.create_table and not cat.table_exists(args.table):
@@ -280,6 +300,8 @@ def main(argv: list[str] | None = None) -> int:
             no_commit=args.no_commit,
             input_format=args.input_format,
         )
+    elif args.cmd == "analyze":
+        out = cat.load_table(args.table).analyze(approx=not args.exact)
     elif args.cmd == "tag":
         t = cat.load_table(args.table)
         if args.drop:

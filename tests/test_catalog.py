@@ -294,3 +294,32 @@ def test_partition_evolution(cat, spark):
         add_partition_field(t, "nope")
     with pytest.raises(ValueError, match="duplicate"):
         add_partition_field(t, "o_orderdate", transform="year", name="Year")
+
+
+def test_analyze_and_glob_insert(cat, tmp_path):
+    import shutil as _sh
+    import subprocess
+    import sys
+
+    cat.create_namespace("an")
+    t = cat.create_table("an.r", schema_from_parquet=f"{SF}/region.parquet")
+    insert(t, [f"{SF}/region.parquet"])
+    stats = t.analyze(approx=False)
+    assert stats["row_count"] == 5
+    assert stats["columns"]["r_regionkey"]["ndv"] == 5
+    assert stats["columns"]["r_regionkey"]["nulls"] == 0
+    assert stats["columns"]["r_regionkey"]["min"] == "0"
+    t.refresh()
+    assert t.properties["stats"]["row_count"] == 5
+
+    # CLI glob expansion
+    d = tmp_path / "globdir"
+    d.mkdir()
+    _sh.copyfile(f"{SF}/region.parquet", d / "a.parquet")
+    _sh.copyfile(f"{SF}/nation.parquet", d / "b_nation.parquet")
+    from ice_spark.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["--warehouse", str(tmp_path / "w2"), "insert", "x.t", str(d / "a*.parquet")]
+    )
+    assert args.files == [str(d / "a*.parquet")]  # parser passes through; main() expands
