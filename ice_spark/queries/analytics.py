@@ -411,3 +411,73 @@ def w04(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_gap_days"
         ),
     )
+
+
+@register(
+    "a05_order_value_deciles",
+    """
+    WITH d AS (
+      SELECT o_orderstatus,
+             CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+               AS decile,
+             o_totalprice
+      FROM orders
+    )
+    SELECT decile,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
+    FROM d
+    GROUP BY decile
+    """,
+    doc="NTILE decile distribution of order values. The ORDER BY "
+    "carries an o_orderkey tie-break so tile boundaries are a total "
+    "order — identical in both engines. (A global NTILE serializes "
+    "one window at scale; for 100 TB use approx percentiles (a02) or "
+    "pre-bucketed ranges — this query covers the operator semantics.)",
+)
+def a05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    d = orders.select(
+        "o_orderstatus",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        "o_totalprice",
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").alias(
+            "total_value"
+        ),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+    )
+
+
+@register(
+    "s07_bag_set_ops",
+    """
+    SELECT 'intersect_all' AS tag, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS k FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey AS k FROM supplier
+    ) a
+    UNION ALL
+    SELECT 'except_all' AS tag, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS k FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey AS k FROM supplier
+    ) b
+    """,
+    doc="Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): "
+    "multiplicity-preserving variants of s01.",
+)
+def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    ia = cust.intersectAll(supp).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect_all").alias("tag"), "n"
+    )
+    ea = cust.exceptAll(supp).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except_all").alias("tag"), "n"
+    )
+    return ia.unionByName(ea)
