@@ -278,6 +278,11 @@ def main(argv: list[str] | None = None) -> int:
             files = expanded
         if files == ["-"]:
             files = [line.strip() for line in sys.stdin if line.strip()]
+        # scheme routing: file:// strip, http(s):// download-to-cache
+        # (cache key = sha256(url), so URL dedup keeps working)
+        from ice_spark.sources.fetch import resolve_input
+
+        files = [resolve_input(f) for f in files]
         if args.create_table and not cat.table_exists(args.table):
             from ice_spark.ingest.insert import read_input
 

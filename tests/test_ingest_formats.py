@@ -61,3 +61,41 @@ def test_no_copy_rejects_non_parquet(cat, tmp_path):
     t = cat.create_table("ns.n", schema=SCHEMA)
     with pytest.raises(ValueError, match="no_copy requires parquet"):
         insert(t, [str(p)], input_format="csv", no_copy=True, force_no_copy=True)
+
+
+def test_scheme_routing(tmp_path):
+    import io
+
+    from ice_spark.sources.fetch import resolve_input
+
+    # file:// and plain paths pass through
+    assert resolve_input("/x/y.parquet") == "/x/y.parquet"
+    assert resolve_input("file:///x/y.parquet") == "/x/y.parquet"
+
+    # http(s) downloads through the injected opener and caches by url
+    calls = []
+
+    class _Resp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def opener(url):
+        calls.append(url)
+        return _Resp(b"PARQUETBYTES")
+
+    cache = str(tmp_path / "cache")
+    p1 = resolve_input("http://example.com/data/f.parquet", cache_dir=cache, opener=opener)
+    assert open(p1, "rb").read() == b"PARQUETBYTES"
+    assert p1.endswith("-f.parquet")
+    # cached: second resolve does not re-download
+    p2 = resolve_input("http://example.com/data/f.parquet", cache_dir=cache, opener=opener)
+    assert p2 == p1 and len(calls) == 1
+    # different url -> different cache entry
+    p3 = resolve_input("http://example.com/data/g.parquet", cache_dir=cache, opener=opener)
+    assert p3 != p1 and len(calls) == 2
+
+    with pytest.raises(ValueError, match="unsupported input scheme"):
+        resolve_input("s3://bucket/k.parquet")
