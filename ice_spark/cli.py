@@ -131,6 +131,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--dry-run", dest="dry_run", action="store_true", default=True)
     sp.add_argument("--no-dry-run", dest="dry_run", action="store_false")
 
+    sp = sub.add_parser("export")
+    sp.add_argument("table")
+    sp.add_argument("dest")
+    sp.add_argument("--format", dest="out_format", default="parquet",
+                    choices=["parquet", "csv", "json"])
+    sp.add_argument("--snapshot", type=int, default=None)
+    sp.add_argument("--compression", default="zstd")
+
     sp = sub.add_parser("analyze")
     sp.add_argument("table")
     sp.add_argument("--exact", action="store_true", help="exact NDV (HLL default)")
@@ -305,6 +313,16 @@ def main(argv: list[str] | None = None) -> int:
             no_commit=args.no_commit,
             input_format=args.input_format,
         )
+    elif args.cmd == "export":
+        df = cat.load_table(args.table).read(snapshot_id=args.snapshot)
+        codec = args.compression
+        if args.out_format != "parquet" and codec == "zstd":
+            codec = "gzip"  # text codecs: Spark csv/json writers lack zstd
+        w = df.write.mode("overwrite").option("compression", codec)
+        if args.out_format == "csv":
+            w = w.option("header", "true")
+        getattr(w, args.out_format)(args.dest)
+        out = {"exported": args.table, "dest": args.dest, "format": args.out_format}
     elif args.cmd == "analyze":
         out = cat.load_table(args.table).analyze(approx=not args.exact)
     elif args.cmd == "tag":

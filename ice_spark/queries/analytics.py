@@ -481,3 +481,37 @@ def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("except_all").alias("tag"), "n"
     )
     return ia.unionByName(ea)
+
+
+@register(
+    "w05_sliding_7day_revenue",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day,
+           CAST(rev AS DOUBLE) AS day_revenue,
+           CAST(SUM(rev) OVER (ORDER BY d
+                RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rev_7d
+    FROM daily
+    """,
+    doc="RANGE-frame sliding window: 7-day revenue over pre-aggregated "
+    "daily totals (the window runs over days, not raw orders — tiny "
+    "state at any scale). Decimal sums inside the frame keep both "
+    "engines exact.",
+)
+def w05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    days = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(days).rangeBetween(-6, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("rev").cast("double").alias("day_revenue"),
+        F.sum("rev").over(w).cast("double").alias("rev_7d"),
+    )
