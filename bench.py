@@ -126,6 +126,26 @@ def main() -> None:
             ingest["rows_per_sec_partitioned"] = round(
                 n_rows / max(ingest["partitioned_sorted_sec"], 1e-9)
             )
+            # Layout + mutation path: z-order the plain table on the
+            # key, then merge an ~1%-of-keyrange update — measures
+            # cluster_files and the bounds-pruned copy-on-write merge
+            # (files_kept > 0 proves manifest pruning engaged).
+            from pyspark.sql import functions as F
+
+            from ice_spark.catalog.maintenance import cluster_files
+            from ice_spark.catalog.merge import merge_upsert
+
+            t0 = time.time()
+            cluster_files(t2, ["l_orderkey"], n_output_files=8)
+            ingest["zorder_sec"] = round(time.time() - t0, 3)
+            hi = spark.read.parquet(src).agg(F.max("l_orderkey")).collect()[0][0]
+            src_df = spark.read.parquet(src).where(F.col("l_orderkey") <= hi // 100)
+            t0 = time.time()
+            mres = merge_upsert(t2, src_df, ["l_orderkey", "l_linenumber"])
+            ingest["merge_upsert_sec"] = round(time.time() - t0, 3)
+            ingest["merge_source_rows"] = mres["source_rows"]
+            ingest["merge_files_kept"] = mres["files_kept"]
+            ingest["merge_files_rewritten"] = mres["files_rewritten"]
         finally:
             shutil.rmtree(wh, ignore_errors=True)
     except Exception as e:  # ingest bench is additive; never break the line

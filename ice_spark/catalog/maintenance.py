@@ -286,7 +286,11 @@ def perform_maintenance(table: Table, dry_run: bool = True, **kwargs) -> dict:
 
 
 def _zvalue_sql(scaled_cols: list[str], bits: int) -> str:
-    """Interleave `bits` bits of each pre-scaled BIGINT column."""
+    """Interleave `bits` bits of each pre-scaled BIGINT column.
+    One column needs no interleaving — the scaled value IS the curve
+    (plain range clustering), skipping the per-row bit fold."""
+    if len(scaled_cols) == 1:
+        return scaled_cols[0]
     n = len(scaled_cols)
     terms = " | ".join(
         f"shiftleft(shiftright({c}, i) & 1, i * {n} + {j})"
