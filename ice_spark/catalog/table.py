@@ -80,11 +80,19 @@ class Table:
         return os.path.join(self.metadata_dir, "version-hint.text")
 
     def current_version(self) -> int:
+        """Current metadata version. The hint file is exactly that — a
+        hint (Iceberg hadoop-catalog semantics): a committer that
+        crashed between creating vN+1 and updating the hint must not
+        hide the durable commit, so advance past the hint while newer
+        metadata files exist."""
         try:
             with open(self._hint_path()) as f:
-                return int(f.read().strip())
+                v = int(f.read().strip())
         except FileNotFoundError:
             raise NoSuchTableError(f"no table at {self.location}")
+        while os.path.exists(self.metadata_path(v + 1)):
+            v += 1
+        return v
 
     def metadata_path(self, version: int) -> str:
         return os.path.join(self.metadata_dir, f"v{version}.metadata.json")
@@ -158,7 +166,14 @@ class Table:
         return t.refresh()
 
     def _write_metadata(self, meta: dict, expected_version: int) -> int:
-        """CAS commit: fails if someone committed since we loaded."""
+        """CAS commit. The linearization point is the CREATE-EXCLUSIVE
+        of vN+1.metadata.json (os.link of a fully-written temp file —
+        atomic, first committer wins, losers get CommitConflictError
+        and retry on fresh metadata). The version hint is then updated
+        best-effort; readers self-heal past a stale hint
+        (current_version). This is the filesystem equivalent of the
+        reference's etcd If(version==v).Then(put) transaction
+        (EtcdCatalog.java:588-640)."""
         current = 0
         if os.path.exists(self._hint_path()):
             current = self.current_version()
@@ -171,14 +186,21 @@ class Table:
             {"timestamp_ms": _now_ms(), "metadata_file": f"v{new_version}.metadata.json"}
         )
         path = self.metadata_path(new_version)
-        tmp = path + ".tmp"
+        tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
-        os.replace(tmp, path)
-        hint_tmp = self._hint_path() + f".tmp.{os.getpid()}.{new_version}"
+        try:
+            os.link(tmp, path)  # atomic create-exclusive: the commit
+        except FileExistsError:
+            raise CommitConflictError(
+                f"lost race for v{new_version} at {self.location}"
+            )
+        finally:
+            os.unlink(tmp)
+        hint_tmp = f"{self._hint_path()}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
         with open(hint_tmp, "w") as f:
             f.write(str(new_version))
-        os.replace(hint_tmp, self._hint_path())  # atomic pointer swap
+        os.replace(hint_tmp, self._hint_path())  # best-effort pointer
         self._version = new_version
         self._meta = meta
         return new_version
