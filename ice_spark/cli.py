@@ -173,6 +173,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("directory")
     sp.add_argument("--fire-once", action="store_true")
     sp.add_argument("--checkpoint")
+    sp.add_argument("--merge-on", dest="merge_on", default=None,
+                    help="comma-separated key columns: upsert instead of append")
+    sp.add_argument("--order-col", dest="order_col", default=None,
+                    help="with --merge-on: highest value per key wins in a batch")
 
     return p
 
@@ -448,14 +452,26 @@ def main(argv: list[str] | None = None) -> int:
         )
         out = {i: perform_maintenance(cat.load_table(i), dry_run=args.dry_run) for i in idents}
     elif args.cmd == "watch":
-        from ice_spark.streaming.watch import watch
+        if args.merge_on:
+            from ice_spark.streaming.upsert import upsert_watch
 
-        out = watch(
-            cat.load_table(args.table),
-            args.directory,
-            fire_once=args.fire_once,
-            checkpoint=args.checkpoint,
-        )
+            out = upsert_watch(
+                cat.load_table(args.table),
+                args.directory,
+                [c.strip() for c in args.merge_on.split(",") if c.strip()],
+                order_col=args.order_col,
+                fire_once=args.fire_once,
+                checkpoint=args.checkpoint,
+            )
+        else:
+            from ice_spark.streaming.watch import watch
+
+            out = watch(
+                cat.load_table(args.table),
+                args.directory,
+                fire_once=args.fire_once,
+                checkpoint=args.checkpoint,
+            )
     print(json.dumps(out, indent=1, default=str))
     return 0
 

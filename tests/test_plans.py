@@ -99,3 +99,18 @@ def test_range_join_is_hash_join(spark, sf_dir):
 def test_new_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
     a = _audit(spark, sf_dir, name)
     assert a.shuffles <= max_exchanges, f"{name}: {a.shuffles} shuffles\n{a.plan[:2000]}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("e10_daily_top_event_types", 3),  # agg + window over day-type rows
+        ("e11_cohort_retention", 4),  # first-seen agg + join + distinct + agg
+        ("a05_order_value_deciles", 3),  # global ntile + final agg
+        ("w05_sliding_7day_revenue", 2),  # daily agg + single-partition window
+        ("t10_token_entropy", 4),  # doc-token counts + doc agg + lang agg
+    ],
+)
+def test_latest_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
+    a = _audit(spark, sf_dir, name)
+    assert a.shuffles <= max_exchanges, f"{name}: {a.shuffles} shuffles\n{a.plan[:2000]}"
