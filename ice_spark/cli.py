@@ -82,6 +82,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--as-of", dest="as_of", default=None,
                     help="ISO timestamp or epoch ms: read as of this time")
     sp.add_argument("--ref", default=None, help="read the snapshot a tag points at")
+    sp.add_argument("--filter", dest="filters", type=_json_arg, default=None,
+                    help='delete-style JSON filters: manifest-pruned filtered scan')
 
     sp = sub.add_parser("describe")
     sp.add_argument("target")
@@ -130,6 +132,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("table", nargs="?")
     sp.add_argument("--dry-run", dest="dry_run", action="store_true", default=True)
     sp.add_argument("--no-dry-run", dest="dry_run", action="store_false")
+
+    sp = sub.add_parser("sql")
+    sp.add_argument("query", help="SQL over catalog tables (registered as ns_table views)")
+    sp.add_argument("--limit", type=int, default=100)
 
     sp = sub.add_parser("export")
     sp.add_argument("table")
@@ -317,6 +323,17 @@ def main(argv: list[str] | None = None) -> int:
             no_commit=args.no_commit,
             input_format=args.input_format,
         )
+    elif args.cmd == "sql":
+        # Register every table as a `<ns>_<table>` view and run the
+        # query — joins/aggs/windows over catalog tables, the whole
+        # point of the Spark rebuild (SURVEY.md §2.8).
+        for ns in cat.list_namespaces():
+            for tb in cat.list_tables(ns):
+                cat.load_table(f"{ns}.{tb}").read().createOrReplaceTempView(
+                    f"{ns.replace('.', '_')}_{tb}"
+                )
+        rows = cat.spark.sql(args.query).limit(args.limit).collect()
+        out = [r.asDict(recursive=True) for r in rows]
     elif args.cmd == "export":
         df = cat.load_table(args.table).read(snapshot_id=args.snapshot)
         codec = args.compression
@@ -339,7 +356,10 @@ def main(argv: list[str] | None = None) -> int:
             out = {"tagged": args.name, "snapshot_id": sid, "refs": t.refs()}
     elif args.cmd == "scan":
         t = cat.load_table(args.table)
-        if args.ref is not None:
+        if args.filters is not None:
+            df = t.read_filtered(args.filters).limit(args.limit)
+            out = [r.asDict(recursive=True) for r in df.collect()]
+        elif args.ref is not None:
             out = t.scan(limit=args.limit, snapshot_id=t.resolve_ref(args.ref))
         elif args.as_of is not None:
             try:
