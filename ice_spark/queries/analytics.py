@@ -515,3 +515,40 @@ def w05(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("day_revenue"),
         F.sum("rev").over(w).cast("double").alias("rev_7d"),
     )
+
+
+@register(
+    "e12_event_value_percentile",
+    """
+    WITH d AS (
+      SELECT event_type, value,
+             CUME_DIST() OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS cd
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN cd <= 0.5 THEN CAST(value AS DECIMAL(18,2))
+                    ELSE 0 END) AS DOUBLE) AS bottom_half_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM d
+    GROUP BY event_type
+    """,
+    doc="CUME_DIST window: per-type cumulative distribution of event "
+    "values with an event_id tie-break so every rank is a total "
+    "order; bottom-half mass vs total in exact decimal sums.",
+)
+def e12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    d = ev.select("event_type", "value", F.cume_dist().over(w).alias("cd"))
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST(SUM(CASE WHEN cd <= 0.5 THEN CAST(value AS DECIMAL(18,2))"
+            " ELSE 0 END) AS DOUBLE)"
+        ).alias("bottom_half_value"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").alias("total_value"),
+    )

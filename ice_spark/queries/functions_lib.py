@@ -326,3 +326,33 @@ def f09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("consonant_chars"),
     )
+
+
+@register(
+    "f10_string_shaping",
+    """
+    SELECT p_brand,
+           COUNT(*) AS n,
+           MIN(lpad(CAST(p_partkey AS VARCHAR), 10, '0')) AS min_padded_key,
+           MAX(reverse(p_name)) AS max_reversed,
+           CAST(SUM(length(translate(p_name, 'aeiou', '.....'))) AS BIGINT)
+             AS total_translated_len,
+           MAX(repeat(substring(p_type, 1, 3), 2)) AS max_type_echo
+    FROM part
+    GROUP BY p_brand
+    """,
+    doc="String shaping family: lpad (zero-padded sortable keys), "
+    "reverse, translate, repeat, substring — all JVM codegen "
+    "expressions with identical semantics in DuckDB.",
+)
+def f10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = load_table(spark, sf_dir, "part")
+    return pt.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.lpad(F.col("p_partkey").cast("string"), 10, "0")).alias("min_padded_key"),
+        F.max(F.reverse("p_name")).alias("max_reversed"),
+        F.sum(F.length(F.translate("p_name", "aeiou", ".....")))
+        .cast("long")
+        .alias("total_translated_len"),
+        F.max(F.repeat(F.substring("p_type", 1, 3), 2)).alias("max_type_echo"),
+    )
