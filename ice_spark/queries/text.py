@@ -942,3 +942,53 @@ def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
             "COUNT(*) FILTER (WHERE CAST(-neg_h_u AS DOUBLE) / n_tok / 1000000000.0 < 2.0)"
         ).alias("n_low_entropy"),
     )
+
+
+@register(
+    "d07_containment_pairs",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_SQL_SHINGLE_HASHES} AS sh
+      FROM (SELECT doc_id, {_SQL_TOKH} AS th
+            FROM (SELECT doc_id, {_SQL_TOKS.format(col='text')} AS toks FROM documents))
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.9
+    """,
+    doc="Containment-coefficient near-dups (|A∩B| / min(|A|,|B|) >= "
+    "0.9): catches a short document embedded inside a longer one, "
+    "which Jaccard (d02) misses because the union is dominated by "
+    "the longer side. Same inverted-index join, different normalizer.",
+)
+def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.shingle_hashes("text").alias("sh")
+    )
+    sizes = docs.select("doc_id", F.size("sh").alias("n"))
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    ex2 = ex.select(F.col("doc_id").alias("doc_b_id"), F.col("s").alias("s2"))
+    pairs = (
+        ex.join(ex2, (ex.s == ex2.s2) & (ex.doc_id < ex2.doc_b_id))
+        .groupBy(F.col("doc_id").alias("doc_a"), F.col("doc_b_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    cont = F.col("inter").cast("double") / F.least(F.col("na"), F.col("nb"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("a_id"))
+        .join(sb, F.col("doc_b") == F.col("b_id"))
+        .where(cont >= 0.9)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )
