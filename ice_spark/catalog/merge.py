@@ -74,14 +74,32 @@ def merge_upsert(
             for fl in table.schema.fields
         ]
     )
-    src_count = aligned.count()
-    if src_count == 0:
-        return {"source_rows": 0, "files_rewritten": 0, "files_kept": len(table.files())}
+    # The source may itself be an expensive query; persist it so the
+    # whole merge reads it once (planning agg + anti-join + union all
+    # hit the cache), and fold count + key bounds into a single action.
+    aligned = aligned.persist()
+    try:
+        bounds_row = aligned.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.min(k).alias(f"lo_{k}") for k in key_cols],
+            *[F.max(k).alias(f"hi_{k}") for k in key_cols],
+        ).collect()[0]
+        src_count = bounds_row["__n"]
+        if src_count == 0:
+            return {"source_rows": 0, "files_rewritten": 0, "files_kept": len(table.files())}
+        return _merge_planned(table, aligned, key_cols, compression, src_count, bounds_row)
+    finally:
+        aligned.unpersist()
 
-    bounds_row = aligned.agg(
-        *[F.min(k).alias(f"lo_{k}") for k in key_cols],
-        *[F.max(k).alias(f"hi_{k}") for k in key_cols],
-    ).collect()[0]
+
+def _merge_planned(
+    table: Table,
+    aligned: DataFrame,
+    key_cols: list[str],
+    compression: str,
+    src_count: int,
+    bounds_row,
+) -> dict:
 
     kept: list[dict] = []
     affected: list[dict] = []
@@ -96,14 +114,19 @@ def merge_upsert(
     if affected:
         existing = table._read_entries(affected)
         remaining = existing.join(aligned.select(*key_cols), on=key_cols, how="left_anti")
-        remaining_count = remaining.count()
-        updated = sum(e.get("records", 0) for e in affected) - remaining_count
         new_data = remaining.unionByName(aligned)
     else:
-        updated = 0
         new_data = aligned
 
     entries = _write_df(table, new_data, compression, table.current_version())
+    # Derive replaced-row count from the write itself instead of a
+    # separate remaining.count() action: written = remaining + source.
+    written_rows = sum(e.get("records", 0) for e in entries)
+    updated = (
+        sum(e.get("records", 0) for e in affected) - (written_rows - src_count)
+        if affected
+        else 0
+    )
     sid = table.append_snapshot(
         kept + entries,
         "overwrite",

@@ -13,6 +13,15 @@ collects, no Python row loops:
   banding; verification joins shingle sets back by id (so big arrays
   aren't duplicated through the band explode).
 - simhash_pairs: 32-bit SimHash bucket candidates + Hamming verify.
+
+Skew guard: both LSH joins cap bucket size before the self-join
+(`max_bucket_size`). At 100 TB a degenerate bucket — boilerplate-heavy
+shingles hashing identically — would otherwise produce an O(n²) join
+partition; buckets above the cap are dropped from candidate
+generation (their members still pair through their other, non-hot
+bands/blocks, which is why per-bucket drop loses far less recall than
+it sounds like). The count-per-bucket pass shuffles on the same key
+as the join itself, so AQE coalesces it into the same exchange.
 """
 
 from __future__ import annotations
@@ -21,6 +30,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ice_spark.functions import text as T
+
+# Default cap on LSH bucket size before the candidate self-join. A
+# bucket of b members contributes b*(b-1)/2 candidate pairs; 512 keeps
+# the worst single bucket at ~131k pairs — trivially bounded per task.
+DEFAULT_MAX_BUCKET = 512
+
+
+def _cap_buckets(buckets: DataFrame, key_cols: list[str], max_bucket_size: int) -> DataFrame:
+    """Drop buckets with more than `max_bucket_size` members.
+
+    One extra aggregate on the SAME key the candidate join shuffles on
+    (no new partitioning), trading bounded recall loss in degenerate
+    buckets for a hard O(max_bucket_size²) per-bucket candidate bound.
+    """
+    if max_bucket_size <= 0:
+        return buckets
+    sizes = buckets.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+    return (
+        buckets.join(sizes, on=key_cols)
+        .where(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
+def lsh_dropped_bucket_mass(
+    buckets: DataFrame, key_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Audit helper: (bucket key, size) for buckets the cap drops —
+    "log dropped mass" before running a capped dedup at scale."""
+    return (
+        buckets.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .where(F.col("bucket_size") > max_bucket_size)
+    )
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -73,6 +116,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     shingle_n: int = 3,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding + exact verify.
 
@@ -102,6 +146,7 @@ def minhash_lsh_pairs(
     buckets = sigs.select(
         "__id", F.expr(f"explode(array({structs})) AS bk")
     ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = _cap_buckets(buckets, ["band", "key"], max_bucket_size)
     # Same band + same key → candidate pair. The distinct() collapses
     # pairs that collide in multiple bands before the (expensive)
     # exact verification join.
@@ -141,6 +186,7 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     bits: int = 32,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup candidates via SimHash block permutation.
 
@@ -165,6 +211,7 @@ def simhash_pairs(
     ex = sh.select("__id", "__sh", F.explode(blocks).alias("b")).select(
         "__id", "__sh", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
     )
+    ex = _cap_buckets(ex, ["blk", "val"], max_bucket_size)
     ex2 = ex.select(
         F.col("__id").alias("__id2"),
         F.col("__sh").alias("__sh2"),

@@ -6,11 +6,14 @@ feature-extract / resize / frame-sample run as Arrow-batched
 `mapInPandas` stages so bytes never round-trip through Python
 row-at-a-time pickling.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container —
-decode bodies are gated behind import-try and fall back to a
-clearly-marked deterministic stub (or raise NotImplementedError when
-`strict=True`). The Spark-side plumbing — schemas, batch iteration,
-partition sizing, UDF signatures — is real and tested.
+Decode is REAL for PNG/BMP/JPEG/GIF/WAV containers via the pure-Python
+codecs in `ice_spark.functions.media` (PNG is a full zlib-backed
+pixel codec; JPEG/GIF are header-level). PIL is used instead when
+importable; unrecognized bytes fall back to a clearly-marked
+deterministic stub (or raise when `strict=True`). Heavy formats
+(video frames, ffmpeg) remain stubbed — the Spark-side plumbing
+(schemas, batch iteration, partition sizing, UDF signatures) is
+identical either way.
 
 Scale notes:
 - mapInPandas streams Arrow batches; `spark.sql.execution.arrow.
@@ -75,37 +78,72 @@ def _have_pil() -> bool:
 def decode_image_metadata(
     df: DataFrame, binary_col: str = "content", strict: bool = False
 ) -> DataFrame:
-    """binary → + meta struct(width,height,format). Arrow-batched."""
+    """binary → + meta struct(width,height,format). Arrow-batched.
+
+    Real header parsing (PNG/BMP/JPEG/GIF magic + dimensions) via
+    `functions.media`; PIL when available; deterministic stub only
+    for unrecognized bytes (raises instead when strict=True)."""
     use_pil = _have_pil()
-    if strict and not use_pil:
-        raise NotImplementedError("image decoding requires PIL (not in this environment)")
 
     out_schema = T.StructType(df.schema.fields + [T.StructField("meta", IMAGE_META)])
 
     def run(batches: Iterator) -> Iterator:
-        import pandas as pd
+        from ice_spark.functions.media import parse_image_header
 
         for pdf in batches:
             metas = []
             for data in pdf[binary_col]:
                 b = bytes(data) if data is not None else b""
-                if use_pil:  # pragma: no cover - not in this container
+                parsed = parse_image_header(b)
+                if parsed is not None:
+                    w, h, f = parsed
+                elif use_pil:  # pragma: no cover - not in this container
                     import io
 
                     import PIL.Image
 
                     img = PIL.Image.open(io.BytesIO(b))
-                    metas.append(
-                        {"width": img.width, "height": img.height, "format": img.format.lower()}
+                    w, h, f = img.width, img.height, img.format.lower()
+                elif strict:
+                    raise NotImplementedError(
+                        "unrecognized image container and no PIL available"
                     )
                 else:
                     w, h, f = _stub_decode_meta(b)
-                    metas.append({"width": w, "height": h, "format": f})
+                metas.append({"width": w, "height": h, "format": f})
             pdf = pdf.copy()
             pdf["meta"] = metas
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def _pixel_features(data: bytes, dim: int) -> list[float] | None:
+    """Real features from decodable pixels: per-channel mean in [0,1],
+    zero-padded to `dim`. Header-only containers (JPEG without scan
+    data decoded here) get all-zero features; unrecognized bytes get
+    None (caller falls back to the stub)."""
+    from ice_spark.functions import media
+
+    try:
+        if data.startswith(media.PNG_SIG):
+            w, h, nch, px = media.decode_png(data)
+        elif data[:2] == b"BM":
+            w, h, nch, px = media.decode_bmp(data)
+        elif media.parse_jpeg_header(data) is not None:
+            return [0.0] * dim
+        else:
+            return None
+    except Exception:
+        return None
+    if not px:
+        return [0.0] * dim
+    sums = [0] * nch
+    for i, v in enumerate(px):
+        sums[i % nch] += v
+    n = len(px) // nch
+    out = [s / n / 255.0 for s in sums]
+    return (out + [0.0] * dim)[:dim]
 
 
 def extract_features(
@@ -115,7 +153,9 @@ def extract_features(
     dim: int = _FEATURE_DIM,
 ) -> DataFrame:
     """binary → + array<float> feature vector (Arrow-batched).
-    Output plugs directly into operators.similarity ANN."""
+    Decodable images get real pixel-stat features (per-channel means);
+    everything else gets the deterministic content-hash stub. Output
+    plugs directly into operators.similarity ANN."""
     out_schema = T.StructType(
         df.schema.fields + [T.StructField(feature_col, T.ArrayType(T.FloatType()))]
     )
@@ -123,10 +163,11 @@ def extract_features(
     def run(batches: Iterator) -> Iterator:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[feature_col] = [
-                _stub_features(bytes(d) if d is not None else b"", dim)
-                for d in pdf[binary_col]
-            ]
+            feats = []
+            for d in pdf[binary_col]:
+                b = bytes(d) if d is not None else b""
+                feats.append(_pixel_features(b, dim) or _stub_features(b, dim))
+            pdf[feature_col] = feats
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
@@ -139,23 +180,39 @@ def resize_images(
     binary_col: str = "content",
     strict: bool = False,
 ) -> DataFrame:
-    """binary → binary resized. STUB: without PIL the bytes pass
-    through and the recorded meta is updated — the plumbing (schema,
-    batching) is what this exercises."""
-    if strict and not _have_pil():
-        raise NotImplementedError("resize requires PIL (not in this environment)")
+    """binary → binary resized + refreshed meta.
 
+    PNG gets a REAL resize (decode → nearest-neighbor → re-encode via
+    `functions.media`, pure Python + zlib). Other formats pass bytes
+    through with updated meta (swap in PIL/libvips here for a full
+    codec matrix; strict=True raises for them instead)."""
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name != "meta"]
         + [T.StructField("meta", IMAGE_META)]
     )
 
     def run(batches: Iterator) -> Iterator:
+        from ice_spark.functions.media import PNG_SIG, parse_image_header, resize_nearest_png
+
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["meta"] = [
-                {"width": width, "height": height, "format": "png"} for _ in range(len(pdf))
-            ]
+            metas, outs = [], []
+            for data in pdf[binary_col]:
+                b = bytes(data) if data is not None else b""
+                if b.startswith(PNG_SIG):
+                    b = resize_nearest_png(b, width, height)
+                    fmt = "png"
+                else:
+                    if strict:
+                        raise NotImplementedError(
+                            "real resize implemented for PNG only in this environment"
+                        )
+                    parsed = parse_image_header(b)
+                    fmt = parsed[2] if parsed else "unknown"
+                outs.append(b)
+                metas.append({"width": width, "height": height, "format": fmt})
+            pdf[binary_col] = outs
+            pdf["meta"] = metas
             yield pdf[[f.name for f in out_schema.fields]]
 
     return df.mapInPandas(run, schema=out_schema)
@@ -194,6 +251,50 @@ def sample_frames(
                         {**{c: r[c] for c in id_cols}, "frame_idx": i, "frame": frame}
                     )
             yield pd.DataFrame(rows, columns=[*id_cols, "frame_idx", "frame"])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def synthesize_media(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", binary_col: str = "content"
+) -> DataFrame:
+    """Deterministically materialize REAL media containers from a text
+    table: per row a valid PNG / BMP / JPEG-header whose dimensions
+    and solid fill color are pure functions of (id, text length).
+
+    This is the fixture generator that lets the decode pipeline be
+    verified end-to-end against a SQL oracle (the oracle recomputes
+    width/height/color analytically; the pipeline must parse them back
+    out of the actual bytes). Runs as mapInPandas like every other
+    media stage.
+    """
+    out_schema = T.StructType(
+        [df.schema[id_col]]
+        + [T.StructField(binary_col, T.BinaryType())]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ice_spark.functions import media
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for _, r in pdf.iterrows():
+                i = int(r[id_col])
+                ln = len(str(r[text_col]).encode("utf-8"))
+                w, h = 8 + i % 24, 8 + ln % 24
+                color = (i % 256, ln % 256, (i + ln) % 256)
+                kind = i % 3
+                if kind == 0:
+                    blob = media.encode_png([[color] * w for _ in range(h)], color_type=2)
+                elif kind == 1:
+                    blob = media.encode_bmp([[color] * w for _ in range(h)])
+                else:
+                    blob = media.synth_jpeg_header(w, h)
+                ids.append(i)
+                blobs.append(blob)
+            yield pd.DataFrame({id_col: ids, binary_col: blobs})
 
     return df.mapInPandas(run, schema=out_schema)
 

@@ -1,5 +1,17 @@
-"""Multimodal pipeline gate entries (rows-only: codecs are stubbed in
-this environment; the Spark plumbing is the product under test)."""
+"""Multimodal pipeline gate entries.
+
+Both queries are now fully oracle-checked: m01 synthesizes REAL media
+containers (valid PNG/BMP bytes, structurally-valid JPEG headers)
+whose dimensions/colors are pure functions of (doc_id, text length),
+runs the real pure-Python decode path (functions/media.py), and the
+DuckDB oracle recomputes the same facts analytically — so a parsing
+bug on either side breaks the hash match. m02's frame-slicing
+arithmetic is replayed exactly in SQL.
+
+Float discipline: per-image feature energy is rounded to integer
+micro-units before the cross-row sum (same idiom as v07), so both
+engines aggregate exact integers and only divide at the end.
+"""
 
 from __future__ import annotations
 
@@ -9,54 +21,112 @@ from pyspark.sql import functions as F
 from ice_spark.queries.registry import register
 from ice_spark.tables import load_table
 
+# Feature energy of a solid-color (r,g,b) image: features are the
+# per-channel means /255 stored as float32, energy = sum of squares in
+# double. The oracle replays the float32 truncation explicitly.
+_SQL_ENERGY = (
+    "CAST(CAST(r / 255.0 AS REAL) AS DOUBLE) * CAST(CAST(r / 255.0 AS REAL) AS DOUBLE)"
+    " + CAST(CAST(g / 255.0 AS REAL) AS DOUBLE) * CAST(CAST(g / 255.0 AS REAL) AS DOUBLE)"
+    " + CAST(CAST(b / 255.0 AS REAL) AS DOUBLE) * CAST(CAST(b / 255.0 AS REAL) AS DOUBLE)"
+)
+
 
 @register(
     "m01_media_pipeline",
-    None,  # stubbed decode → no SQL oracle; shapes asserted in tests
-    doc="Full multimodal pipeline: binary column → decode metadata → "
-    "feature extraction (mapInPandas, Arrow-batched) → per-format "
-    "stats. Decode is a deterministic stub (no image libs here); "
-    "schema/batching/partitioning are the real design.",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             doc_id % 3 AS kind,
+             8 + doc_id % 24 AS w,
+             8 + octet_length(encode(text)) % 24 AS h,
+             doc_id % 256 AS r,
+             octet_length(encode(text)) % 256 AS g,
+             (doc_id + octet_length(encode(text))) % 256 AS b
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS format,
+             w * CAST(h AS BIGINT) AS pixels,
+             CASE WHEN kind = 2 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(ROUND(({_SQL_ENERGY}) * 1e6) AS BIGINT) END AS energy_u
+      FROM m
+    )
+    SELECT format,
+           COUNT(*) AS n,
+           AVG(pixels) AS avg_pixels,
+           ROUND(CAST(SUM(energy_u) AS DOUBLE) / 1e6 / COUNT(*), 4) AS avg_feat_energy
+    FROM per_doc
+    GROUP BY format
+    """,
+    doc="Full multimodal pipeline over REAL container bytes: "
+    "synthesize valid PNG/BMP/JPEG per document (dims + solid color "
+    "derived from doc_id/text length) → parse actual headers back out "
+    "(functions/media.py pure-Python codecs) → pixel-stat features → "
+    "per-format stats. The oracle recomputes dims/colors analytically; "
+    "a decode bug on either side breaks the hash match. All stages "
+    "Arrow-batched mapInPandas.",
 )
 def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ice_spark.operators.multimodal import decode_image_metadata, extract_features
-
-    media = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.encode("text", "utf-8").alias("content"))
+    from ice_spark.operators.multimodal import (
+        decode_image_metadata,
+        extract_features,
+        synthesize_media,
     )
-    decoded = decode_image_metadata(media)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = synthesize_media(docs, id_col="doc_id", text_col="text")
+    decoded = decode_image_metadata(media, strict=True)
     feats = extract_features(decoded, dim=8)
-    return (
-        feats.select(
-            "doc_id",
-            F.col("meta.format").alias("format"),
-            (F.col("meta.width") * F.col("meta.height")).alias("pixels"),
+    per_doc = feats.select(
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        (F.col("meta.width") * F.col("meta.height").cast("long")).alias("pixels"),
+        F.round(
             F.aggregate(
                 "features", F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")
-            ).alias("feat_sq_norm"),
+            )
+            * 1e6
         )
-        .groupBy("format")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg("pixels").alias("avg_pixels"),
-            F.round(F.avg("feat_sq_norm"), 4).alias("avg_feat_energy"),
-        )
+        .cast("long")
+        .alias("energy_u"),
+    )
+    return per_doc.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("pixels").alias("avg_pixels"),
+        F.round(F.sum("energy_u").cast("double") / 1e6 / F.count(F.lit(1)), 4).alias(
+            "avg_feat_energy"
+        ),
     )
 
 
 @register(
     "m02_frame_sampling",
-    None,
+    """
+    WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS len,
+             greatest(1, octet_length(encode(text)) // 3) AS step
+      FROM documents WHERE doc_id < 100
+    ),
+    f AS (
+      SELECT doc_id, frame_idx,
+             CASE WHEN len - frame_idx * step <= 0 THEN 1
+                  ELSE least(step, len - frame_idx * step) END AS flen
+      FROM d CROSS JOIN (SELECT CAST(UNNEST([0, 1, 2]) AS INTEGER) AS frame_idx)
+    )
+    SELECT frame_idx, COUNT(*) AS n_frames, AVG(flen) AS avg_frame_bytes
+    FROM f GROUP BY frame_idx
+    """,
     doc="Video-style frame sampling: one row per sampled frame with "
-    "bounded Arrow batches; frame bytes stay binary end-to-end.",
+    "bounded Arrow batches; frame bytes stay binary end-to-end. The "
+    "oracle replays the byte-slicing arithmetic (step = len//3, tail "
+    "clamp, empty→1-byte sentinel) exactly.",
 )
 def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ice_spark.operators.multimodal import sample_frames
 
     media = (
         load_table(spark, sf_dir, "documents")
-        .limit(100)
+        .where(F.col("doc_id") < 100)
         .select("doc_id", F.encode("text", "utf-8").alias("content"))
     )
     frames = sample_frames(media, n_frames=3, id_cols=["doc_id"])

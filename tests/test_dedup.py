@@ -59,3 +59,36 @@ def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
     dists = [r.d for r in joined.select(hamming64(F.col("sha"), F.col("shb")).alias("d")).collect()]
     if dists:  # sf0.001 documents also carry planted dups
         assert max(dists) <= 8  # near-dups land close in simhash space
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    """Adversarial hot bucket: many identical docs land in one LSH
+    bucket. With the cap, candidate generation stays bounded (the hot
+    bucket is dropped); distinct docs still pair normally."""
+    from ice_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+    hot = [(i, "the same boilerplate text repeated everywhere " * 3) for i in range(60)]
+    base = "a perfectly unique document about owls rivers lakes and quiet forests " * 4
+    normal = [(1000, base + "today"), (1001, base + "tonight")]
+    docs = spark.createDataFrame(hot + normal, ["doc_id", "text"])
+
+    capped = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=16, bands=8, max_bucket_size=10
+    ).collect()
+    hot_pairs = [r for r in capped if r.doc_a < 1000 and r.doc_b < 1000]
+    assert hot_pairs == []  # 60-member buckets dropped: no 1770-pair blowup
+    assert {(r.doc_a, r.doc_b) for r in capped} >= {(1000, 1001)}
+
+    sim = simhash_pairs(docs, "doc_id", "text", max_hamming=3, max_bucket_size=10).collect()
+    assert [r for r in sim if r.doc_a < 1000 and r.doc_b < 1000] == []
+
+
+def test_lsh_dropped_bucket_mass_audit(spark):
+    from ice_spark.operators.dedup import lsh_dropped_bucket_mass
+
+    buckets = spark.createDataFrame(
+        [(i, 0, "hot") for i in range(20)] + [(100, 0, "cold"), (101, 1, "cold2")],
+        ["__id", "band", "key"],
+    )
+    dropped = lsh_dropped_bucket_mass(buckets, ["band", "key"], max_bucket_size=10).collect()
+    assert len(dropped) == 1 and dropped[0].key == "hot" and dropped[0].bucket_size == 20

@@ -31,13 +31,15 @@ def test_decode_metadata_schema_and_determinism(media_df):
     assert all(64 <= v[0] < 256 for v in a.values())
 
 
-def test_decode_strict_raises_without_pil(media_df):
+def test_decode_strict_raises_on_unrecognized_bytes(media_df):
+    """strict=True: real containers parse, but unparseable bytes must
+    fail loudly at execution instead of returning stub metadata."""
     from ice_spark.operators.multimodal import _have_pil, decode_image_metadata
 
     if _have_pil():
         pytest.skip("PIL present")
-    with pytest.raises(NotImplementedError):
-        decode_image_metadata(media_df, strict=True)
+    with pytest.raises(Exception, match="unrecognized image container"):
+        decode_image_metadata(media_df, strict=True).collect()
 
 
 def test_feature_extraction_feeds_similarity(spark, media_df):
