@@ -33,33 +33,70 @@ def _sq_dist(a, b):
     )
 
 
+# Knuth multiplicative-hash constant for id-based seed selection.
+# NOTE: id * KNUTH must stay inside int64 — fine for ids < ~2^32; at
+# larger id spaces reduce the id mod 2^31 first.
+_SEED_HASH_MULT = 2654435761
+_SEED_HASH_MOD = 2147483648
+
+
 def train_centroids(
     corpus: DataFrame,
     vec_col: str,
     n_lists: int,
     iterations: int = 3,
     sample_fraction: float | None = None,
+    id_col: str | None = None,
 ) -> list[list[float]]:
     """Fixed-iteration Lloyd k-means; returns centroid vectors.
-    Deterministic: seeds are the n_lists rows with smallest
-    xxhash64(vector-as-string)."""
-    vecs = corpus.select(F.col(vec_col).alias("v"))
+
+    Fully deterministic AND SQL-replayable:
+    - seeds are the n_lists rows with smallest integer hash
+      (id*KNUTH mod 2^31, tiebreak id) when `id_col` is given
+      (xxhash64 of the vector string otherwise);
+    - the centroid update quantizes components to integer micro-units
+      and sums bigints, so the means are independent of partition /
+      summation order (an exact replica fits in one SQL expression —
+      see the v06 oracle). The 1e-6 quantization is far below any
+      clustering-relevant signal.
+    """
+    cols = [F.col(vec_col).alias("v")] + (
+        [F.col(id_col).alias("__sid")] if id_col else []
+    )
+    vecs = corpus.select(*cols)
     if sample_fraction:
         vecs = vecs.sample(fraction=sample_fraction, seed=42)
-    seeds = (
-        vecs.withColumn("__h", F.xxhash64(F.col("v").cast("string")))
-        .orderBy("__h")
-        .limit(n_lists)
-        .select("v")
-        .collect()
-    )
-    centroids = [list(r.v) for r in seeds]
+    if id_col:
+        seed_rows = (
+            vecs.withColumn(
+                "__h", (F.col("__sid") * F.lit(_SEED_HASH_MULT)) % F.lit(_SEED_HASH_MOD)
+            )
+            .orderBy("__h", "__sid")
+            .limit(n_lists)
+            .select("v")
+            .collect()
+        )
+    else:
+        seed_rows = (
+            vecs.withColumn("__h", F.xxhash64(F.col("v").cast("string")))
+            .orderBy("__h")
+            .limit(n_lists)
+            .select("v")
+            .collect()
+        )
+    centroids = [list(r.v) for r in seed_rows]
     for _ in range(iterations):
         assigned = assign_lists(vecs, "v", centroids)
         new = (
             assigned.select("__list", F.posexplode("v").alias("d", "x"))
+            .withColumn("u", F.round(F.col("x").cast("double") * 1e6).cast("long"))
             .groupBy("__list", "d")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(
+                (
+                    F.sum("u").cast("double")
+                    / (F.count(F.lit(1)).cast("double") * F.lit(1e6))
+                ).alias("m")
+            )
             .groupBy("__list")
             .agg(F.sort_array(F.collect_list(F.struct("d", "m"))).alias("dims"))
             .select("__list", F.col("dims.m").alias("c"))
@@ -96,7 +133,7 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k: probe the n_probe nearest lists per query,
     exact cosine re-rank within them."""
-    centroids = train_centroids(corpus, vec_col, n_lists, iterations)
+    centroids = train_centroids(corpus, vec_col, n_lists, iterations, id_col=id_col)
     c_assigned = assign_lists(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
         "__cv",

@@ -136,12 +136,15 @@ def f03(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(var_samp(l_quantity) AS DOUBLE), 4) AS qty_var,
            ROUND(CAST(corr(l_quantity, l_extendedprice) AS DOUBLE), 6) AS qty_price_corr,
            ROUND(CAST(covar_samp(l_quantity, l_discount) AS DOUBLE), 6) AS qty_disc_covar,
-           ROUND(CAST(skewness(l_extendedprice) AS DOUBLE), 4) AS price_skew
+           ROUND(CAST(skewness(l_extendedprice) * (COUNT(*) - 2)
+                      / sqrt(COUNT(*) * (COUNT(*) - 1.0)) AS DOUBLE), 4) AS price_skew
     FROM lineitem
     GROUP BY l_returnflag
     """,
     doc="Statistical aggregates: stddev/variance/corr/covar/skewness "
-    "(rounded: variance accumulation differs in last ulps across engines).",
+    "(rounded: variance accumulation differs in last ulps across engines); "
+    "the oracle rescales DuckDB's sample-adjusted skewness to Spark's "
+    "population skewness ((n-2)/sqrt(n(n-1)))).",
 )
 def f04(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

@@ -212,13 +212,93 @@ def v05(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _v06_oracle() -> str:
+    # Full SQL replay of the IVF index build: integer-hash seed
+    # selection, one Lloyd iteration with integer-microunit centroid
+    # means (exact in any summation order), nearest-list assignment,
+    # probe selection, cosine re-rank. Every arithmetic step mirrors
+    # operators/ivf.py: distances fold left-to-right in double, means
+    # are double(sum_bigint)/(n*1e6), ties break on list id.
+    from ice_spark.operators.ivf import _SEED_HASH_MOD, _SEED_HASH_MULT
+
+    def dist(vec: str, cent: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            "list_transform(generate_series(1, 64), i -> "
+            f"(CAST({vec}[i] AS DOUBLE) - {cent}[i]) * "
+            f"(CAST({vec}[i] AS DOUBLE) - {cent}[i]))), (x, y) -> x + y)"
+        )
+
+    return f"""
+    WITH seed AS (
+      SELECT lid, embedding FROM (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (
+                 ORDER BY (vec_id * {_SEED_HASH_MULT}) % {_SEED_HASH_MOD}, vec_id
+               ) - 1 AS lid
+        FROM embeddings) t WHERE lid < 8
+    ),
+    c0 AS (SELECT lid, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS c FROM seed),
+    a0 AS (
+      SELECT vec_id, embedding, lid FROM (
+        SELECT e.vec_id, e.embedding, k.lid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id ORDER BY {dist('e.embedding', 'k.c')}, k.lid
+               ) AS rn
+        FROM embeddings e CROSS JOIN c0 k) t WHERE rn = 1
+    ),
+    upd AS (
+      SELECT lid, i AS dim,
+             CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 1e6) AS m
+      FROM a0 CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i)
+      GROUP BY lid, i
+    ),
+    c1 AS (
+      SELECT c0.lid, COALESCE(u.c, c0.c) AS c
+      FROM c0 LEFT JOIN (
+        SELECT lid, list(m ORDER BY dim) AS c FROM upd GROUP BY lid) u USING (lid)
+    ),
+    a1 AS (
+      SELECT vec_id, embedding, lid FROM (
+        SELECT e.vec_id, e.embedding, k.lid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id ORDER BY {dist('e.embedding', 'k.c')}, k.lid
+               ) AS rn
+        FROM embeddings e CROSS JOIN c1 k) t WHERE rn = 1
+    ),
+    qp AS (
+      SELECT query_id, qv, lid FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, k.lid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {dist('q.embedding', 'k.c')}, k.lid
+               ) AS rn
+        FROM embeddings q CROSS JOIN c1 k WHERE q.vec_id < 5) t WHERE rn <= 3
+    ),
+    scored AS (
+      SELECT query_id, a1.vec_id AS neighbor_id,
+             ROUND({_SQL_DOT.format(a='qv', b='a1.embedding')}
+                   / ({_SQL_NORM.format(a='qv')} * {_SQL_NORM.format(a='a1.embedding')}), 6)
+               AS cos_sim
+      FROM qp JOIN a1 ON qp.lid = a1.lid AND query_id <> a1.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+      FROM scored) r WHERE rank <= 3
+    """
+
+
 @register(
     "v06_ivf_ann",
-    None,  # k-means index contents aren't SQL-expressible; recall vs
-    # brute force is asserted in tests/test_ivf.py
+    _v06_oracle(),
     doc="IVF approximate NN: deterministic k-means lists, probe the "
     "nearest n_probe lists, exact cosine re-rank (the partition-"
-    "pruned scale path next to LSH).",
+    "pruned scale path next to LSH). The oracle replays the ENTIRE "
+    "index build in SQL — integer-hash seeding, one quantized Lloyd "
+    "iteration, assignment, probes, re-rank — so index construction "
+    "itself is hash-checked, not just the final distances.",
 )
 def v06(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ice_spark.operators.ivf import ivf_topk
