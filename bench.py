@@ -160,10 +160,23 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf_label) if sf_label else sf,
         "ingest": ingest,
+        # A total computed while queries errored is not comparable to a
+        # clean run (failed queries "finish" in ~0.2s) — r2 published
+        # 10.4s that way and it read as a win. Mark the line invalid
+        # loudly and exit nonzero so no one graphs it by accident.
+        "valid": not errors,
     }
     if errors:
         out["errors"] = errors
+        out["value"] = None
     print(json.dumps(out))
+    if errors:
+        print(
+            f"bench INVALID: {len(errors)} of {len(HEADLINE)} headline queries "
+            f"errored: {sorted(errors)}",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

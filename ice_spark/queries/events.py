@@ -4,9 +4,10 @@ The reference's only streaming surface is SQS-triggered file ingest
 (SURVEY.md §2.9) — event-time analytics is new capability. These are
 the batch forms; ice_spark.streaming holds the readStream versions.
 
-Timestamps: events.ts is parquet nanos (read as NTZ in Spark, us in
-DuckDB after truncation) — outputs are formatted strings/bigints so
-both engines hash identically.
+Timestamps: events.ts arrives as a timestamp regardless of the parquet
+encoding (TIMESTAMP(MICROS) passes through; TIMESTAMP(NANOS) is
+normalized by tables.load_table) — outputs are formatted
+strings/bigints so both engines hash identically.
 """
 
 from __future__ import annotations

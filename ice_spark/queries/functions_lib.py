@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ice_spark.queries.helpers import dsum
+from ice_spark.queries.helpers import cents, dsum
 from ice_spark.queries.registry import register
 from ice_spark.tables import load_table
 
@@ -215,26 +215,37 @@ def f05(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS n_big,
            COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_label,
-           CAST(SUM(CAST(GREATEST(o_totalprice - 250000, 0) AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(SUM(GREATEST(CAST(ROUND(o_totalprice * 100) AS BIGINT) - 25000000,
+                             CAST(0 AS BIGINT))) AS DOUBLE) / 100.0
              AS excess_over_250k,
-           CAST(SUM(CAST(LEAST(o_totalprice, 100000) AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(SUM(LEAST(CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                          CAST(10000000 AS BIGINT))) AS DOUBLE) / 100.0
              AS capped_at_100k
     FROM orders
     GROUP BY o_orderstatus
     """,
     doc="Conditionals/null handling: CASE, COALESCE, NULLIF, "
-    "GREATEST/LEAST.",
+    "GREATEST/LEAST. Money paths run in exact integer cents end-to-end "
+    "(quantize once, clamp and sum in BIGINT, divide once) so no "
+    "double->decimal rounding edge exists to diverge across engines "
+    "(two rounds of driver-vs-local hash flake on the decimal form).",
 )
 def f06(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    tp_cents = cents(F.col("o_totalprice"))
     return o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("o_totalprice") > 300000, 1).otherwise(0)).alias("n_big"),
         F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
             "status_label"
         ),
-        dsum(F.greatest(F.col("o_totalprice") - 250000, F.lit(0))).alias("excess_over_250k"),
-        dsum(F.least(F.col("o_totalprice"), F.lit(100000))).alias("capped_at_100k"),
+        (
+            F.sum(F.greatest(tp_cents - F.lit(25000000), F.lit(0).cast("long"))).cast("double")
+            / 100.0
+        ).alias("excess_over_250k"),
+        (
+            F.sum(F.least(tp_cents, F.lit(10000000).cast("long"))).cast("double") / 100.0
+        ).alias("capped_at_100k"),
     )
 
 
