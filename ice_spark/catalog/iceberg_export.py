@@ -1,0 +1,735 @@
+"""Export a catalog table as a REAL Apache Iceberg v2 table.
+
+The reference's headline property is cross-engine interop: tables it
+writes are standard Iceberg, readable by ClickHouse / pyiceberg /
+Spark (/root/reference/ice-rest-catalog/src/test/java/.../
+DockerLocalFileIOClickHouseIT.java; .../src/test/pyiceberg/
+ice_scan.py:1-13). Our internal metadata is a JSON mirror of the same
+snapshot -> manifest-list -> manifest design, so the bridge is a
+format translation, not a re-architecture:
+
+    export_iceberg(table, dest) writes under <dest>/metadata/:
+      v1.metadata.json            Iceberg v2 TableMetadata
+      snap-<sid>.avro             one manifest LIST per snapshot
+      manifest-<shard>.avro       one manifest per internal shard
+      version-hint.text           hadoop-catalog discovery
+
+Data files are referenced in place by absolute path (Iceberg file
+paths are full URIs; no data copy — the export is metadata-only and
+O(metadata), never O(data), which is what makes it usable at 100 TB).
+
+Structures follow the public Iceberg Table Spec v2
+(https://iceberg.apache.org/spec/): manifest-entry/data-file field
+ids (100-140), manifest-file field ids (500-519), single-value
+binary bounds serialization (Appendix D), JSON schema/spec/sort
+serialization (Appendix C). Avro files are written by the
+from-scratch codec in sources/avro_io.py and are verified in tests
+by the JVM's own org.apache.avro reader.
+
+Honest transform mapping (correctness over coverage):
+
+- identity / year / month / day / hour are exported faithfully;
+  date-ish transforms convert our rendered values ("2020-05") to
+  Iceberg's epoch-offset ints (months-since-1970 etc.).
+- truncate is exported only for STRING source columns (there our
+  substring semantics equal Iceberg's truncate); bucket and numeric
+  truncate use Spark hash/string semantics that do NOT match
+  Iceberg's murmur3/numeric definitions, so those fields are DROPPED
+  from the exported spec rather than mislabeled — a reader that
+  trusted a wrong transform would prune wrongly and return wrong
+  rows. Files stay readable; only that pruning dimension is lost.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import struct
+import uuid
+
+from pyspark.sql import types as SPT
+
+from ice_spark.catalog.table import Table
+from ice_spark.sources import avro_io
+
+_EPOCH = datetime.date(1970, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Spark schema -> Iceberg schema (Appendix C JSON, fresh field ids)
+# ---------------------------------------------------------------------------
+
+
+class _IdGen:
+    def __init__(self) -> None:
+        self.last = 0
+
+    def next(self) -> int:
+        self.last += 1
+        return self.last
+
+
+def _iceberg_type(dt: SPT.DataType, ids: _IdGen):
+    if isinstance(dt, SPT.LongType):
+        return "long"
+    if isinstance(dt, (SPT.IntegerType, SPT.ShortType, SPT.ByteType)):
+        return "int"
+    if isinstance(dt, SPT.DoubleType):
+        return "double"
+    if isinstance(dt, SPT.FloatType):
+        return "float"
+    if isinstance(dt, SPT.StringType):
+        return "string"
+    if isinstance(dt, SPT.BooleanType):
+        return "boolean"
+    if isinstance(dt, SPT.DateType):
+        return "date"
+    if isinstance(dt, SPT.TimestampType):
+        return "timestamptz"
+    if isinstance(dt, SPT.TimestampNTZType):
+        return "timestamp"
+    if isinstance(dt, SPT.BinaryType):
+        return "binary"
+    if isinstance(dt, SPT.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, SPT.ArrayType):
+        eid = ids.next()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type(dt.elementType, ids),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, SPT.MapType):
+        kid = ids.next()
+        vid = ids.next()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _iceberg_type(dt.keyType, ids),
+            "value-id": vid,
+            "value": _iceberg_type(dt.valueType, ids),
+            "value-required": not dt.valueContainsNull,
+        }
+    if isinstance(dt, SPT.StructType):
+        return {"type": "struct", "fields": _struct_fields(dt, ids)}
+    raise ValueError(f"cannot map Spark type {dt} to Iceberg")
+
+
+def _struct_fields(st: SPT.StructType, ids: _IdGen) -> list[dict]:
+    out = []
+    for f in st.fields:
+        fid = ids.next()
+        out.append(
+            {
+                "id": fid,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _iceberg_type(f.dataType, ids),
+            }
+        )
+    return out
+
+
+def spark_to_iceberg_schema(schema: SPT.StructType, schema_id: int = 0) -> dict:
+    ids = _IdGen()
+    fields = _struct_fields(schema, ids)
+    return {
+        "type": "struct",
+        "schema-id": schema_id,
+        "fields": fields,
+        "last-column-id": ids.last,
+    }
+
+
+def _top_level_field_ids(ice_schema: dict) -> dict[str, tuple[int, object]]:
+    """name -> (field-id, iceberg primitive type) for top-level fields."""
+    return {
+        f["name"]: (f["id"], f["type"])
+        for f in ice_schema["fields"]
+        if isinstance(f["type"], str)
+    }
+
+
+# ---------------------------------------------------------------------------
+# single-value binary serialization (spec Appendix D)
+# ---------------------------------------------------------------------------
+
+
+def serialize_bound(ice_type, value) -> bytes | None:
+    if value is None:
+        return None
+    try:
+        if ice_type == "date":
+            if isinstance(value, str):  # JSON metadata stores ISO dates
+                value = (datetime.date.fromisoformat(value) - _EPOCH).days
+            return struct.pack("<i", int(value))
+        if ice_type in ("timestamp", "timestamptz"):
+            if isinstance(value, str):  # ISO timestamp -> epoch micros
+                dt = datetime.datetime.fromisoformat(value)
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=datetime.timezone.utc)
+                value = int(dt.timestamp() * 1_000_000)
+            return struct.pack("<q", int(value))
+        if ice_type == "int":
+            return struct.pack("<i", int(value))
+        if ice_type == "long":
+            return struct.pack("<q", int(value))
+        if ice_type == "float":
+            return struct.pack("<f", float(value))
+        if ice_type == "double":
+            return struct.pack("<d", float(value))
+    except (ValueError, TypeError, OverflowError, struct.error):
+        return None  # unparseable bound: omit, never guess
+    if ice_type == "string":
+        return str(value).encode("utf-8")
+    if ice_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    return None  # unsupported bound type: omit, never guess
+
+
+# ---------------------------------------------------------------------------
+# partition spec export
+# ---------------------------------------------------------------------------
+
+
+def _exportable_spec_fields(table: Table, ice_schema: dict) -> list[dict]:
+    """Partition fields whose transform semantics match Iceberg's.
+    Returns [{source PartitionField, iceberg transform str, field-id,
+    source-id, result type}]."""
+    by_name = _top_level_field_ids(ice_schema)
+    out = []
+    next_id = 1000
+    for pf in table.partition_spec:
+        if pf.column not in by_name:
+            continue
+        src_id, src_type = by_name[pf.column]
+        t = pf.transform
+        if t == "identity":
+            ice_t, result = "identity", src_type
+        elif t == "year":
+            ice_t, result = "year", "int"
+        elif t == "month":
+            ice_t, result = "month", "int"
+        elif t == "day":
+            ice_t, result = "day", "date"
+        elif t == "hour":
+            ice_t, result = "hour", "int"
+        elif t == "truncate" and src_type == "string":
+            ice_t, result = f"truncate[{pf.param}]", "string"
+        else:
+            # bucket (Spark hash != Iceberg murmur3 of encoded value)
+            # and numeric truncate (we truncate the rendered string):
+            # dropping the field keeps readers CORRECT.
+            continue
+        out.append(
+            {
+                "pf": pf,
+                "transform": ice_t,
+                "field-id": next_id,
+                "source-id": src_id,
+                "result": result,
+            }
+        )
+        next_id += 1
+    return out
+
+
+def _partition_value(field: dict, raw):
+    """Convert our rendered partition value (directory-name string or
+    typed value) to Iceberg's typed partition value."""
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    t = field["transform"]
+    try:
+        if t == "identity":
+            ice_t = field["result"]
+            if ice_t in ("int", "long"):
+                return int(raw)
+            if ice_t in ("float", "double"):
+                return float(raw)
+            if ice_t == "boolean":
+                return str(raw).lower() == "true"
+            if ice_t == "date":
+                return (datetime.date.fromisoformat(str(raw)) - _EPOCH).days
+            return str(raw)
+        if t == "year":
+            return int(raw) - 1970
+        if t == "month":
+            y, m = str(raw).split("-")
+            return (int(y) - 1970) * 12 + (int(m) - 1)
+        if t == "day":
+            return (datetime.date.fromisoformat(str(raw)) - _EPOCH).days
+        if t == "hour":
+            y, m, d, h = str(raw).split("-")
+            dt = datetime.datetime(int(y), int(m), int(d), int(h), tzinfo=datetime.timezone.utc)
+            return int(dt.timestamp()) // 3600
+        return str(raw)  # truncate[W] on string
+    except (ValueError, TypeError):
+        return None
+
+
+def _partition_avro_field(field: dict) -> dict:
+    result = field["result"]
+    if result in ("int", "date"):
+        avro_t: object = "int"
+        if result == "date":
+            avro_t = {"type": "int", "logicalType": "date"}
+    elif result == "long":
+        avro_t = "long"
+    elif result == "float":
+        avro_t = "float"
+    elif result == "double":
+        avro_t = "double"
+    elif result == "boolean":
+        avro_t = "boolean"
+    else:
+        avro_t = "string"
+    return {
+        "name": field["pf"].field_name,
+        "type": ["null", avro_t],
+        "default": None,
+        "field-id": field["field-id"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# avro schemas (manifest entry + manifest list), spec field ids
+# ---------------------------------------------------------------------------
+
+
+def _int_map(name: str, map_fid: int, key_fid: int, val_fid: int, value_type: str) -> dict:
+    """Iceberg's int-keyed maps in Avro: array<record{key,value}> with
+    logicalType map (Avro map keys must be strings)."""
+    return {
+        "name": name,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": f"k{key_fid}_v{val_fid}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": key_fid},
+                        {"name": "value", "type": value_type, "field-id": val_fid},
+                    ],
+                },
+                "logicalType": "map",
+            },
+        ],
+        "default": None,
+        "field-id": map_fid,
+    }
+
+
+def manifest_entry_schema(partition_fields: list[dict]) -> dict:
+    partition_record = {
+        "type": "record",
+        "name": "r102",
+        "fields": [_partition_avro_field(f) for f in partition_fields],
+    }
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": partition_record, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            _int_map("column_sizes", 108, 117, 118, "long"),
+            _int_map("value_counts", 109, 119, 120, "long"),
+            _int_map("null_value_counts", 110, 121, 122, "long"),
+            _int_map("nan_value_counts", 137, 138, 139, "long"),
+            _int_map("lower_bounds", 125, 126, 127, "bytes"),
+            _int_map("upper_bounds", 128, 129, 130, "bytes"),
+            {"name": "key_metadata", "type": ["null", "bytes"], "default": None, "field-id": 131},
+            {
+                "name": "split_offsets",
+                "type": ["null", {"type": "array", "items": "long", "element-id": 133}],
+                "default": None,
+                "field-id": 132,
+            },
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
+                "default": None,
+                "field-id": 135,
+            },
+            {"name": "sort_order_id", "type": ["null", "int"], "default": None, "field-id": 140},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean", "field-id": 509},
+                            {"name": "contains_nan", "type": ["null", "boolean"], "default": None, "field-id": 518},
+                            {"name": "lower_bound", "type": ["null", "bytes"], "default": None, "field-id": 510},
+                            {"name": "upper_bound", "type": ["null", "bytes"], "default": None, "field-id": 511},
+                        ],
+                    },
+                    "element-id": 508,
+                },
+            ],
+            "default": None,
+            "field-id": 507,
+        },
+        {"name": "key_metadata", "type": ["null", "bytes"], "default": None, "field-id": 519},
+    ],
+}
+
+
+# ---------------------------------------------------------------------------
+# export
+# ---------------------------------------------------------------------------
+
+
+def _op_name(op: str) -> str:
+    return {
+        "append": "append",
+        "delete": "delete",
+        "replace": "replace",
+        "overwrite": "overwrite",
+    }.get(op, "overwrite")
+
+
+def export_iceberg(table: Table, dest: str) -> dict:
+    """Write Iceberg v2 metadata for every snapshot of `table` under
+    `<dest>/metadata/`, referencing the existing data files in place.
+    Returns a summary {metadata_file, snapshots, manifests, files}."""
+    table.refresh()
+    meta_dir = os.path.join(dest, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    ice_schema_full = spark_to_iceberg_schema(table.schema)
+    last_column_id = ice_schema_full.pop("last-column-id")
+    spec_fields = _exportable_spec_fields(table, ice_schema_full)
+    entry_schema = manifest_entry_schema(spec_fields)
+    bounds_by_name = _top_level_field_ids(ice_schema_full)
+
+    snaps = table.snapshots()
+    seq_of = {s["snapshot_id"]: i + 1 for i, s in enumerate(snaps)}
+
+    # shard name -> (manifest_file record); converted once, shared by
+    # every snapshot that references the shard (same sharing as the
+    # internal format — export cost is O(distinct shards)).
+    manifest_cache: dict[str, dict] = {}
+
+    def convert_shard(shard_name: str, first_sid: int, legacy: bool) -> dict:
+        if shard_name in manifest_cache:
+            return manifest_cache[shard_name]
+        entries = table._read_shard(shard_name, legacy=legacy)
+        avro_name = f"manifest-{uuid.uuid4().hex[:16]}.avro"
+        avro_path = os.path.join(meta_dir, avro_name)
+        records = []
+        rows = 0
+        for e in entries:
+            part_rec = {}
+            raw_part = e.get("partition") or {}
+            for f in spec_fields:
+                part_rec[f["pf"].field_name] = _partition_value(
+                    f, raw_part.get(f["pf"].field_name)
+                )
+            lower, upper = [], []
+            for col, m in sorted((e.get("column_metrics") or {}).items()):
+                if col not in bounds_by_name:
+                    continue
+                fid, ice_t = bounds_by_name[col]
+                lo = serialize_bound(ice_t, m.get("min"))
+                hi = serialize_bound(ice_t, m.get("max"))
+                if lo is not None and hi is not None:
+                    lower.append({"key": fid, "value": lo})
+                    upper.append({"key": fid, "value": hi})
+            rows += e.get("records", 0)
+            records.append(
+                {
+                    "status": 1,  # ADDED (in first_sid's snapshot)
+                    "snapshot_id": first_sid,
+                    "sequence_number": None,  # inherited from manifest
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": os.path.join(table.location, e["path"]),
+                        "file_format": "PARQUET",
+                        "partition": part_rec,
+                        "record_count": e.get("records", 0),
+                        "file_size_in_bytes": e.get("size_bytes", 0),
+                        "column_sizes": None,
+                        "value_counts": None,
+                        "null_value_counts": None,
+                        "nan_value_counts": None,
+                        "lower_bounds": lower or None,
+                        "upper_bounds": upper or None,
+                        "key_metadata": None,
+                        "split_offsets": None,
+                        "equality_ids": None,
+                        "sort_order_id": None,
+                    },
+                }
+            )
+        avro_io.write_container(
+            avro_path,
+            entry_schema,
+            records,
+            metadata={
+                "schema": json.dumps(ice_schema_full),
+                "schema-id": "0",
+                "partition-spec": json.dumps(
+                    [
+                        {
+                            "name": f["pf"].field_name,
+                            "transform": f["transform"],
+                            "source-id": f["source-id"],
+                            "field-id": f["field-id"],
+                        }
+                        for f in spec_fields
+                    ]
+                ),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        # partition summaries (field_summary per spec field, in order)
+        summaries = None
+        if spec_fields:
+            summaries = []
+            for f in spec_fields:
+                vals = [
+                    r["data_file"]["partition"].get(f["pf"].field_name)
+                    for r in records
+                ]
+                non_null = [v for v in vals if v is not None]
+                result_t = f["result"] if f["result"] != "date" else "date"
+                summaries.append(
+                    {
+                        "contains_null": any(v is None for v in vals),
+                        "contains_nan": None,
+                        "lower_bound": serialize_bound(result_t, min(non_null)) if non_null else None,
+                        "upper_bound": serialize_bound(result_t, max(non_null)) if non_null else None,
+                    }
+                )
+        mf = {
+            "manifest_path": avro_path,
+            "manifest_length": os.path.getsize(avro_path),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq_of[first_sid],
+            "min_sequence_number": seq_of[first_sid],
+            "added_snapshot_id": first_sid,
+            "added_files_count": len(records),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": summaries,
+            "key_metadata": None,
+        }
+        manifest_cache[shard_name] = mf
+        return mf
+
+    ice_snapshots = []
+    snapshot_log = []
+    for snap in snaps:
+        sid = snap["snapshot_id"]
+        manifests = [
+            convert_shard(d["path"], sid, d.get("legacy", False))
+            for d in table.manifest_list_entries(snap)
+        ]
+        # a shard first referenced by an earlier snapshot keeps that
+        # snapshot's sequence number (manifest_cache returns it as-is)
+        ml_name = f"snap-{sid}.avro"
+        ml_path = os.path.join(meta_dir, ml_name)
+        avro_io.write_container(
+            ml_path,
+            MANIFEST_LIST_SCHEMA,
+            manifests,
+            metadata={"format-version": "2"},
+        )
+        ice_snapshots.append(
+            {
+                "snapshot-id": sid,
+                **(
+                    {"parent-snapshot-id": snap["parent_snapshot_id"]}
+                    if snap.get("parent_snapshot_id") is not None
+                    else {}
+                ),
+                "sequence-number": seq_of[sid],
+                "timestamp-ms": snap["timestamp_ms"],
+                "manifest-list": ml_path,
+                "summary": {
+                    "operation": _op_name(snap.get("operation", "append")),
+                    "total-data-files": str(snap.get("summary", {}).get("total-data-files", "")),
+                    "total-records": str(snap.get("summary", {}).get("total-records", "")),
+                },
+                "schema-id": 0,
+            }
+        )
+        snapshot_log.append({"timestamp-ms": snap["timestamp_ms"], "snapshot-id": sid})
+
+    sort_orders = [{"order-id": 0, "fields": []}]
+    default_sort = 0
+    if table.sort_order:
+        by_name = _top_level_field_ids(ice_schema_full)
+        fields = []
+        for sf in table.sort_order:
+            if sf.column not in by_name:
+                continue
+            nf = sf.null_first if sf.null_first is not None else not sf.desc
+            fields.append(
+                {
+                    "transform": "identity",
+                    "source-id": by_name[sf.column][0],
+                    "direction": "desc" if sf.desc else "asc",
+                    "null-order": "nulls-first" if nf else "nulls-last",
+                }
+            )
+        if fields:
+            sort_orders.append({"order-id": 1, "fields": fields})
+            default_sort = 1
+
+    properties = {
+        k: v if isinstance(v, str) else json.dumps(v)
+        for k, v in table.properties.items()
+    }
+    current = table.meta.get("current_snapshot_id")
+    refs = {}
+    if current is not None:
+        refs["main"] = {"snapshot-id": current, "type": "branch"}
+    for name, sid in table.refs().items():
+        refs[name] = {"snapshot-id": sid, "type": "tag"}
+
+    metadata = {
+        "format-version": 2,
+        "table-uuid": table.meta.get("table_uuid", str(uuid.uuid4())),
+        "location": dest,
+        "last-sequence-number": len(snaps),
+        "last-updated-ms": snaps[-1]["timestamp_ms"] if snaps else 0,
+        "last-column-id": last_column_id,
+        "current-schema-id": 0,
+        "schemas": [ice_schema_full],
+        "default-spec-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": f["pf"].field_name,
+                        "transform": f["transform"],
+                        "source-id": f["source-id"],
+                        "field-id": f["field-id"],
+                    }
+                    for f in spec_fields
+                ],
+            }
+        ],
+        "last-partition-id": spec_fields[-1]["field-id"] if spec_fields else 999,
+        "default-sort-order-id": default_sort,
+        "sort-orders": sort_orders,
+        "properties": properties,
+        **({"current-snapshot-id": current} if current is not None else {}),
+        "snapshots": ice_snapshots,
+        "snapshot-log": snapshot_log,
+        "metadata-log": [],
+        "refs": refs,
+    }
+    metadata_file = os.path.join(meta_dir, "v1.metadata.json")
+    with open(metadata_file, "w") as f:
+        json.dump(metadata, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+    return {
+        "metadata_file": metadata_file,
+        "snapshots": len(ice_snapshots),
+        "manifests": len(manifest_cache),
+        "files": sum(m["added_files_count"] for m in manifest_cache.values()),
+    }
+
+
+# ---------------------------------------------------------------------------
+# read side (round-trip verification + register_table analog)
+# ---------------------------------------------------------------------------
+
+
+def read_iceberg_metadata(metadata_file: str) -> dict:
+    with open(metadata_file) as f:
+        return json.load(f)
+
+
+def read_iceberg_manifest_list(ml_path: str) -> list[dict]:
+    _schema, _meta, records = avro_io.read_container(ml_path)
+    return records
+
+
+def read_iceberg_manifest(manifest_path: str) -> list[dict]:
+    _schema, _meta, records = avro_io.read_container(manifest_path)
+    return records
+
+
+def iceberg_data_files(metadata_file: str, snapshot_id: int | None = None) -> list[dict]:
+    """Data files of an Iceberg table's snapshot (default: current):
+    [{file_path, record_count, file_size_in_bytes, partition}]. This
+    is the read half of the round trip — and the format-level
+    `register_table` analog (CatalogImport.java:23-33): anything that
+    can produce this list can serve the table's current state."""
+    meta = read_iceberg_metadata(metadata_file)
+    sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+    snap = next((s for s in meta.get("snapshots", []) if s["snapshot-id"] == sid), None)
+    if snap is None:
+        return []
+    out = []
+    for mf in read_iceberg_manifest_list(snap["manifest-list"]):
+        for entry in read_iceberg_manifest(mf["manifest_path"]):
+            if entry["status"] == 2:  # DELETED
+                continue
+            d = entry["data_file"]
+            out.append(
+                {
+                    "file_path": d["file_path"],
+                    "record_count": d["record_count"],
+                    "file_size_in_bytes": d["file_size_in_bytes"],
+                    "partition": d["partition"],
+                }
+            )
+    return out

@@ -163,25 +163,28 @@ def expire_snapshots(
         return plan
 
     kept_paths: set[str] = set()
+    kept_meta: set[str] = set()
     for s in keep:
-        import json as _json
-
-        with open(table.manifest_path(s)) as f:
-            kept_paths.update(e["path"] for e in _json.load(f)["files"])
+        kept_paths.update(e["path"] for e in table.snapshot_files(s))
+        kept_meta.update(table.snapshot_meta_files(s))
     removed = 0
     for s in expire:
-        import json as _json
-
-        with open(table.manifest_path(s)) as f:
-            for e in _json.load(f)["files"]:
-                p = e["path"]
-                if p not in kept_paths and not e.get("external"):
-                    full = os.path.join(table.location, p)
-                    if os.path.exists(full):
-                        os.remove(full)
-                        removed += 1
+        for e in table.snapshot_files(s):
+            p = e["path"]
+            if p not in kept_paths and not e.get("external"):
+                full = os.path.join(table.location, p)
+                if table.io.exists(full):
+                    table.io.delete(full)
+                    removed += 1
 
     expired_ids = {s["snapshot_id"] for s in expire}
+    # Metadata files of expired snapshots, minus shards still
+    # referenced by a kept snapshot (shards are shared by reference
+    # across snapshots — refcount, don't blindly delete).
+    expired_meta: set[str] = set()
+    for s in expire:
+        expired_meta.update(table.snapshot_meta_files(s))
+    expired_meta -= kept_meta
 
     def mutate(meta: dict) -> dict:
         meta["snapshots"] = [
@@ -190,29 +193,36 @@ def expire_snapshots(
         return meta
 
     table.commit(mutate)
-    for s in expire:
-        mp = table.manifest_path(s)
-        if os.path.exists(mp):
-            os.remove(mp)
+    for mp in expired_meta:
+        if table.io.exists(mp):
+            table.io.delete(mp)
     plan["deleted_files"] = removed
     return plan
 
 
 def compact_manifests(table: Table, dry_run: bool = False) -> dict:
-    """ManifestCompaction parity: drop manifest files not referenced
-    by any live snapshot (our manifests are one file per snapshot, so
-    'rewrite' means garbage-collecting orphaned ones)."""
+    """ManifestCompaction parity (ManifestCompaction.java:15-27):
+    merge the current snapshot's small manifest shards into full ones
+    (Table.rewrite_manifests), then garbage-collect manifest-list and
+    shard files no longer referenced by any live snapshot (losers of
+    commit races and rewritten-away shards)."""
     table.refresh()
-    live = {s["manifest"] for s in table.snapshots()}
+    live: set[str] = set()
+    for s in table.snapshots():
+        for p in table.snapshot_meta_files(s):
+            live.add(os.path.basename(p))
     orphans = [
         f
-        for f in os.listdir(table.metadata_dir)
-        if f.startswith("manifest-") and f not in live
+        for f in table.io.list_dir(table.metadata_dir)
+        if (f.startswith("manifest-") or f.startswith("ml-")) and f not in live
     ]
-    if not dry_run:
-        for f in orphans:
-            os.remove(os.path.join(table.metadata_dir, f))
-    return {"removed_manifests": orphans, "dry_run": dry_run}
+    result = {"removed_manifests": orphans, "dry_run": dry_run, "rewrite": None}
+    if dry_run:
+        return result
+    for f in orphans:
+        table.io.delete(os.path.join(table.metadata_dir, f))
+    result["rewrite"] = table.rewrite_manifests()
+    return result
 
 
 def remove_orphans(
@@ -229,38 +239,33 @@ def remove_orphans(
     whitelist = whitelist or DEFAULT_ORPHAN_WHITELIST
     known: set[str] = set()
     for s in table.snapshots():
-        import json as _json
-
-        known.add(os.path.join(table.metadata_dir, s["manifest"]))
-        with open(table.manifest_path(s)) as f:
-            for e in _json.load(f)["files"]:
-                known.add(
-                    e["path"]
-                    if os.path.isabs(e["path"])
-                    else os.path.join(table.location, e["path"])
-                )
-    for f in os.listdir(table.metadata_dir):
+        known.update(table.snapshot_meta_files(s))
+        for e in table.snapshot_files(s):
+            known.add(
+                e["path"]
+                if os.path.isabs(e["path"])
+                else os.path.join(table.location, e["path"])
+            )
+    for f in table.io.list_dir(table.metadata_dir):
         if f.endswith(".metadata.json") or f == "version-hint.text":
             known.add(os.path.join(table.metadata_dir, f))
 
     cutoff = time.time() - retention_days * 86400
     orphans = []
-    for root, _dirs, fnames in os.walk(table.location):
-        for fn in fnames:
-            full = os.path.join(root, fn)
-            if full in known:
+    for full in table.io.walk_files(table.location):
+        if full in known:
+            continue
+        if not any(fnmatch.fnmatch(full, pat) for pat in whitelist):
+            continue
+        try:
+            if table.io.mtime(full) > cutoff:
                 continue
-            if not any(fnmatch.fnmatch(full, pat) for pat in whitelist):
-                continue
-            try:
-                if os.path.getmtime(full) > cutoff:
-                    continue
-            except OSError:
-                continue
-            orphans.append(full)
+        except OSError:
+            continue
+        orphans.append(full)
     if not dry_run:
         for f in orphans:
-            os.remove(f)
+            table.io.delete(f)
     return {"orphans": orphans, "deleted": 0 if dry_run else len(orphans), "dry_run": dry_run}
 
 

@@ -1,11 +1,12 @@
-"""Snapshot-versioned Parquet table.
+"""Snapshot-versioned Parquet table with a sharded metadata plane.
 
-Layout (mirrors Iceberg's hadoop-catalog protocol, simplified):
+Layout (mirrors Iceberg's hadoop-catalog protocol):
 
     <table location>/
       metadata/
         v1.metadata.json, v2.metadata.json, ...
-        manifest-<snapshot_id>.json       (full file list per snapshot)
+        ml-<snapshot_id>.json             (manifest LIST: shard descriptors)
+        manifest-<uuid>.json              (manifest SHARD: file entries)
         version-hint.text                 (current version number)
       data/
         [<part>=<val>/...]*.parquet
@@ -15,16 +16,33 @@ metadata.json fields: table_uuid, format_version, location, schema
 current_snapshot_id, snapshots[], metadata_log[], column_renames[],
 column_defaults[].
 
+Metadata plane is SHARDED, exactly like Iceberg's snapshot →
+manifest-list → manifest design (SURVEY §1.1; the reference prunes
+the same structure for deletes, ice/.../cmd/Delete.java:87-97):
+
+- A snapshot points at a manifest list (`ml-<sid>.json`) whose
+  entries describe immutable manifest shards: file/record/byte
+  counts plus partition-value and column-bound summaries.
+- An APPEND commit writes ONE new shard (the added files) and a new
+  manifest list that references the existing shards by name —
+  O(added + shard_count), never O(table).
+- A REPLACE/DELETE commit diffs the new file list against the current
+  shards and reuses every shard whose entries are untouched; only
+  changed entries get new shards — a bounded-partition delete
+  touches O(changed shards).
+- Scan planning (`plan_files`) prunes SHARD-FIRST on the manifest
+  list summaries, opening only shards that might match — at 100 TB
+  the planner reads a few KB of summaries instead of the full file
+  list.
+
+All metadata IO goes through a `FileIO` (fileio.py) — local impl is
+today's open/os.link; an S3 impl needs only conditional-PUT CAS.
+
 Commits are optimistic CAS: stage metadata vN+1, then atomically
-replace version-hint (os.replace) after re-checking the version —
-the same protocol the reference's server implements over etcd
+create it (first committer wins) — the same protocol the reference's
+server implements over etcd
 (/root/reference/ice-rest-catalog/.../etcd/EtcdCatalog.java:588-640),
 with client-side retry mirroring Insert.java:937-1026.
-
-Scale note: manifests here are full file lists in JSON — fine for
-the tested scales; at 100 TB you'd shard manifests (as Iceberg does)
-and keep per-file column bounds for scan pruning, which we do record
-(bounds on partition/sort columns) and use in delete pruning.
 """
 
 from __future__ import annotations
@@ -38,12 +56,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as SPT
 
+from ice_spark.catalog.fileio import DEFAULT_IO, FileIO
 from ice_spark.catalog.transforms import (
     PartitionField,
     SortField,
     parse_partition_spec,
     parse_sort_order,
 )
+
+# Entries per manifest shard. Appends usually write one shard per
+# commit; residual rewrites chunk at this size so no single shard
+# grows unbounded. 10k JSON entries ≈ a few MB — one metadata read.
+MAX_ENTRIES_PER_SHARD = 10_000
 
 
 class CommitConflictError(RuntimeError):
@@ -58,13 +82,61 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
+def _minmax(values: list):
+    """(min, max) if every value is a comparable same-kind primitive
+    (all str, or all non-bool numeric); else None — summaries must
+    never lie, absence just disables pruning."""
+    if not values:
+        return None
+    if all(isinstance(v, str) for v in values):
+        return min(values), max(values)
+    if all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in values):
+        return min(values), max(values)
+    return None
+
+
+def _range_might_match(lo, hi, op_name: str, values: list) -> bool:
+    """Can any value in [lo, hi] satisfy `op` against any of `values`?
+    Conservative: type mismatch ⇒ True (cannot prune)."""
+    for v in values:
+        same_num = (
+            isinstance(lo, (int, float))
+            and isinstance(v, (int, float))
+            and not isinstance(lo, bool)
+            and not isinstance(v, bool)
+        )
+        same_str = isinstance(lo, str) and isinstance(v, str)
+        if not (same_num or same_str):
+            return True
+        if (
+            (op_name == "equals" and lo <= v <= hi)
+            or (op_name == "less_than" and lo < v)
+            or (op_name == "less_than_or_equal" and lo <= v)
+            or (op_name == "greater_than" and hi > v)
+            or (op_name == "greater_than_or_equal" and hi >= v)
+        ):
+            return True
+    return False
+
+
 class Table:
-    def __init__(self, spark: SparkSession, location: str, identifier: str = ""):
+    def __init__(
+        self,
+        spark: SparkSession,
+        location: str,
+        identifier: str = "",
+        io: FileIO | None = None,
+    ):
         self.spark = spark
         self.location = location.rstrip("/")
         self.identifier = identifier
+        self.io = io or DEFAULT_IO
         self._meta: dict | None = None
         self._version: int | None = None
+        # Shards are immutable once written (uuid-named) — cache by name.
+        self._shard_cache: dict[str, list[dict]] = {}
+        # Stats of the most recent plan_files call (scale tests/telemetry).
+        self.last_plan_stats: dict = {}
 
     # ---------- metadata io ----------
 
@@ -86,11 +158,10 @@ class Table:
         hide the durable commit, so advance past the hint while newer
         metadata files exist."""
         try:
-            with open(self._hint_path()) as f:
-                v = int(f.read().strip())
+            v = int(self.io.read_text(self._hint_path()).strip())
         except FileNotFoundError:
             raise NoSuchTableError(f"no table at {self.location}")
-        while os.path.exists(self.metadata_path(v + 1)):
+        while self.io.exists(self.metadata_path(v + 1)):
             v += 1
         return v
 
@@ -99,8 +170,7 @@ class Table:
 
     def refresh(self) -> "Table":
         self._version = self.current_version()
-        with open(self.metadata_path(self._version)) as f:
-            self._meta = json.load(f)
+        self._meta = json.loads(self.io.read_text(self.metadata_path(self._version)))
         return self
 
     @property
@@ -114,8 +184,8 @@ class Table:
         return SPT.StructType.fromJson(self.meta["schema"])
 
     def schema_at(self, version: int) -> SPT.StructType:
-        with open(self.metadata_path(version)) as f:
-            return SPT.StructType.fromJson(json.load(f)["schema"])
+        meta = json.loads(self.io.read_text(self.metadata_path(version)))
+        return SPT.StructType.fromJson(meta["schema"])
 
     @property
     def partition_spec(self) -> list[PartitionField]:
@@ -140,17 +210,18 @@ class Table:
         sort_order: list[dict] | None = None,
         properties: dict | None = None,
         identifier: str = "",
+        io: FileIO | None = None,
     ) -> "Table":
         parse_partition_spec(partition_spec or [])  # validate
         parse_sort_order(sort_order or [])
-        t = Table(spark, location, identifier)
-        if os.path.exists(t._hint_path()):
+        t = Table(spark, location, identifier, io=io)
+        if t.io.exists(t._hint_path()):
             raise ValueError(f"table already exists at {location}")
-        os.makedirs(t.metadata_dir, exist_ok=True)
-        os.makedirs(t.data_dir, exist_ok=True)
+        t.io.mkdirs(t.metadata_dir)
+        t.io.mkdirs(t.data_dir)
         meta = {
             "table_uuid": str(uuid.uuid4()),
-            "format_version": 1,
+            "format_version": 2,
             "location": t.location,
             "schema": schema.jsonValue(),
             "partition_spec": partition_spec or [],
@@ -167,15 +238,14 @@ class Table:
 
     def _write_metadata(self, meta: dict, expected_version: int) -> int:
         """CAS commit. The linearization point is the CREATE-EXCLUSIVE
-        of vN+1.metadata.json (os.link of a fully-written temp file —
-        atomic, first committer wins, losers get CommitConflictError
-        and retry on fresh metadata). The version hint is then updated
-        best-effort; readers self-heal past a stale hint
-        (current_version). This is the filesystem equivalent of the
-        reference's etcd If(version==v).Then(put) transaction
-        (EtcdCatalog.java:588-640)."""
+        of vN+1.metadata.json (FileIO.create_exclusive — atomic, first
+        committer wins, losers get CommitConflictError and retry on
+        fresh metadata). The version hint is then updated best-effort;
+        readers self-heal past a stale hint (current_version). This is
+        the filesystem equivalent of the reference's etcd
+        If(version==v).Then(put) transaction (EtcdCatalog.java:588-640)."""
         current = 0
-        if os.path.exists(self._hint_path()):
+        if self.io.exists(self._hint_path()):
             current = self.current_version()
         if current != expected_version:
             raise CommitConflictError(
@@ -186,21 +256,13 @@ class Table:
             {"timestamp_ms": _now_ms(), "metadata_file": f"v{new_version}.metadata.json"}
         )
         path = self.metadata_path(new_version)
-        tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(meta, f, indent=1)
         try:
-            os.link(tmp, path)  # atomic create-exclusive: the commit
+            self.io.create_exclusive(path, json.dumps(meta, indent=1))
         except FileExistsError:
             raise CommitConflictError(
                 f"lost race for v{new_version} at {self.location}"
             )
-        finally:
-            os.unlink(tmp)
-        hint_tmp = f"{self._hint_path()}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-        with open(hint_tmp, "w") as f:
-            f.write(str(new_version))
-        os.replace(hint_tmp, self._hint_path())  # best-effort pointer
+        self.io.write_atomic(self._hint_path(), str(new_version))  # best-effort pointer
         self._version = new_version
         self._meta = meta
         return new_version
@@ -253,56 +315,221 @@ class Table:
                 best = s
         return best
 
+    # -- manifest list / shard plumbing --
+
     def manifest_path(self, snapshot: dict) -> str:
+        """Pre-sharding (format v1) snapshots: path of the single full
+        manifest. Kept for reading tables written by older versions."""
         return os.path.join(self.metadata_dir, snapshot["manifest"])
+
+    def manifest_list_entries(self, snapshot: dict | None) -> list[dict]:
+        """Shard descriptors of a snapshot: [{path, file_count,
+        record_count, size_bytes, partition_summary, bound_summary}].
+        Old-format snapshots report a single pseudo-descriptor so
+        callers never branch on format."""
+        if snapshot is None:
+            return []
+        if "manifest_list" in snapshot:
+            ml = json.loads(
+                self.io.read_text(
+                    os.path.join(self.metadata_dir, snapshot["manifest_list"])
+                )
+            )
+            return ml["manifests"]
+        # format v1: single full-list manifest, no summaries
+        entries = self._read_shard(snapshot["manifest"], legacy=True)
+        return [
+            {
+                "path": snapshot["manifest"],
+                "file_count": len(entries),
+                "record_count": sum(e.get("records", 0) for e in entries),
+                "size_bytes": sum(e.get("size_bytes", 0) for e in entries),
+                "partition_summary": {},
+                "bound_summary": {},
+                "legacy": True,
+            }
+        ]
+
+    def _read_shard(self, name: str, legacy: bool = False) -> list[dict]:
+        cached = self._shard_cache.get(name)
+        if cached is not None:
+            return cached
+        data = json.loads(self.io.read_text(os.path.join(self.metadata_dir, name)))
+        entries = data["files"]
+        self._shard_cache[name] = entries
+        return entries
+
+    def _shard_descriptor(self, name: str, entries: list[dict]) -> dict:
+        """Summaries for shard-level pruning: per-partition-field
+        min/max (identity values) and per-column merged bounds. A
+        field/column is summarized only when EVERY entry carries a
+        comparable value — partial stats can't prove absence."""
+        part_summary: dict = {}
+        keys: set[str] = set()
+        for e in entries:
+            keys.update((e.get("partition") or {}).keys())
+        for k in keys:
+            vals = [
+                (e.get("partition") or {}).get(k)
+                for e in entries
+            ]
+            if any(v is None for v in vals):
+                continue
+            mm = _minmax(vals)
+            if mm is not None:
+                part_summary[k] = {"min": mm[0], "max": mm[1]}
+        bound_summary: dict = {}
+        cols: set[str] = set()
+        for e in entries:
+            cols.update((e.get("column_metrics") or {}).keys())
+        for c in cols:
+            lows, highs = [], []
+            complete = bool(entries)
+            for e in entries:
+                m = (e.get("column_metrics") or {}).get(c)
+                if not m or m.get("min") is None or m.get("max") is None:
+                    complete = False
+                    break
+                lows.append(m["min"])
+                highs.append(m["max"])
+            if not complete:
+                continue
+            lo = _minmax(lows)
+            hi = _minmax(highs)
+            if lo is not None and hi is not None:
+                bound_summary[c] = {"min": lo[0], "max": hi[1]}
+        return {
+            "path": name,
+            "file_count": len(entries),
+            "record_count": sum(e.get("records", 0) for e in entries),
+            "size_bytes": sum(e.get("size_bytes", 0) for e in entries),
+            "partition_summary": part_summary,
+            "bound_summary": bound_summary,
+        }
+
+    def _write_shard(self, entries: list[dict]) -> dict:
+        """Write one immutable manifest shard; returns its descriptor."""
+        name = f"manifest-{uuid.uuid4().hex[:16]}.json"
+        self.io.write_atomic(
+            os.path.join(self.metadata_dir, name), json.dumps({"files": entries})
+        )
+        self._shard_cache[name] = entries
+        return self._shard_descriptor(name, entries)
+
+    def _write_shards_chunked(self, entries: list[dict]) -> list[dict]:
+        """Write entries as one or more shards. Entries are sorted by
+        partition value first so chunked shards carry disjoint, tight
+        partition ranges — that's what makes shard pruning bite."""
+        if not entries:
+            return []
+        ordered = sorted(
+            entries,
+            key=lambda e: json.dumps(e.get("partition") or {}, sort_keys=True),
+        )
+        return [
+            self._write_shard(ordered[i : i + MAX_ENTRIES_PER_SHARD])
+            for i in range(0, len(ordered), MAX_ENTRIES_PER_SHARD)
+        ]
+
+    def _write_manifest_list(self, snapshot_id: int, descriptors: list[dict]) -> str:
+        name = f"ml-{snapshot_id}.json"
+        self.io.write_atomic(
+            os.path.join(self.metadata_dir, name),
+            json.dumps({"manifests": descriptors}),
+        )
+        return name
+
+    def snapshot_files(self, snapshot: dict | None) -> list[dict]:
+        """All data-file entries of a snapshot (loads every shard)."""
+        out: list[dict] = []
+        for d in self.manifest_list_entries(snapshot):
+            out.extend(self._read_shard(d["path"]))
+        return out
+
+    def snapshot_meta_files(self, snapshot: dict) -> list[str]:
+        """Absolute paths of the metadata files this snapshot
+        references: its manifest list (if sharded) plus every shard."""
+        paths: list[str] = []
+        if "manifest_list" in snapshot:
+            paths.append(os.path.join(self.metadata_dir, snapshot["manifest_list"]))
+        for d in self.manifest_list_entries(snapshot):
+            paths.append(os.path.join(self.metadata_dir, d["path"]))
+        return paths
 
     def files(self, snapshot_id: int | None = None) -> list[dict]:
         """Data-file entries of a snapshot: path, partition, records,
         size_bytes, source_path, schema_version."""
-        snap = self.snapshot(snapshot_id)
-        if snap is None:
-            return []
-        with open(self.manifest_path(snap)) as f:
-            return json.load(f)["files"]
-
-    def write_manifest(self, snapshot_id: int, files: list[dict]) -> str:
-        name = f"manifest-{snapshot_id}.json"
-        path = os.path.join(self.metadata_dir, name)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"files": files}, f, indent=1)
-        os.replace(tmp, path)
-        return name
+        return self.snapshot_files(self.snapshot(snapshot_id))
 
     def new_snapshot_id(self) -> int:
         return _now_ms() * 1000 + (uuid.uuid4().int % 1000)
 
+    def _diff_shards(self, old_descriptors: list[dict], files: list[dict]) -> list[dict]:
+        """Shard set for a replace/delete/overwrite whose full file
+        list is `files`: every old shard whose entries all survive
+        unchanged is reused by reference; everything else lands in
+        fresh shards. A delete confined to one partition rewrites only
+        the shards covering that partition."""
+        new_by_path = {e["path"]: e for e in files}
+        kept: list[dict] = []
+        consumed: set[str] = set()
+        for d in old_descriptors:
+            if d.get("legacy"):
+                continue  # old-format pseudo shard: always rewrite
+            entries = self._read_shard(d["path"])
+            if entries and all(
+                new_by_path.get(e["path"]) == e for e in entries
+            ):
+                paths = {e["path"] for e in entries}
+                if paths & consumed:
+                    continue  # overlapping shard (shouldn't happen) — rewrite
+                kept.append(d)
+                consumed.update(paths)
+        residual = [e for e in files if e["path"] not in consumed]
+        return kept + self._write_shards_chunked(residual)
+
     def append_snapshot(
         self, files: list[dict], operation: str = "append", extra_summary: dict | None = None
     ) -> int:
-        """Commit a snapshot whose file list = current files + new
-        files (or exactly `files` for replace/delete ops)."""
+        """Commit a snapshot. For `append`, the file list becomes
+        current files + `files` and the commit writes exactly one new
+        shard + one new manifest list — O(added + shard_count). For
+        replace/delete/overwrite the caller passes the FULL list and
+        unchanged shards are reused (see _diff_shards)."""
         sid = self.new_snapshot_id()
 
         def mutate(meta: dict) -> dict:
             cur = meta.get("current_snapshot_id")
+            cur_snap = next(
+                (s for s in meta.get("snapshots", []) if s["snapshot_id"] == cur), None
+            )
+            old = self.manifest_list_entries(cur_snap)
             if operation == "append":
-                base = self.files(cur) if cur is not None else []
-                all_files = base + files
-            else:  # replace / delete / overwrite: caller passes full list
-                all_files = files
-            manifest = self.write_manifest(sid, all_files)
-            added = len(files) if operation == "append" else None
+                # migrate a legacy full-list manifest into a real shard once
+                migrated = [
+                    self._write_shard(self._read_shard(d["path"], legacy=True))
+                    if d.get("legacy")
+                    else d
+                    for d in old
+                ]
+                descriptors = migrated + self._write_shards_chunked(files)
+                added = len(files)
+            else:  # replace / delete / overwrite / rollback: full list given
+                descriptors = self._diff_shards(old, files)
+                added = None
+            manifest_list = self._write_manifest_list(sid, descriptors)
+            total_files = sum(d["file_count"] for d in descriptors)
+            total_records = sum(d["record_count"] for d in descriptors)
             meta["snapshots"].append(
                 {
                     "snapshot_id": sid,
                     "parent_snapshot_id": cur,
                     "timestamp_ms": _now_ms(),
                     "operation": operation,
-                    "manifest": manifest,
+                    "manifest_list": manifest_list,
                     "summary": {
-                        "total-data-files": len(all_files),
-                        "total-records": sum(f.get("records", 0) for f in all_files),
+                        "total-data-files": total_files,
+                        "total-records": total_records,
                         **({"added-data-files": added} if added is not None else {}),
                         **(extra_summary or {}),
                     },
@@ -313,6 +540,72 @@ class Table:
 
         self.commit(mutate)
         return sid
+
+    def rewrite_manifests(self, target_entries_per_shard: int = MAX_ENTRIES_PER_SHARD) -> dict:
+        """Merge the current snapshot's shards into the fewest shards
+        that respect `target_entries_per_shard` (Iceberg
+        rewriteManifests / ManifestCompaction.java:15-27 analog).
+        Logical content is unchanged; commits a `replace` snapshot
+        that incremental readers skip."""
+        self.refresh()
+        snap = self.snapshot()
+        if snap is None:
+            return {"merged": 0, "shards_before": 0, "shards_after": 0}
+        before = self.manifest_list_entries(snap)
+        small = [d for d in before if d["file_count"] < target_entries_per_shard]
+        if len(small) <= 1 and not any(d.get("legacy") for d in before):
+            return {
+                "merged": 0,
+                "shards_before": len(before),
+                "shards_after": len(before),
+            }
+        sid = self.new_snapshot_id()
+
+        def mutate(meta: dict) -> dict:
+            cur = meta.get("current_snapshot_id")
+            cur_snap = next(
+                (s for s in meta.get("snapshots", []) if s["snapshot_id"] == cur), None
+            )
+            descriptors = self.manifest_list_entries(cur_snap)
+            big = [
+                d
+                for d in descriptors
+                if d["file_count"] >= target_entries_per_shard and not d.get("legacy")
+            ]
+            to_merge = [
+                d
+                for d in descriptors
+                if d["file_count"] < target_entries_per_shard or d.get("legacy")
+            ]
+            merged_entries: list[dict] = []
+            for d in to_merge:
+                merged_entries.extend(self._read_shard(d["path"], legacy=d.get("legacy", False)))
+            new_descriptors = big + self._write_shards_chunked(merged_entries)
+            manifest_list = self._write_manifest_list(sid, new_descriptors)
+            meta["snapshots"].append(
+                {
+                    "snapshot_id": sid,
+                    "parent_snapshot_id": cur,
+                    "timestamp_ms": _now_ms(),
+                    "operation": "replace",
+                    "manifest_list": manifest_list,
+                    "summary": {
+                        "total-data-files": sum(d["file_count"] for d in new_descriptors),
+                        "total-records": sum(d["record_count"] for d in new_descriptors),
+                        "rewritten-manifests": len(to_merge),
+                    },
+                }
+            )
+            meta["current_snapshot_id"] = sid
+            return meta
+
+        self.commit(mutate)
+        after = self.manifest_list_entries(self.snapshot())
+        return {
+            "merged": len(small),
+            "shards_before": len(before),
+            "shards_after": len(after),
+        }
 
     # ---------- read path ----------
 
@@ -457,7 +750,8 @@ class Table:
         `rollback_to_snapshot` procedure analog): commits a NEW
         snapshot whose file list equals the target's, preserving full
         history — nothing is deleted, so the rolled-back-over
-        snapshots remain time-travelable until expiry."""
+        snapshots remain time-travelable until expiry. Shards of the
+        target snapshot are reused by reference, not rewritten."""
         target_files = self.files(snapshot_id)  # validates the id
         sid = self.append_snapshot(
             target_files,
@@ -468,27 +762,66 @@ class Table:
 
     # ---------- filtered scan planning (manifest pruning) ----------
     #
-    # The point of keeping per-file partition values AND column bounds
-    # in the manifest (ingest writes both) is that a filtered scan can
-    # skip whole files without opening them — the same manifest
-    # pruning the reference uses for deletes
-    # (ice/.../cmd/Delete.java:87-97) applied to reads, and the same
-    # trick Iceberg scan planning performs before Spark ever lists a
-    # file. At 100 TB this is the difference between "plan touches
-    # manifest JSON" and "plan stats every parquet footer".
+    # Two-level pruning, the same structure Iceberg scan planning
+    # walks and the reference prunes for deletes
+    # (ice/.../cmd/Delete.java:87-97):
+    #   1. manifest-LIST level: shard partition/bound summaries decide
+    #      which shards to open at all;
+    #   2. shard level: per-file partition values and column bounds
+    #      decide which files survive.
+    # At 100 TB the planner reads KBs of summaries, opens the few
+    # shards covering the predicate's partitions, and never stats a
+    # parquet footer.
+
+    def _shard_might_match(self, descriptor: dict, flt: dict) -> bool:
+        name, op_name = flt["name"], flt.get("op", "equals")
+        values = flt.get("values", [])
+        ps = (descriptor.get("partition_summary") or {}).get(name)
+        if ps is not None:
+            return _range_might_match(ps["min"], ps["max"], op_name, values)
+        bs = (descriptor.get("bound_summary") or {}).get(name)
+        if bs is not None:
+            return _range_might_match(bs["min"], bs["max"], op_name, values)
+        return True  # no summary — cannot prune
 
     def plan_files(
         self, filters: list[dict] | None = None, snapshot_id: int | None = None
     ) -> list[dict]:
         """Manifest entries that MIGHT match `filters` (same JSON
         format as delete: [{"name", "op", "values"}], OR across
-        values, AND across filters). Conservative: a file is kept
-        unless its partition value or column bounds PROVE no row can
-        match."""
-        entries = self.files(snapshot_id)
+        values, AND across filters). Conservative: a shard/file is
+        kept unless its summaries PROVE no row can match. Populates
+        `last_plan_stats` with shard-level pruning counts."""
+        snap = self.snapshot(snapshot_id)
+        descriptors = self.manifest_list_entries(snap)
         if not filters:
-            return entries
-        return [e for e in entries if all(self._file_might_match(e, f) for f in filters)]
+            self.last_plan_stats = {
+                "shards_total": len(descriptors),
+                "shards_opened": len(descriptors),
+                "entries_scanned": None,
+            }
+            return self.snapshot_files(snap)
+        opened = [
+            d
+            for d in descriptors
+            if all(self._shard_might_match(d, f) for f in filters)
+        ]
+        entries: list[dict] = []
+        scanned = 0
+        for d in opened:
+            shard_entries = self._read_shard(d["path"], legacy=d.get("legacy", False))
+            scanned += len(shard_entries)
+            entries.extend(
+                e
+                for e in shard_entries
+                if all(self._file_might_match(e, f) for f in filters)
+            )
+        self.last_plan_stats = {
+            "shards_total": len(descriptors),
+            "shards_opened": len(opened),
+            "entries_scanned": scanned,
+        }
+        return entries
 
     @staticmethod
     def _file_might_match(entry: dict, flt: dict) -> bool:
@@ -504,21 +837,7 @@ class Table:
         m = (entry.get("column_metrics") or {}).get(name)
         if not m or m.get("min") is None or m.get("max") is None:
             return True  # no stats — cannot prune
-        lo, hi = m["min"], m["max"]
-        for v in values:
-            same_num = isinstance(lo, (int, float)) and isinstance(v, (int, float))
-            same_str = isinstance(lo, str) and isinstance(v, str)
-            if not (same_num or same_str) or isinstance(lo, bool) != isinstance(v, bool):
-                return True  # type mismatch — cannot prune
-            if (
-                (op_name == "equals" and lo <= v <= hi)
-                or (op_name == "less_than" and lo < v)
-                or (op_name == "less_than_or_equal" and lo <= v)
-                or (op_name == "greater_than" and hi > v)
-                or (op_name == "greater_than_or_equal" and hi >= v)
-            ):
-                return True
-        return False
+        return _range_might_match(m["min"], m["max"], op_name, values)
 
     def read_filtered(
         self, filters: list[dict], snapshot_id: int | None = None

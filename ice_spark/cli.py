@@ -385,11 +385,22 @@ def main(argv: list[str] | None = None) -> int:
                 "tables": cat.list_tables(args.target),
             }
     elif args.cmd == "files":
+        # snapshot -> manifests -> data files tree (Files.java:30-78)
         t = cat.load_table(args.table)
         snap = t.snapshot()
         out = {
             "snapshot": snap["snapshot_id"] if snap else None,
-            "manifest": snap["manifest"] if snap else None,
+            "manifest_list": (snap or {}).get("manifest_list")
+            or (snap or {}).get("manifest"),
+            "manifests": [
+                {
+                    "path": d["path"],
+                    "file_count": d["file_count"],
+                    "record_count": d["record_count"],
+                    "files": [e["path"] for e in t._read_shard(d["path"])],
+                }
+                for d in t.manifest_list_entries(snap)
+            ],
             "files": t.files(),
         }
     elif args.cmd == "list-partitions":
