@@ -151,6 +151,49 @@ def main() -> None:
     except Exception as e:  # ingest bench is additive; never break the line
         ingest["error"] = str(e).splitlines()[0][:200]
 
+    # --- sf1 scale probe (VERDICT r2 #8) -------------------------------
+    # 10x the bench SF via key-shifted replication (tools/
+    # scale_testdata.py), then run a representative headline subset.
+    # Surfaces cliffs sf0.1 hides (shuffle spill, LSH bucket growth);
+    # cached across runs; disable with SPARK_GRAFT_SF1_PROBE=0.
+    sf1: dict = {}
+    if os.environ.get("SPARK_GRAFT_SF1_PROBE", "1") != "0" and os.path.realpath(
+        sf
+    ) == os.path.realpath("/root/testdata/sf0.1"):
+        try:
+            from tools.scale_testdata import make_scaled
+
+            sf1_dir = str(REPO / ".bench_cache" / "sf1")
+            t0 = time.time()
+            make_scaled(spark, sf, sf1_dir, factor=10)
+            sf1["generate_sec"] = round(time.time() - t0, 3)
+            probe = [
+                "q01_pricing_summary",
+                "q03_shipping_priority",
+                "q18_large_volume_customer",
+                "e01_hourly_event_stats",
+                "e06_asof_click_before_purchase",
+                "d04_minhash_lsh_pairs",
+                "v01_knn_bruteforce",
+                "t02_quality_scores",
+            ]
+            q1: dict[str, float] = {}
+            for name in probe:
+                t0 = time.time()
+                try:
+                    specs[name].spark_fn(spark, sf1_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    q1[name] = round(time.time() - t0, 3)
+                except Exception as e:
+                    q1[name] = round(time.time() - t0, 3)
+                    sf1.setdefault("errors", {})[name] = str(e).splitlines()[0][:200]
+            sf1["queries"] = q1
+            sf1["total_sec"] = round(sum(q1.values()), 3)
+            sf1["sf"] = 1.0
+        except Exception as e:  # the probe is additive; never break the line
+            sf1["error"] = str(e).splitlines()[0][:200]
+
     total = round(sum(timings.values()), 3)
     sf_label = os.path.basename(sf.rstrip("/")).replace("sf", "")
     out = {
@@ -160,6 +203,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf_label) if sf_label else sf,
         "ingest": ingest,
+        **({"sf1_probe": sf1} if sf1 else {}),
         # A total computed while queries errored is not comparable to a
         # clean run (failed queries "finish" in ~0.2s) — r2 published
         # 10.4s that way and it read as a win. Mark the line invalid

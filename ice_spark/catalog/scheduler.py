@@ -1,0 +1,144 @@
+"""Maintenance scheduling (MaintenanceScheduler parity).
+
+The reference schedules the four maintenance jobs per table with a
+cron-like expression (`skedule`), a jittered initial delay, and a
+run-if-missed catch-up
+(/root/reference/ice-rest-catalog/src/main/java/com/altinity/ice/rest/
+catalog/internal/maintenance/MaintenanceScheduler.java:34-115; config
+`maintenanceSchedule`, Config.java).
+
+Re-expression: a deterministic 5-field cron parser plus a
+`MaintenanceSchedule` that computes next-fire times and runs due jobs
+when polled. There is deliberately NO daemon thread here — the engine
+exposes `run_pending(now)` and the host (driver loop, Airflow tick,
+cron itself) supplies the clock. That keeps every code path testable
+with an explicit clock and leaves process supervision to
+infrastructure, per the driver north star on server orchestration.
+
+Cron subset: minute hour day-of-month month day-of-week, each field
+`*`, a number, a list `a,b`, a range `a-b`, or a step `*/n` —
+the forms the reference's docs use (e.g. "0 3 * * *").
+"""
+
+from __future__ import annotations
+
+import datetime
+from dataclasses import dataclass, field
+
+from ice_spark.catalog.maintenance import perform_maintenance
+
+_FIELD_RANGES = [(0, 59), (0, 23), (1, 31), (1, 12), (0, 6)]  # dow: 0=Monday
+
+
+def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
+    out: set[int] = set()
+    for part in spec.split(","):
+        step = 1
+        if "/" in part:
+            part, step_s = part.split("/", 1)
+            step = int(step_s)
+            if step < 1:
+                raise ValueError(f"bad cron step: {step}")
+        if part == "*":
+            lo2, hi2 = lo, hi
+        elif "-" in part:
+            a, b = part.split("-", 1)
+            lo2, hi2 = int(a), int(b)
+        else:
+            lo2 = hi2 = int(part)
+        if not (lo <= lo2 <= hi and lo <= hi2 <= hi and lo2 <= hi2):
+            raise ValueError(f"cron field out of range [{lo},{hi}]: {part!r}")
+        out.update(range(lo2, hi2 + 1, step))
+    return out
+
+
+@dataclass(frozen=True)
+class Cron:
+    """Parsed 5-field cron expression."""
+
+    minutes: frozenset
+    hours: frozenset
+    days: frozenset
+    months: frozenset
+    weekdays: frozenset
+    expr: str
+
+    @staticmethod
+    def parse(expr: str) -> "Cron":
+        parts = expr.split()
+        if len(parts) != 5:
+            raise ValueError(f"cron needs 5 fields: {expr!r}")
+        sets = [
+            frozenset(_parse_field(p, lo, hi))
+            for p, (lo, hi) in zip(parts, _FIELD_RANGES)
+        ]
+        return Cron(*sets, expr=expr)
+
+    def matches(self, dt: datetime.datetime) -> bool:
+        return (
+            dt.minute in self.minutes
+            and dt.hour in self.hours
+            and dt.day in self.days
+            and dt.month in self.months
+            and dt.weekday() in self.weekdays
+        )
+
+    def next_fire(self, after: datetime.datetime) -> datetime.datetime:
+        """First matching minute strictly after `after`. Bounded scan
+        (4 years covers any valid 5-field expression incl. Feb 29)."""
+        dt = after.replace(second=0, microsecond=0) + datetime.timedelta(minutes=1)
+        for _ in range(4 * 366 * 24 * 60):
+            if self.matches(dt):
+                return dt
+            dt += datetime.timedelta(minutes=1)
+        raise ValueError(f"cron never fires: {self.expr!r}")
+
+
+@dataclass
+class ScheduledJob:
+    name: str
+    cron: Cron
+    fn: object  # callable(now) -> result
+    next_fire: datetime.datetime | None = None
+    last_result: object = None
+    runs: int = 0
+
+
+@dataclass
+class MaintenanceSchedule:
+    """Poll-driven scheduler: `run_pending(now)` executes every job
+    whose fire time has passed (missed ticks collapse into ONE run —
+    the reference's run-if-missed catch-up, not a replay storm)."""
+
+    jobs: list[ScheduledJob] = field(default_factory=list)
+
+    def add(self, name: str, cron_expr: str, fn, now: datetime.datetime) -> ScheduledJob:
+        job = ScheduledJob(name=name, cron=Cron.parse(cron_expr), fn=fn)
+        job.next_fire = job.cron.next_fire(now)
+        self.jobs.append(job)
+        return job
+
+    def add_table_maintenance(
+        self, catalog, ident: str, cron_expr: str, now: datetime.datetime, dry_run: bool = False
+    ) -> ScheduledJob:
+        """The reference's per-table schedule: all four jobs in
+        MaintenanceRunner order on each fire."""
+
+        def fn(_now):
+            return perform_maintenance(catalog.load_table(ident), dry_run=dry_run)
+
+        return self.add(f"maintenance:{ident}", cron_expr, fn, now)
+
+    def run_pending(self, now: datetime.datetime) -> dict[str, object]:
+        ran: dict[str, object] = {}
+        for job in self.jobs:
+            if job.next_fire is not None and job.next_fire <= now:
+                job.last_result = job.fn(now)
+                job.runs += 1
+                ran[job.name] = job.last_result
+                # collapse missed intervals: schedule from NOW
+                job.next_fire = job.cron.next_fire(now)
+        return ran
+
+    def due(self, now: datetime.datetime) -> list[str]:
+        return [j.name for j in self.jobs if j.next_fire is not None and j.next_fire <= now]

@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--compression", default="gzip")
     sp.add_argument("--format", dest="input_format", default="parquet",
                     choices=["parquet", "csv", "json"])
+    sp.add_argument("--file-naming", dest="file_naming", default="default",
+                    choices=["default", "preserve"],
+                    help="preserve = keep source basenames (PRESERVE_ORIGINAL)")
 
     sp = sub.add_parser("scan")
     sp.add_argument("table")
@@ -144,6 +147,14 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["parquet", "csv", "json"])
     sp.add_argument("--snapshot", type=int, default=None)
     sp.add_argument("--compression", default="zstd")
+
+    sp = sub.add_parser("export-iceberg")
+    sp.add_argument("table")
+    sp.add_argument("dest", help="directory to write Iceberg v2 metadata into")
+
+    sp = sub.add_parser("register-iceberg")
+    sp.add_argument("table", help="catalog identifier to create")
+    sp.add_argument("metadata_file", help="foreign Iceberg v2 metadata.json")
 
     sp = sub.add_parser("analyze")
     sp.add_argument("table")
@@ -227,7 +238,62 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "describe-metadata":
         with open(args.metadata_file) as f:
-            print(json.dumps(json.load(f), indent=1))
+            meta = json.load(f)
+        if "format-version" in meta:
+            # Iceberg metadata.json: render the DescribeMetadata.java
+            # drill-down (47-220) — summary, schema w/ field ids,
+            # snapshots, manifests with file counts — instead of the
+            # raw dump (manifests are Avro, not human-readable).
+            from ice_spark.catalog.iceberg_export import (
+                read_iceberg_manifest,
+                read_iceberg_manifest_list,
+            )
+
+            snapshots = []
+            for s in meta.get("snapshots", []):
+                entry = {
+                    "snapshot_id": s["snapshot-id"],
+                    "sequence_number": s.get("sequence-number"),
+                    "timestamp_ms": s.get("timestamp-ms"),
+                    "operation": s.get("summary", {}).get("operation"),
+                    "manifest_list": s.get("manifest-list"),
+                    "manifests": [],
+                }
+                try:
+                    for mf in read_iceberg_manifest_list(s["manifest-list"]):
+                        files = read_iceberg_manifest(mf["manifest_path"])
+                        entry["manifests"].append(
+                            {
+                                "path": mf["manifest_path"],
+                                "added_files": mf.get("added_files_count"),
+                                "rows": mf.get("added_rows_count"),
+                                "files": [
+                                    e["data_file"]["file_path"] for e in files
+                                ],
+                            }
+                        )
+                except (OSError, ValueError) as e:
+                    entry["manifests"] = f"unreadable: {e}"
+                snapshots.append(entry)
+            out = {
+                "summary": {
+                    "table_uuid": meta.get("table-uuid"),
+                    "format_version": meta["format-version"],
+                    "location": meta.get("location"),
+                    "current_snapshot_id": meta.get("current-snapshot-id"),
+                    "last_sequence_number": meta.get("last-sequence-number"),
+                },
+                "schema": meta.get("schemas", [{}])[
+                    meta.get("current-schema-id", 0)
+                    if meta.get("current-schema-id", 0) < len(meta.get("schemas", []))
+                    else 0
+                ],
+                "partition_specs": meta.get("partition-specs"),
+                "snapshots": snapshots,
+            }
+            print(json.dumps(out, indent=1))
+        else:
+            print(json.dumps(meta, indent=1))
         return 0
 
     from ice_spark.catalog import Catalog
@@ -322,6 +388,7 @@ def main(argv: list[str] | None = None) -> int:
             sort_order=args.sort,
             no_commit=args.no_commit,
             input_format=args.input_format,
+            file_naming=args.file_naming,
         )
     elif args.cmd == "sql":
         # Register every table as a `<ns>_<table>` view and run the
@@ -344,6 +411,19 @@ def main(argv: list[str] | None = None) -> int:
             w = w.option("header", "true")
         getattr(w, args.out_format)(args.dest)
         out = {"exported": args.table, "dest": args.dest, "format": args.out_format}
+    elif args.cmd == "export-iceberg":
+        from ice_spark.catalog.iceberg_export import export_iceberg
+
+        out = export_iceberg(cat.load_table(args.table), args.dest)
+    elif args.cmd == "register-iceberg":
+        from ice_spark.catalog.iceberg_import import register_iceberg_table
+
+        t = register_iceberg_table(cat, args.table, args.metadata_file)
+        out = {
+            "registered": args.table,
+            "files": len(t.files()),
+            "records": sum(e.get("records", 0) for e in t.files()),
+        }
     elif args.cmd == "analyze":
         out = cat.load_table(args.table).analyze(approx=not args.exact)
     elif args.cmd == "tag":

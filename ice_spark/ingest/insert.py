@@ -133,12 +133,21 @@ def insert(
     retry_list: str | None = None,
     assume_sorted: bool = False,
     input_format: str = "parquet",
+    file_naming: str = "default",
 ) -> dict:
     """Ingest parquet files; returns a summary dict.
 
     retry_list: path of a file to append the inputs to if the insert
     fails, for later re-run (Insert.java:202-251 / RetryLog.java).
+
+    file_naming: "default" = <ts>-<unique>.parquet (the reference's
+    DataFileNamingStrategy.DEFAULT, Insert.java:835-881); "preserve"
+    = keep each source file's basename (PRESERVE_ORIGINAL) — copies
+    per input file (one output per input per partition), erroring on
+    basename collisions instead of silently renaming.
     """
+    if file_naming not in ("default", "preserve"):
+        raise ValueError(f"unsupported file_naming {file_naming!r}")
     if compression == "as-source":
         compression = sniff_compression(files[0]) if files else "gzip"
     if compression not in COMPRESSIONS:
@@ -259,7 +268,9 @@ def insert(
                 }
             )
     else:
-        entries = _copy_write(table, files, compression, version, input_format)
+        entries = _copy_write(
+            table, files, compression, version, input_format, file_naming
+        )
 
     if no_commit:
         summary["staged"] = len(entries)
@@ -299,13 +310,17 @@ def _copy_write(
     compression: str,
     schema_version: int,
     input_format: str = "parquet",
+    file_naming: str = "default",
 ) -> list[dict]:
     """Read inputs (each with its own schema, aligned to the table
     schema), apply partition transforms + sort order, write parquet,
-    collect manifest entries."""
+    collect manifest entries. Default naming unions every input into
+    ONE Spark job; preserve naming copies per input file (1:1 names
+    require 1:1 jobs — the reference's own per-file worker model,
+    Insert.java:209-271)."""
     spark = table.spark
-    aligned = None
-    for f in files:
+
+    def align(f: str):
         df = read_input(spark, f, input_format)
         sel = [
             (F.col(fl.name) if fl.name in df.columns else F.lit(None))
@@ -313,7 +328,29 @@ def _copy_write(
             .alias(fl.name)
             for fl in table.schema.fields
         ]
-        part = df.select(*sel)
+        return df.select(*sel)
+
+    if file_naming == "preserve":
+        basenames = [os.path.basename(f) for f in files]
+        if len(set(basenames)) != len(basenames):
+            raise ValueError(f"duplicate basenames under preserve naming: {basenames}")
+        entries: list[dict] = []
+        for f in files:
+            entries.extend(
+                _write_df(
+                    table,
+                    align(f).coalesce(1),
+                    compression,
+                    schema_version,
+                    source_files=[f],
+                    name_override=os.path.basename(f),
+                )
+            )
+        return entries
+
+    aligned = None
+    for f in files:
+        part = align(f)
         aligned = part if aligned is None else aligned.unionByName(part)
     return _write_df(table, aligned, compression, schema_version, source_files=files)
 
@@ -324,6 +361,7 @@ def _write_df(
     compression: str,
     schema_version: int,
     source_files: list[str] | None = None,
+    name_override: str | None = None,
 ) -> list[dict]:
     pspec = table.partition_spec
     sorder = table.sort_order
@@ -367,7 +405,16 @@ def _write_df(
                 # under data/[partition dirs] (Insert.java:835-881)
                 dst_dir = os.path.join(table.data_dir, *part_dirs)
                 os.makedirs(dst_dir, exist_ok=True)
-                new_name = f"{ts}-{uuid.uuid4().hex[:16]}.parquet"
+                if name_override is not None:
+                    # PRESERVE_ORIGINAL: basename per partition dir;
+                    # collisions are an error, never a silent rename
+                    new_name = name_override
+                    if os.path.exists(os.path.join(dst_dir, new_name)):
+                        raise ValueError(
+                            f"preserve naming collision: {os.path.join(dst_dir, new_name)}"
+                        )
+                else:
+                    new_name = f"{ts}-{uuid.uuid4().hex[:16]}.parquet"
                 dst = os.path.join(dst_dir, new_name)
                 shutil.move(src, dst)
                 rows, size = _footer_stats(dst)

@@ -1,0 +1,223 @@
+"""Iceberg import (reverse bridge): register a foreign Iceberg v2
+table and query it through the engine — the pyiceberg-cross-client
+property (ice_scan.py) in the other direction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ice_spark.catalog import Catalog
+from ice_spark.catalog.iceberg_export import export_iceberg
+from ice_spark.catalog.iceberg_import import (
+    iceberg_to_spark_schema,
+    register_iceberg_table,
+)
+from ice_spark.ingest import insert
+
+
+def test_schema_conversion_roundtrip():
+    ice = {
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "a", "required": True, "type": "long"},
+            {"id": 2, "name": "b", "required": False, "type": "string"},
+            {"id": 3, "name": "c", "required": False, "type": "decimal(12, 2)"},
+            {
+                "id": 4,
+                "name": "tags",
+                "required": False,
+                "type": {
+                    "type": "list",
+                    "element-id": 5,
+                    "element": "string",
+                    "element-required": False,
+                },
+            },
+            {
+                "id": 6,
+                "name": "nested",
+                "required": False,
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        {"id": 7, "name": "x", "required": True, "type": "int"}
+                    ],
+                },
+            },
+        ],
+    }
+    st = iceberg_to_spark_schema(ice)
+    assert st["a"].dataType == T.LongType() and not st["a"].nullable
+    assert st["c"].dataType == T.DecimalType(12, 2)
+    assert st["tags"].dataType == T.ArrayType(T.StringType(), True)
+    assert st["nested"].dataType["x"].dataType == T.IntegerType()
+
+    with pytest.raises(ValueError, match="unsupported"):
+        iceberg_to_spark_schema(
+            {"fields": [{"id": 1, "name": "z", "type": "wat", "required": False}]}
+        )
+
+
+def test_export_import_roundtrip(spark, tmp_path):
+    """ice_spark writes Iceberg, a 'foreign' catalog imports it and
+    serves identical rows, with column-bound pruning intact."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("ns")
+    t = cat.create_table(
+        "ns.src",
+        schema=T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("grp", T.StringType()),
+                T.StructField("val", T.DoubleType()),
+            ]
+        ),
+        partition_spec=[{"column": "grp"}],
+    )
+    df = spark.range(0, 60).select(
+        "id",
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+        (F.col("id") * 2.0).alias("val"),
+    )
+    import glob
+
+    src = str(tmp_path / "in.parquet")
+    df.coalesce(2).write.parquet(src)
+    insert(t, sorted(glob.glob(src + "/*.parquet")))
+
+    summary = export_iceberg(t, str(tmp_path / "ice"))
+
+    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    cat2.create_namespace("ext")
+    imp = register_iceberg_table(cat2, "ext.src", summary["metadata_file"])
+
+    ours = {tuple(r) for r in t.read().collect()}
+    theirs = {tuple(r) for r in imp.read().collect()}
+    assert ours == theirs
+
+    # identity partition values survive -> partition pruning works
+    planned = imp.plan_files([{"name": "grp", "op": "equals", "values": ["g1"]}])
+    assert planned and all(e["partition"]["grp"] == "g1" for e in planned)
+    assert len(planned) < len(imp.files())
+
+    # column bounds survive -> bound pruning works on imported entries
+    some = imp.plan_files([{"name": "id", "op": "greater_than", "values": [999]}])
+    assert some == []  # max id is 59: every file pruned by bounds
+
+    # imported files are external: purge-style ops must never delete them
+    assert all(e.get("external") for e in imp.files())
+
+
+def test_import_refuses_delete_manifests(spark, tmp_path):
+    """v2 merge-on-read tables (delete manifests) are rejected loudly."""
+    import json
+
+    from ice_spark.catalog.iceberg_import import iceberg_table_entries
+    from ice_spark.sources import avro_io
+    from ice_spark.catalog.iceberg_export import MANIFEST_LIST_SCHEMA
+
+    meta_dir = tmp_path / "t" / "metadata"
+    meta_dir.mkdir(parents=True)
+    ml = str(meta_dir / "snap-1.avro")
+    avro_io.write_container(
+        ml,
+        MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": str(meta_dir / "m1.avro"),
+                "manifest_length": 0,
+                "partition_spec_id": 0,
+                "content": 1,  # DELETES manifest
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 1,
+                "added_files_count": 0,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+                "key_metadata": None,
+            }
+        ],
+    )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "u",
+        "location": str(tmp_path / "t"),
+        "last-sequence-number": 1,
+        "last-updated-ms": 0,
+        "last-column-id": 1,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [{"id": 1, "name": "id", "required": False, "type": "long"}],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "sequence-number": 1,
+                "timestamp-ms": 0,
+                "manifest-list": ml,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            }
+        ],
+    }
+    mf = str(meta_dir / "v1.metadata.json")
+    with open(mf, "w") as f:
+        json.dump(metadata, f)
+    with pytest.raises(ValueError, match="delete manifests|merge-on-read"):
+        iceberg_table_entries(mf)
+
+
+def test_cli_iceberg_roundtrip(spark, tmp_path, capsys, monkeypatch):
+    """CLI surface: export-iceberg -> describe-metadata (Iceberg
+    drill-down) -> register-iceberg, end to end."""
+    import glob
+    import json
+
+    import ice_spark.session as session_mod
+    from ice_spark.cli import main
+
+    # the CLI builds its own session; reuse the test session
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: spark)
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(spark, wh)
+    cat.create_namespace("ns")
+    t = cat.create_table(
+        "ns.t",
+        schema=T.StructType([T.StructField("id", T.LongType())]),
+    )
+    src = str(tmp_path / "s.parquet")
+    spark.range(0, 30).coalesce(1).write.parquet(src)
+    insert(t, sorted(glob.glob(src + "/*.parquet")))
+
+    dest = str(tmp_path / "ice")
+    assert main(["--warehouse", wh, "export-iceberg", "ns.t", dest]) == 0
+    out = json.loads(capsys.readouterr().out)
+    meta_file = out["metadata_file"]
+
+    assert main(["--warehouse", wh, "describe-metadata", meta_file]) == 0
+    desc = json.loads(capsys.readouterr().out)
+    assert desc["summary"]["format_version"] == 2
+    assert desc["snapshots"][0]["manifests"][0]["files"]
+
+    cat.create_namespace("ext")
+    assert main(["--warehouse", wh, "register-iceberg", "ext.t", meta_file]) == 0
+    reg = json.loads(capsys.readouterr().out)
+    assert reg["records"] == 30
+    assert cat.load_table("ext.t").read().count() == 30

@@ -99,3 +99,38 @@ def test_scheme_routing(tmp_path):
 
     with pytest.raises(ValueError, match="unsupported input scheme"):
         resolve_input("s3://bucket/k.parquet")
+
+
+def test_preserve_original_file_naming(cat, tmp_path, spark):
+    """PRESERVE_ORIGINAL naming on the copy path
+    (Insert.DataFileNamingStrategy, Insert.java:835-881)."""
+    import glob
+    import os
+    import shutil
+
+    from ice_spark.catalog.table import Table
+
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame(
+        [(1, "a", 0.5), (2, "b", 1.5)], schema=SCHEMA
+    ).coalesce(1).write.parquet(stage)
+    src = glob.glob(stage + "/*.parquet")[0]
+    named = str(tmp_path / "batch-0001.parquet")
+    shutil.copy(src, named)
+
+    t = cat.create_table("ns.preserve", schema=SCHEMA)
+    insert(t, [named], file_naming="preserve")
+    paths = [e["path"] for e in t.files()]
+    assert paths == ["data/batch-0001.parquet"]
+    assert t.read().count() == 2
+
+    # collision with the existing target is an error, not a rename
+    named2 = str(tmp_path / "copy2" )
+    os.makedirs(named2)
+    named2 = os.path.join(named2, "batch-0001.parquet")
+    shutil.copy(src, named2)
+    with pytest.raises(Exception, match="collision|already ingested"):
+        insert(t, [named2], file_naming="preserve", force_duplicates=True)
+    # default naming unaffected
+    insert(t, [named2], force_duplicates=True)
+    assert t.read().count() == 4

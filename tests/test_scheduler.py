@@ -1,0 +1,96 @@
+"""Cron parser + maintenance scheduler tests
+(MaintenanceScheduler.java:34-115 parity; explicit clock, no daemon)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from ice_spark.catalog.scheduler import Cron, MaintenanceSchedule
+
+DT = datetime.datetime
+
+
+class TestCron:
+    def test_every_minute(self):
+        c = Cron.parse("* * * * *")
+        assert c.next_fire(DT(2026, 1, 1, 0, 0)) == DT(2026, 1, 1, 0, 1)
+
+    def test_daily_at_3(self):
+        c = Cron.parse("0 3 * * *")
+        assert c.next_fire(DT(2026, 1, 1, 2, 59)) == DT(2026, 1, 1, 3, 0)
+        assert c.next_fire(DT(2026, 1, 1, 3, 0)) == DT(2026, 1, 2, 3, 0)
+
+    def test_step_and_list(self):
+        c = Cron.parse("*/15 0,12 * * *")
+        assert c.next_fire(DT(2026, 1, 1, 0, 16)) == DT(2026, 1, 1, 0, 30)
+        assert c.next_fire(DT(2026, 1, 1, 0, 46)) == DT(2026, 1, 1, 12, 0)
+
+    def test_range(self):
+        c = Cron.parse("0 9-17 * * *")
+        assert c.next_fire(DT(2026, 1, 1, 17, 1)) == DT(2026, 1, 2, 9, 0)
+
+    def test_weekday(self):
+        # 2026-01-01 is a Thursday (weekday 3); 4 = Friday
+        c = Cron.parse("0 0 * * 4")
+        assert c.next_fire(DT(2026, 1, 1, 0, 0)) == DT(2026, 1, 2, 0, 0)
+
+    def test_month_and_dom(self):
+        c = Cron.parse("30 6 29 2 *")  # Feb 29 — only leap years
+        assert c.next_fire(DT(2026, 1, 1)) == DT(2028, 2, 29, 6, 30)
+
+    def test_invalid(self):
+        with pytest.raises(ValueError):
+            Cron.parse("* * * *")
+        with pytest.raises(ValueError):
+            Cron.parse("61 * * * *")
+        with pytest.raises(ValueError):
+            Cron.parse("* 25 * * *")
+
+
+class TestSchedule:
+    def test_fires_once_per_interval(self):
+        sched = MaintenanceSchedule()
+        calls = []
+        sched.add("job", "0 * * * *", lambda now: calls.append(now), DT(2026, 1, 1, 0, 30))
+        assert sched.run_pending(DT(2026, 1, 1, 0, 45)) == {}
+        ran = sched.run_pending(DT(2026, 1, 1, 1, 0))
+        assert "job" in ran and len(calls) == 1
+        # same tick again: not due
+        assert sched.run_pending(DT(2026, 1, 1, 1, 0)) == {}
+
+    def test_missed_ticks_collapse_to_one_run(self):
+        """Host was down for 5 hours: ONE catch-up run, not 5."""
+        sched = MaintenanceSchedule()
+        calls = []
+        sched.add("job", "0 * * * *", lambda now: calls.append(now), DT(2026, 1, 1, 0, 0))
+        sched.run_pending(DT(2026, 1, 1, 6, 10))
+        assert len(calls) == 1
+        # next fire is relative to NOW, not the missed backlog
+        assert sched.jobs[0].next_fire == DT(2026, 1, 1, 7, 0)
+
+    def test_table_maintenance_job(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from ice_spark.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        cat.create_namespace("ns")
+        cat.create_table(
+            "ns.t", schema=T.StructType([T.StructField("id", T.LongType())])
+        )
+        sched = MaintenanceSchedule()
+        sched.add_table_maintenance(
+            cat, "ns.t", "0 3 * * *", DT(2026, 1, 1, 0, 0), dry_run=True
+        )
+        ran = sched.run_pending(DT(2026, 1, 1, 3, 0))
+        result = ran["maintenance:ns.t"]
+        # all four reference jobs ran (MaintenanceRunner order)
+        assert set(result) == {
+            "data_compaction",
+            "manifest_compaction",
+            "snapshot_cleanup",
+            "orphan_cleanup",
+        }
+        assert sched.jobs[0].runs == 1
