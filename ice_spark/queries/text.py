@@ -992,3 +992,157 @@ def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cont >= 0.9)
         .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
     )
+
+
+@register(
+    "d08_contamination",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN (doc_id * 2654435761) % 2147483648 % 10 = 0
+                  THEN 'eval' ELSE 'train' END AS split,
+             list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, split,
+             UNNEST(list_transform(generate_series(1, len(t) - 12),
+                    i -> array_to_string(t[i:i+12], ' '))) AS g
+      FROM toks WHERE len(t) >= 13
+    ),
+    ev AS (SELECT DISTINCT doc_id, g FROM grams WHERE split = 'eval'),
+    tr AS (SELECT DISTINCT doc_id, g FROM grams WHERE split = 'train')
+    SELECT ev.doc_id AS eval_doc,
+           CAST(COUNT(DISTINCT ev.g) AS BIGINT) AS shared_13grams,
+           CAST(COUNT(DISTINCT tr.doc_id) AS BIGINT) AS train_docs
+    FROM ev JOIN tr ON ev.g = tr.g
+    GROUP BY ev.doc_id
+    """,
+    doc="Train/eval contamination check (the decontamination pass "
+    "every LLM data pipeline runs before training): deterministic "
+    "hash split (10% eval), then eval docs sharing any 13-gram with "
+    "a train doc, with overlap counts. The join key here is the "
+    "13-gram STRING so the DuckDB oracle replays it exactly; at "
+    "100 TB the same plan joins on xxhash64(gram) — 8-byte shuffle "
+    "keys, identical shape (cf. the d02 inverted shingle index). "
+    "Both sides dedup grams per doc BEFORE the join (the inverted "
+    "index explodes once per distinct gram, not per occurrence).",
+)
+def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    toks = T.tokens_sql("text")
+    base = doc.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN (doc_id * 2654435761) % 2147483648 % 10 = 0 "
+            "THEN 'eval' ELSE 'train' END"
+        ).alias("split"),
+        F.expr(toks).alias("t"),
+    ).where(F.expr("size(t) >= 13"))
+    grams = base.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 12), "
+                "i -> concat_ws(' ', slice(t, i, 13)))"
+            )
+        ).alias("g"),
+    ).distinct()
+    ev = grams.where(F.col("split") == "eval").select(
+        F.col("doc_id").alias("eval_doc"), "g"
+    )
+    tr = grams.where(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "g"
+    )
+    return (
+        ev.join(tr, "g")
+        .groupBy("eval_doc")
+        .agg(
+            F.countDistinct("g").alias("shared_13grams"),
+            F.countDistinct("train_doc").alias("train_docs"),
+        )
+    )
+
+
+@register(
+    "t11_pii_scrub",
+    """
+    WITH seeded AS (
+      -- synthesized PII column: the driver corpus is word salad, so
+      -- the PII is injected deterministically (same rule both
+      -- engines) and then DETECTED + REDACTED by the operator under
+      -- test -- the regex pipeline is what's being verified.
+      SELECT doc_id, source,
+             text || CASE
+               WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+               WHEN doc_id % 3 = 1
+                 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || ' or 555-123-4567'
+               ELSE ''
+             END AS text
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id, source, text,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(text,
+                 '\\+?1?[- ]?\\(?555\\)?[- ]?[0-9]{3,4}([- ][0-9]{4})?')) AS n_phones,
+             regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\+?1?[- ]?\\(?555\\)?[- ]?[0-9]{3,4}([- ][0-9]{4})?', '<PHONE>', 'g')
+               AS clean
+      FROM seeded
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+           CAST(SUM(CASE WHEN n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+           CAST(SUM(n_emails + n_phones) AS BIGINT) AS total_redactions,
+           CAST(SUM(len(text) - len(clean)) AS BIGINT) AS chars_removed
+    FROM scrubbed
+    GROUP BY source
+    """,
+    doc="PII detection + redaction audit per source (email/phone "
+    "regexes -> <EMAIL>/<PHONE> placeholders), counting detected "
+    "spans and characters removed. The corpus is synthetic word "
+    "salad, so PII is INJECTED deterministically first (same rule "
+    "in both engines) and the detection/redaction pipeline is "
+    "what's verified. Map-only regexp expressions + one aggregate "
+    "shuffle: the exact shape of a 100 TB scrubbing pass.",
+)
+def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}"
+    phone_re = "\\\\+?1?[- ]?\\\\(?555\\\\)?[- ]?[0-9]{3,4}([- ][0-9]{4})?"
+    seeded = doc.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "text || CASE "
+            "WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS STRING) "
+            "|| '@example.com now' "
+            "WHEN doc_id % 3 = 1 THEN ' call +1-555-' "
+            "|| lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' or 555-123-4567' "
+            "ELSE '' END"
+        ).alias("text"),
+    )
+    scrubbed = seeded.select(
+        "source",
+        "text",
+        F.expr(f"size(regexp_extract_all(text, '{email_re}', 0))").alias("n_emails"),
+        F.expr(f"size(regexp_extract_all(text, '{phone_re}', 0))").alias("n_phones"),
+        F.expr(
+            f"regexp_replace(regexp_replace(text, '{email_re}', '<EMAIL>'), "
+            f"'{phone_re}', '<PHONE>')"
+        ).alias("clean"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.when(F.col("n_emails") > 0, 1).otherwise(0)).alias("docs_with_email"),
+        F.sum(F.when(F.col("n_phones") > 0, 1).otherwise(0)).alias("docs_with_phone"),
+        F.sum(F.col("n_emails") + F.col("n_phones")).alias("total_redactions"),
+        (F.sum(F.length("text") - F.length("clean"))).alias("chars_removed"),
+    )

@@ -485,3 +485,104 @@ def v09(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
+
+
+def _v10_oracle() -> str:
+    # Replays the same deterministic k-means index build as the v06
+    # oracle (integer-hash seeding, one quantized Lloyd iteration,
+    # nearest-list assignment), then finds near-duplicate pairs
+    # WITHIN each cluster — the SemDeDup candidate-space reduction.
+    from ice_spark.operators.ivf import _SEED_HASH_MOD, _SEED_HASH_MULT
+
+    def dist(vec: str, cent: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            "list_transform(generate_series(1, 64), i -> "
+            f"(CAST({vec}[i] AS DOUBLE) - {cent}[i]) * "
+            f"(CAST({vec}[i] AS DOUBLE) - {cent}[i]))), (x, y) -> x + y)"
+        )
+
+    return f"""
+    WITH seed AS (
+      SELECT lid, embedding FROM (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (
+                 ORDER BY (vec_id * {_SEED_HASH_MULT}) % {_SEED_HASH_MOD}, vec_id
+               ) - 1 AS lid
+        FROM embeddings) t WHERE lid < 8
+    ),
+    c0 AS (SELECT lid, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS c FROM seed),
+    a0 AS (
+      SELECT vec_id, embedding, lid FROM (
+        SELECT e.vec_id, e.embedding, k.lid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id ORDER BY {dist('e.embedding', 'k.c')}, k.lid
+               ) AS rn
+        FROM embeddings e CROSS JOIN c0 k) t WHERE rn = 1
+    ),
+    upd AS (
+      SELECT lid, i AS dim,
+             CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 1e6) AS m
+      FROM a0 CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i)
+      GROUP BY lid, i
+    ),
+    c1 AS (
+      SELECT c0.lid, COALESCE(u.c, c0.c) AS c
+      FROM c0 LEFT JOIN (
+        SELECT lid, list(m ORDER BY dim) AS c FROM upd GROUP BY lid) u USING (lid)
+    ),
+    a1 AS (
+      SELECT vec_id, embedding, lid FROM (
+        SELECT e.vec_id, e.embedding, k.lid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id ORDER BY {dist('e.embedding', 'k.c')}, k.lid
+               ) AS rn
+        FROM embeddings e CROSS JOIN c1 k) t WHERE rn = 1
+    )
+    SELECT lid, vec_a, vec_b, cos_sim FROM (
+      SELECT a.lid AS lid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+                   / ({_SQL_NORM.format(a='a.embedding')}
+                      * {_SQL_NORM.format(a='b.embedding')}), 6) AS cos_sim
+      FROM a1 a JOIN a1 b ON a.lid = b.lid AND a.vec_id < b.vec_id) p
+    WHERE cos_sim >= 0.45
+    """
+
+
+@register(
+    "v10_semantic_dedup",
+    _v10_oracle(),
+    doc="SemDeDup-style semantic near-duplicate pairs: cluster "
+    "embeddings with the deterministic k-means (same replayable "
+    "index build as v06), then compare pairs only WITHIN a cluster "
+    "(rounded cosine >= 0.45). All-pairs is O(n^2); clustering cuts "
+    "the candidate space to sum(cluster^2) — the standard embedding-"
+    "dedup shape for a 100 TB corpus, where n_lists grows with n to "
+    "keep clusters bounded. Pairs split across clusters are missed "
+    "by construction (documented SemDeDup trade).",
+)
+def v10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.ivf import assign_lists, train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(
+        emb, "embedding", n_lists=8, iterations=1, id_col="vec_id"
+    )
+    assigned = assign_lists(
+        emb.select("vec_id", "embedding"), "embedding", cents
+    ).select(F.col("__list").alias("lid"), "vec_id", "embedding")
+    a = assigned.select(
+        "lid", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("__va")
+    )
+    b = assigned.select(
+        "lid", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("__vb")
+    )
+    cos = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    return (
+        a.join(b, "lid")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cos)
+        .where(F.col("cos_sim") >= 0.45)
+        .select("lid", "vec_a", "vec_b", "cos_sim")
+    )

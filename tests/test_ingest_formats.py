@@ -97,8 +97,10 @@ def test_scheme_routing(tmp_path):
     p3 = resolve_input("http://example.com/data/g.parquet", cache_dir=cache, opener=opener)
     assert p3 != p1 and len(calls) == 2
 
-    with pytest.raises(ValueError, match="unsupported input scheme"):
+    with pytest.raises(ValueError, match="requires a bound client"):
         resolve_input("s3://bucket/k.parquet")
+    with pytest.raises(ValueError, match="unsupported input scheme"):
+        resolve_input("gopher://bucket/k.parquet")
 
 
 def test_preserve_original_file_naming(cat, tmp_path, spark):
@@ -134,3 +136,49 @@ def test_preserve_original_file_naming(cat, tmp_path, spark):
     # default naming unaffected
     insert(t, [named2], force_duplicates=True)
     assert t.read().count() == 4
+
+
+def test_s3_scheme_seam(cat, tmp_path, spark):
+    """s3:// routing: full path exercised with a fake boto3-shaped
+    client (download_fileobj); unbound scheme raises instructively."""
+    import glob
+
+    from ice_spark.sources.fetch import (
+        register_scheme,
+        resolve_input,
+        s3_fetcher,
+        unregister_scheme,
+    )
+
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame([(1, "a", 0.5)], schema=SCHEMA).coalesce(1).write.parquet(
+        stage
+    )
+    src = glob.glob(stage + "/*.parquet")[0]
+
+    with pytest.raises(ValueError, match="requires a bound client"):
+        resolve_input("s3://bucket/key.parquet", cache_dir=str(tmp_path / "c0"))
+
+    calls = []
+
+    class FakeS3Client:
+        def download_fileobj(self, Bucket, Key, Fileobj):
+            calls.append((Bucket, Key))
+            with open(src, "rb") as f:
+                Fileobj.write(f.read())
+
+    register_scheme("s3", s3_fetcher(FakeS3Client()))
+    try:
+        cache = str(tmp_path / "cache")
+        local = resolve_input("s3://my-bucket/data/part-0.parquet", cache_dir=cache)
+        assert local.endswith("part-0.parquet")
+        assert calls == [("my-bucket", "data/part-0.parquet")]
+        # cache hit: no second download
+        again = resolve_input("s3://my-bucket/data/part-0.parquet", cache_dir=cache)
+        assert again == local and len(calls) == 1
+        # the fetched object ingests like any local parquet
+        t = cat.create_table("ns.s3t", schema=SCHEMA)
+        insert(t, [local])
+        assert t.read().count() == 1
+    finally:
+        unregister_scheme("s3")
