@@ -114,3 +114,26 @@ def test_new_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
 def test_latest_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
     a = _audit(spark, sf_dir, name)
     assert a.shuffles <= max_exchanges, f"{name}: {a.shuffles} shuffles\n{a.plan[:2000]}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("t11_pii_scrub", 1),  # map-only regex + one final agg
+        ("d08_contamination", 4),  # gram dedup + 2-sided join + agg
+        ("v10_semantic_dedup", 3),  # assign is narrow; join + pairs
+    ],
+)
+def test_round3_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
+    a = _audit(spark, sf_dir, name)
+    assert a.shuffles <= max_exchanges, f"{name}: {a.shuffles} shuffles\n{a.plan[:2000]}"
+    assert "CartesianProduct" not in a.plan
+
+
+def test_lsh_cap_single_bucket_shuffle(spark, sf_dir):
+    """The bucket-size cap must ride the window over the bucket key,
+    not an extra aggregate+join (one shuffle of the bucket set saved;
+    regression here re-doubles d04's heaviest exchange)."""
+    a = _audit(spark, sf_dir, "d04_minhash_lsh_pairs")
+    assert a.shuffles <= 5, a.plan[:2000]
+    assert a.sort_merge_joins == 0
