@@ -586,3 +586,118 @@ def v10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos_sim") >= 0.45)
         .select("lid", "vec_a", "vec_b", "cos_sim")
     )
+
+
+def _v11_oracle() -> str:
+    # Full SQL replay of the PQ pipeline: shared seed rows (same
+    # integer hash as v06/v10), per-subspace one-iteration Lloyd with
+    # integer-microunit means, corpus encoding (argmin with kid
+    # tie-break), and ADC scoring in integer microunits summed as
+    # BIGINTs — every float comparison folds left-to-right in both
+    # engines, every sum is exact.
+    from ice_spark.operators.ivf import _SEED_HASH_MOD, _SEED_HASH_MULT
+
+    M, K, DSUB = 8, 16, 8
+
+    def dist_sub(vec: str, m: str, cent: str) -> str:
+        # squared L2 between subspace m's slice of `vec` and centroid
+        # list `cent`, folding dims left-to-right
+        return (
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {DSUB}), i -> "
+            f"(CAST({vec}[{m} * {DSUB} + i] AS DOUBLE) - {cent}[i]) * "
+            f"(CAST({vec}[{m} * {DSUB} + i] AS DOUBLE) - {cent}[i]))), (x, y) -> x + y)"
+        )
+
+    return f"""
+    WITH ms AS (SELECT UNNEST(generate_series(0, {M - 1})) AS m),
+    seed AS (
+      SELECT kid, embedding FROM (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (
+                 ORDER BY (vec_id * {_SEED_HASH_MULT}) % {_SEED_HASH_MOD}, vec_id
+               ) - 1 AS kid
+        FROM embeddings) t WHERE kid < {K}
+    ),
+    c0 AS (
+      SELECT ms.m, seed.kid,
+             list_transform(generate_series(1, {DSUB}),
+                            i -> CAST(embedding[ms.m * {DSUB} + i] AS DOUBLE)) AS c
+      FROM seed CROSS JOIN ms
+    ),
+    a0 AS (
+      SELECT vec_id, m, kid FROM (
+        SELECT e.vec_id, c0.m, c0.kid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id, c0.m
+                 ORDER BY {dist_sub('e.embedding', 'c0.m', 'c0.c')}, c0.kid
+               ) AS rn
+        FROM embeddings e CROSS JOIN c0) t WHERE rn = 1
+    ),
+    upd AS (
+      SELECT a0.m, a0.kid, i.i AS dim,
+             CAST(SUM(CAST(ROUND(
+               CAST(e.embedding[a0.m * {DSUB} + i.i] AS DOUBLE) * 1e6) AS BIGINT))
+               AS DOUBLE) / (COUNT(*) * 1e6) AS mval
+      FROM a0 JOIN embeddings e USING (vec_id)
+      CROSS JOIN (SELECT UNNEST(generate_series(1, {DSUB})) AS i) i
+      GROUP BY a0.m, a0.kid, i.i
+    ),
+    c1 AS (
+      SELECT c0.m, c0.kid, COALESCE(u.c, c0.c) AS c
+      FROM c0 LEFT JOIN (
+        SELECT m, kid, list(mval ORDER BY dim) AS c FROM upd GROUP BY m, kid) u
+        ON u.m = c0.m AND u.kid = c0.kid
+    ),
+    enc AS (
+      SELECT vec_id, m, kid FROM (
+        SELECT e.vec_id, c1.m, c1.kid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id, c1.m
+                 ORDER BY {dist_sub('e.embedding', 'c1.m', 'c1.c')}, c1.kid
+               ) AS rn
+        FROM embeddings e CROSS JOIN c1) t WHERE rn = 1
+    ),
+    adc AS (
+      SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id,
+             SUM(CAST(ROUND({dist_sub('q.embedding', 'enc.m', 'c1.c')} * 1e6)
+                      AS BIGINT)) AS adc_u
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+      JOIN enc ON q.vec_id <> enc.vec_id
+      JOIN c1 ON c1.m = enc.m AND c1.kid = enc.kid
+      GROUP BY q.vec_id, enc.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT query_id, neighbor_id,
+             CAST(adc_u AS DOUBLE) / 1e6 AS adc_dist,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY adc_u, neighbor_id) AS INT) AS rank
+      FROM adc) r WHERE rank <= 3
+    """
+
+
+@register(
+    "v11_pq_adc_ann",
+    _v11_oracle(),
+    doc="Product-quantization ANN (Jegou et al. 2011): 8 subspaces x "
+    "16 codewords = 4-byte codes per 64-dim vector (64x compression "
+    "— the difference between vectors fitting in memory or not at "
+    "100 TB), asymmetric-distance top-3 per query. Codebook "
+    "training, encoding, and ADC ranking are all replayed by the "
+    "oracle: shared integer-hash seeds, quantized Lloyd means, "
+    "integer-microunit distance sums — bit-identical ranking across "
+    "engines. Spark side is codebook literals + narrow per-row "
+    "expressions; the only shuffle is the final per-query top-k.",
+)
+def v11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.pq import adc_topk, train_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_codebooks(
+        emb, "vec_id", "embedding", m_subspaces=8, k_codes=16, dim=64, iterations=1
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return adc_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        books, k=3, dim=64,
+    )

@@ -146,7 +146,7 @@ def _default_path(bucket: str, key: str) -> str:
 
 
 def watch_queue(
-    table: Table,
+    table: Table | None,
     poller: QueuePoller,
     patterns: list[str] | None = None,
     path_for=None,
@@ -155,6 +155,9 @@ def watch_queue(
     max_drain: int = 100,
     receive_batch: int = 10,
     wait_seconds: int = 20,
+    catalog=None,
+    ident: str | None = None,
+    partition_spec: list[dict] | None = None,
 ) -> dict:
     """Poll `poller` and append notified files to `table`.
 
@@ -162,7 +165,14 @@ def watch_queue(
     to readable paths (defaults to s3:// URIs; tests map to tmp
     dirs). Returns counters: cycles, files_added, files_skipped,
     messages_deleted, messages_ignored.
+
+    table=None + catalog/ident = create-table-on-first-file: the
+    table is created from the first matched file's parquet schema
+    when the first notification arrives (InsertWatch.java:180-217,
+    the reference's `-p` mode). Until then, messages stay queued.
     """
+    if table is None and (catalog is None or ident is None):
+        raise ValueError("pass a table, or catalog+ident for create-on-first-file")
     path_for = path_for or _default_path
     matcher = Matcher(patterns or [])
     stats = {
@@ -210,6 +220,20 @@ def watch_queue(
             poller.delete(no_file_msgs)
             stats["messages_deleted"] += len(no_file_msgs)
 
+        if files and table is None:
+            # create-on-first-file: schema from the first matched
+            # parquet (InsertWatch.java:180-217); a failure here
+            # leaves every message unacked for redelivery
+            if catalog.table_exists(ident):
+                table = catalog.load_table(ident)
+            else:
+                from ice_spark.ingest.insert import read_input
+
+                table = catalog.create_table(
+                    ident,
+                    schema=read_input(catalog.spark, files[0], "parquet").schema,
+                    partition_spec=partition_spec,
+                )
         if files:
             # one insert = one Spark job + ONE snapshot commit for the
             # whole drain (bounded commit rate); skip_duplicates makes

@@ -308,3 +308,30 @@ def test_schema_conversion_nested():
 
     walk({"type": "struct", "fields": ice["fields"]})
     assert len(ids) == len(set(ids))
+
+
+def test_export_mirrors_shards_o_metadata(tmp_path):
+    """Export cost is O(distinct shards), not O(snapshots x files):
+    a 50-commit metadata-only table exports exactly one Avro manifest
+    per internal shard, shared across all 50 manifest lists."""
+    from ice_spark.catalog.fileio import InMemoryFileIO
+    from ice_spark.catalog.iceberg_export import export_iceberg
+    from ice_spark.catalog.table import Table
+    from tests.test_manifest_sharding import SCHEMA as MSCHEMA
+    from tests.test_manifest_sharding import entries_for_day
+
+    io = InMemoryFileIO()
+    Table.create(
+        None, "/wh/ns/t", MSCHEMA, partition_spec=[{"column": "day"}], io=io
+    )
+    t = Table(None, "/wh/ns/t", io=io)
+    for day in range(50):
+        t.append_snapshot(entries_for_day(day, 100))
+    summary = export_iceberg(t, str(tmp_path / "ice"))
+    assert summary["snapshots"] == 50
+    assert summary["manifests"] == 50  # one per SHARD, not per (snap, file)
+    assert summary["files"] == 5000
+    # current snapshot's manifest list references all 50 shards
+    files = iceberg_data_files(summary["metadata_file"])
+    assert len(files) == 5000
+    assert {f["partition"]["day"] for f in files} == set(range(50))

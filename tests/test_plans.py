@@ -122,6 +122,7 @@ def test_latest_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
         ("t11_pii_scrub", 1),  # map-only regex + one final agg
         ("d08_contamination", 4),  # gram dedup + 2-sided join + agg
         ("v10_semantic_dedup", 3),  # assign is narrow; join + pairs
+        ("v11_pq_adc_ann", 2),  # encode+ADC narrow; top-k window only
     ],
 )
 def test_round3_query_shuffle_budget(spark, sf_dir, name, max_exchanges):

@@ -166,3 +166,25 @@ class TestWatchQueue:
         assert stats["files_added"] == 7
         assert snaps_after == snaps_before + 1  # one commit for the drain
         assert t.read().count() == 70
+
+    def test_create_table_on_first_file(self, setup, spark, tmp_path):
+        """InsertWatch -p parity: no table until the first matched
+        notification; schema inferred from that file."""
+        from ice_spark.catalog import Catalog
+
+        _t, make_file, path_for = setup
+        cat = Catalog(spark, str(tmp_path / "wh2"))
+        cat.create_namespace("auto")
+        q = FakeQueue()
+        stats = watch_queue(
+            None, q, path_for=path_for, fire_once=True, catalog=cat, ident="auto.t"
+        )
+        assert not cat.table_exists("auto.t")  # nothing arrived -> no table
+        q.send(s3_event_body("b", [make_file("first.parquet", 0, 6)]))
+        stats = watch_queue(
+            None, q, path_for=path_for, fire_once=True, catalog=cat, ident="auto.t"
+        )
+        assert stats["files_added"] == 1
+        t = cat.load_table("auto.t")
+        assert t.read().count() == 6
+        assert [f.name for f in t.schema.fields] == ["id", "v"]
