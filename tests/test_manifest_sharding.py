@@ -212,3 +212,39 @@ def test_rollback_reuses_shards():
     # 5 shards reused by reference; no shard writes
     assert io.counts["writes"] == 2  # manifest list + hint
     assert len(t.files()) == 500
+
+
+def test_expiry_refcounts_shared_shards(tmp_path, spark):
+    """Snapshot expiry must NOT delete a manifest shard still
+    referenced by a retained snapshot (shards are shared by
+    reference across snapshots)."""
+    import os
+
+    from ice_spark.catalog.maintenance import expire_snapshots
+    from ice_spark.catalog.table import Table as DiskTable
+
+    loc = str(tmp_path / "t")
+    DiskTable.create(spark, loc, SCHEMA, partition_spec=[{"column": "day"}])
+    t = DiskTable(spark, loc)
+    t.append_snapshot(entries_for_day(0, 10))   # snap1: shard A
+    t.append_snapshot(entries_for_day(1, 10))   # snap2: shards A+B
+    snaps = t.snapshots()
+    # age snap1 beyond the retention window
+    import json as _json
+
+    meta_path = t.metadata_path(t.current_version())
+    meta = _json.loads(t.io.read_text(meta_path))
+    meta["snapshots"][0]["timestamp_ms"] = 1
+    t.io.write_atomic(meta_path, _json.dumps(meta))
+    t.refresh()
+
+    shard_a = t.manifest_list_entries(snaps[0])[0]["path"]
+    result = expire_snapshots(t, max_age_hours=1, min_to_keep=1)
+    assert result["expired"] == [snaps[0]["snapshot_id"]]
+    # shard A is still referenced by snap2 -> must survive
+    assert t.io.exists(os.path.join(t.metadata_dir, shard_a))
+    assert len(t.files()) == 20
+    # snap1's manifest LIST (unshared) is gone
+    assert not t.io.exists(
+        os.path.join(t.metadata_dir, snaps[0]["manifest_list"])
+    )
