@@ -189,7 +189,10 @@ def main() -> None:
                     q1[name] = round(time.time() - t0, 3)
                     sf1.setdefault("errors", {})[name] = str(e).splitlines()[0][:200]
             sf1["queries"] = q1
-            sf1["total_sec"] = round(sum(q1.values()), 3)
+            # same rule as the headline: a total summed over errored
+            # queries is not a number anyone may compare
+            sf1["valid"] = "errors" not in sf1
+            sf1["total_sec"] = round(sum(q1.values()), 3) if sf1["valid"] else None
             sf1["sf"] = 1.0
         except Exception as e:  # the probe is additive; never break the line
             sf1["error"] = str(e).splitlines()[0][:200]

@@ -71,6 +71,10 @@ class FileIO:
         raise NotImplementedError
 
     def mtime(self, path: str) -> float:
+        """Last-modified time in SECONDS SINCE THE EPOCH. Part of the
+        interface contract: retention windows (orphan/manifest GC)
+        compare this against wall-clock cutoffs, so an impl returning
+        logical counters would silently void every age guard."""
         raise NotImplementedError
 
     def size(self, path: str) -> int:
@@ -138,7 +142,7 @@ class InMemoryFileIO(FileIO):
         self._mtimes: dict[str, float] = {}
         self._lock = threading.Lock()
         self.counts = {"reads": 0, "writes": 0, "cas": 0, "deletes": 0, "lists": 0}
-        self._clock = 0.0
+        self._clock = 0.0  # last issued mtime; keeps epoch times strictly increasing
 
     def _norm(self, path: str) -> str:
         return posixpath.normpath(path.replace(os.sep, "/"))
@@ -156,7 +160,11 @@ class InMemoryFileIO(FileIO):
             return self._files[p]
 
     def _touch(self, p: str) -> None:
-        self._clock += 1.0
+        # epoch seconds (interface contract), strictly increasing so
+        # ordering asserts stay deterministic within a test
+        import time
+
+        self._clock = max(self._clock + 1e-6, time.time())
         self._mtimes[p] = self._clock
 
     def write_atomic(self, path: str, text: str) -> None:

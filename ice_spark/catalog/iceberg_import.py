@@ -118,6 +118,26 @@ def _deserialize_bound(ice_type, raw: bytes):
     return None
 
 
+def _local_path(p: str, base: str) -> str:
+    """Resolve an Iceberg metadata path to a local filesystem path.
+    Real Iceberg writers emit full URIs (file:///..., s3://...);
+    file: URIs strip to local paths, bare paths resolve against the
+    table base, and remote schemes are rejected loudly (this import
+    reads metadata locally — no object-store client here)."""
+    from urllib.parse import urlparse
+
+    scheme = urlparse(p).scheme
+    if scheme == "file":
+        return urlparse(p).path
+    # Windows-style 'C:' drive letters aside, a one-letter scheme is a path
+    if scheme and len(scheme) > 1:
+        raise ValueError(
+            f"cannot read {scheme}:// metadata path {p!r} locally; "
+            "download the table's metadata directory first"
+        )
+    return p if os.path.isabs(p) else os.path.join(base, p)
+
+
 def iceberg_table_entries(metadata_file: str) -> tuple[SPT.StructType, list[dict]]:
     """(spark schema, manifest entries) for an Iceberg table's current
     snapshot, in this catalog's entry format."""
@@ -141,18 +161,14 @@ def iceberg_table_entries(metadata_file: str) -> tuple[SPT.StructType, list[dict
     if snap is None:
         return schema, entries
     base = os.path.dirname(os.path.dirname(os.path.abspath(metadata_file)))
-    ml_path = snap["manifest-list"]
-    if not os.path.isabs(ml_path):
-        ml_path = os.path.join(base, ml_path)
+    ml_path = _local_path(snap["manifest-list"], base)
     for mf in read_iceberg_manifest_list(ml_path):
         if mf.get("content", 0) != 0:
             raise ValueError(
                 "Iceberg table has delete manifests (merge-on-read); "
                 "import would over-return rows — refusing"
             )
-        m_path = mf["manifest_path"]
-        if not os.path.isabs(m_path):
-            m_path = os.path.join(base, m_path)
+        m_path = _local_path(mf["manifest_path"], base)
         for entry in read_iceberg_manifest(m_path):
             if entry["status"] == 2:  # DELETED
                 continue
@@ -169,7 +185,7 @@ def iceberg_table_entries(metadata_file: str) -> tuple[SPT.StructType, list[dict
                     metrics[name] = {"min": lo, "max": hi}
             entries.append(
                 {
-                    "path": d["file_path"],
+                    "path": _local_path(d["file_path"], base),
                     "partition": {
                         k: v for k, v in (d.get("partition") or {}).items()
                     },

@@ -200,22 +200,41 @@ def expire_snapshots(
     return plan
 
 
-def compact_manifests(table: Table, dry_run: bool = False) -> dict:
+DEFAULT_MANIFEST_GC_MIN_AGE_HOURS = 1.0
+
+
+def compact_manifests(
+    table: Table,
+    dry_run: bool = False,
+    gc_min_age_hours: float = DEFAULT_MANIFEST_GC_MIN_AGE_HOURS,
+) -> dict:
     """ManifestCompaction parity (ManifestCompaction.java:15-27):
     merge the current snapshot's small manifest shards into full ones
     (Table.rewrite_manifests), then garbage-collect manifest-list and
     shard files no longer referenced by any live snapshot (losers of
-    commit races and rewritten-away shards)."""
+    commit races and rewritten-away shards).
+
+    GC age guard: a concurrent committer writes its shard and
+    manifest-list files BEFORE its metadata CAS, so a freshly written
+    unreferenced file may be a commit in flight, not garbage. Only
+    files older than `gc_min_age_hours` are deleted — the same
+    defense remove_orphans applies with its retention window."""
     table.refresh()
     live: set[str] = set()
     for s in table.snapshots():
         for p in table.snapshot_meta_files(s):
             live.add(os.path.basename(p))
-    orphans = [
-        f
-        for f in table.io.list_dir(table.metadata_dir)
-        if (f.startswith("manifest-") or f.startswith("ml-")) and f not in live
-    ]
+    cutoff = time.time() - gc_min_age_hours * 3600
+    orphans = []
+    for f in table.io.list_dir(table.metadata_dir):
+        if not (f.startswith("manifest-") or f.startswith("ml-")) or f in live:
+            continue
+        try:
+            if table.io.mtime(os.path.join(table.metadata_dir, f)) > cutoff:
+                continue  # possibly an in-flight commit: too young to judge
+        except (OSError, FileNotFoundError):
+            continue
+        orphans.append(f)
     result = {"removed_manifests": orphans, "dry_run": dry_run, "rewrite": None}
     if dry_run:
         return result

@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 
 from ice_spark.catalog.maintenance import perform_maintenance
 
-_FIELD_RANGES = [(0, 59), (0, 23), (1, 31), (1, 12), (0, 6)]  # dow: 0=Monday
+_FIELD_RANGES = [(0, 59), (0, 23), (1, 31), (1, 12), (0, 7)]  # dow: 0/7=Sunday (cron standard)
 
 
 def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
@@ -54,13 +54,18 @@ def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
 
 @dataclass(frozen=True)
 class Cron:
-    """Parsed 5-field cron expression."""
+    """Parsed 5-field cron expression, standard semantics:
+    day-of-week 0 or 7 = Sunday, and when BOTH day-of-month and
+    day-of-week are restricted the date matches if EITHER does
+    (POSIX crontab behavior)."""
 
     minutes: frozenset
     hours: frozenset
     days: frozenset
     months: frozenset
     weekdays: frozenset
+    dom_star: bool
+    dow_star: bool
     expr: str
 
     @staticmethod
@@ -72,16 +77,32 @@ class Cron:
             frozenset(_parse_field(p, lo, hi))
             for p, (lo, hi) in zip(parts, _FIELD_RANGES)
         ]
-        return Cron(*sets, expr=expr)
+        # normalize 7 (also Sunday) onto 0
+        weekdays = frozenset(0 if d == 7 else d for d in sets[4])
+        return Cron(
+            sets[0],
+            sets[1],
+            sets[2],
+            sets[3],
+            weekdays,
+            dom_star=parts[2] == "*",
+            dow_star=parts[4] == "*",
+            expr=expr,
+        )
 
     def matches(self, dt: datetime.datetime) -> bool:
-        return (
+        if not (
             dt.minute in self.minutes
             and dt.hour in self.hours
-            and dt.day in self.days
             and dt.month in self.months
-            and dt.weekday() in self.weekdays
-        )
+        ):
+            return False
+        cron_dow = (dt.weekday() + 1) % 7  # python Mon=0 -> cron Sun=0
+        dom_ok = dt.day in self.days
+        dow_ok = cron_dow in self.weekdays
+        if not self.dom_star and not self.dow_star:
+            return dom_ok or dow_ok  # POSIX: both restricted => OR
+        return dom_ok and dow_ok
 
     def next_fire(self, after: datetime.datetime) -> datetime.datetime:
         """First matching minute strictly after `after`. Bounded scan
@@ -101,7 +122,9 @@ class ScheduledJob:
     fn: object  # callable(now) -> result
     next_fire: datetime.datetime | None = None
     last_result: object = None
+    last_error: str | None = None
     runs: int = 0
+    failures: int = 0
 
 
 @dataclass
@@ -130,12 +153,23 @@ class MaintenanceSchedule:
         return self.add(f"maintenance:{ident}", cron_expr, fn, now)
 
     def run_pending(self, now: datetime.datetime) -> dict[str, object]:
+        """Per-job error ISOLATION: one failing table's maintenance
+        (commit conflict, missing path) must not starve the jobs after
+        it or wedge the poll loop — the failure is recorded, the job's
+        next fire advances to its next scheduled slot (no immediate
+        hot-retry), and the loop continues."""
         ran: dict[str, object] = {}
         for job in self.jobs:
             if job.next_fire is not None and job.next_fire <= now:
-                job.last_result = job.fn(now)
-                job.runs += 1
-                ran[job.name] = job.last_result
+                try:
+                    job.last_result = job.fn(now)
+                    job.last_error = None
+                    job.runs += 1
+                    ran[job.name] = job.last_result
+                except Exception as exc:
+                    job.last_error = f"{type(exc).__name__}: {exc}"
+                    job.failures += 1
+                    ran[job.name] = {"error": job.last_error}
                 # collapse missed intervals: schedule from NOW
                 job.next_fire = job.cron.next_fire(now)
         return ran

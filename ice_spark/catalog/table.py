@@ -416,7 +416,9 @@ class Table:
         self._shard_cache[name] = entries
         return self._shard_descriptor(name, entries)
 
-    def _write_shards_chunked(self, entries: list[dict]) -> list[dict]:
+    def _write_shards_chunked(
+        self, entries: list[dict], max_per_shard: int = MAX_ENTRIES_PER_SHARD
+    ) -> list[dict]:
         """Write entries as one or more shards. Entries are sorted by
         partition value first so chunked shards carry disjoint, tight
         partition ranges — that's what makes shard pruning bite."""
@@ -427,8 +429,8 @@ class Table:
             key=lambda e: json.dumps(e.get("partition") or {}, sort_keys=True),
         )
         return [
-            self._write_shard(ordered[i : i + MAX_ENTRIES_PER_SHARD])
-            for i in range(0, len(ordered), MAX_ENTRIES_PER_SHARD)
+            self._write_shard(ordered[i : i + max_per_shard])
+            for i in range(0, len(ordered), max_per_shard)
         ]
 
     def _write_manifest_list(self, snapshot_id: int, descriptors: list[dict]) -> str:
@@ -580,7 +582,11 @@ class Table:
             merged_entries: list[dict] = []
             for d in to_merge:
                 merged_entries.extend(self._read_shard(d["path"], legacy=d.get("legacy", False)))
-            new_descriptors = big + self._write_shards_chunked(merged_entries)
+            # chunk at the CALLER's target so full output shards stop
+            # being re-selected by the next rewrite (no no-op churn)
+            new_descriptors = big + self._write_shards_chunked(
+                merged_entries, max_per_shard=target_entries_per_shard
+            )
             manifest_list = self._write_manifest_list(sid, new_descriptors)
             meta["snapshots"].append(
                 {

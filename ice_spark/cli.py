@@ -283,11 +283,16 @@ def main(argv: list[str] | None = None) -> int:
                     "current_snapshot_id": meta.get("current-snapshot-id"),
                     "last_sequence_number": meta.get("last-sequence-number"),
                 },
-                "schema": meta.get("schemas", [{}])[
-                    meta.get("current-schema-id", 0)
-                    if meta.get("current-schema-id", 0) < len(meta.get("schemas", []))
-                    else 0
-                ],
+                # schema-id is an identifier, not a list index — a
+                # table after schema evolution has sparse ids
+                "schema": next(
+                    (
+                        s
+                        for s in meta.get("schemas", [])
+                        if s.get("schema-id") == meta.get("current-schema-id", 0)
+                    ),
+                    (meta.get("schemas") or [{}])[0],
+                ),
                 "partition_specs": meta.get("partition-specs"),
                 "snapshots": snapshots,
             }

@@ -221,3 +221,42 @@ def test_cli_iceberg_roundtrip(spark, tmp_path, capsys, monkeypatch):
     reg = json.loads(capsys.readouterr().out)
     assert reg["records"] == 30
     assert cat.load_table("ext.t").read().count() == 30
+
+
+def test_import_file_uri_paths(spark, tmp_path):
+    """Real Iceberg writers emit file:/// URIs for metadata and data
+    paths; the import must resolve them (and reject remote schemes
+    loudly instead of fabricating garbage paths)."""
+    import json
+
+    from ice_spark.catalog.iceberg_import import _local_path, iceberg_table_entries
+
+    base = str(tmp_path / "t")
+    assert _local_path(f"file://{base}/metadata/m.avro", base) == f"{base}/metadata/m.avro"
+    assert _local_path("metadata/m.avro", base) == f"{base}/metadata/m.avro"
+    assert _local_path(f"{base}/metadata/m.avro", base) == f"{base}/metadata/m.avro"
+    with pytest.raises(ValueError, match="cannot read s3://"):
+        _local_path("s3://bucket/metadata/m.avro", base)
+
+    # end to end: rewrite an exported table's metadata to file:// URIs
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("ns")
+    t = cat.create_table(
+        "ns.u", schema=T.StructType([T.StructField("id", T.LongType())])
+    )
+    import glob
+
+    src = str(tmp_path / "s.parquet")
+    spark.range(0, 12).coalesce(1).write.parquet(src)
+    insert(t, sorted(glob.glob(src + "/*.parquet")))
+    summary = export_iceberg(t, str(tmp_path / "ice"))
+    with open(summary["metadata_file"]) as f:
+        meta = json.load(f)
+    for s in meta["snapshots"]:
+        s["manifest-list"] = "file://" + s["manifest-list"]
+    uri_meta = str(tmp_path / "ice" / "metadata" / "v2.metadata.json")
+    with open(uri_meta, "w") as f:
+        json.dump(meta, f)
+    schema, entries = iceberg_table_entries(uri_meta)
+    assert sum(e["records"] for e in entries) == 12
+    assert all(e["path"].startswith("/") for e in entries)

@@ -248,3 +248,26 @@ def test_expiry_refcounts_shared_shards(tmp_path, spark):
     assert not t.io.exists(
         os.path.join(t.metadata_dir, snaps[0]["manifest_list"])
     )
+
+
+def test_rewrite_manifests_honors_target_chunk():
+    """Merged output chunks at the CALLER's target (not the module
+    constant), and full output shards are not re-selected by a
+    subsequent rewrite (no no-op churn)."""
+    io = InMemoryFileIO()
+    Table.create(None, "/wh/ns/t", SCHEMA, partition_spec=[{"column": "day"}], io=io)
+    t = Table(None, "/wh/ns/t", io=io)
+    for day in range(10):
+        t.append_snapshot(entries_for_day(day, 100))  # 1000 entries
+    result = t.rewrite_manifests(target_entries_per_shard=300)
+    # 1000 entries at <=300/shard => 4 shards (300,300,300,100)
+    assert result["shards_after"] == 4
+    counts = sorted(
+        d["file_count"] for d in t.manifest_list_entries(t.snapshot())
+    )
+    assert counts == [100, 300, 300, 300]
+    snaps_before = len(t.snapshots())
+    again = t.rewrite_manifests(target_entries_per_shard=300)
+    # only the one partial shard is below target => nothing to merge
+    assert again["shards_before"] == again["shards_after"] == 4
+    assert len(t.snapshots()) == snaps_before  # no no-op commit

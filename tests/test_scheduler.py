@@ -31,10 +31,22 @@ class TestCron:
         c = Cron.parse("0 9-17 * * *")
         assert c.next_fire(DT(2026, 1, 1, 17, 1)) == DT(2026, 1, 2, 9, 0)
 
-    def test_weekday(self):
-        # 2026-01-01 is a Thursday (weekday 3); 4 = Friday
-        c = Cron.parse("0 0 * * 4")
+    def test_weekday_standard_numbering(self):
+        # cron standard: 0=Sunday, 5=Friday. 2026-01-02 is a Friday.
+        c = Cron.parse("0 0 * * 5")
         assert c.next_fire(DT(2026, 1, 1, 0, 0)) == DT(2026, 1, 2, 0, 0)
+        # both 0 and 7 mean Sunday (2026-01-04)
+        for dow in ("0", "7"):
+            c = Cron.parse(f"0 0 * * {dow}")
+            assert c.next_fire(DT(2026, 1, 1, 0, 0)) == DT(2026, 1, 4, 0, 0)
+
+    def test_dom_dow_both_restricted_is_or(self):
+        # POSIX: '0 0 1 * 1' fires on the 1st OR on Mondays.
+        c = Cron.parse("0 0 1 * 1")
+        # 2026-01-05 is a Monday; the 1st (Thursday) also fires
+        assert c.matches(DT(2026, 1, 1, 0, 0))
+        assert c.matches(DT(2026, 1, 5, 0, 0))
+        assert not c.matches(DT(2026, 1, 2, 0, 0))  # Friday the 2nd: neither
 
     def test_month_and_dom(self):
         c = Cron.parse("30 6 29 2 *")  # Feb 29 — only leap years
@@ -94,3 +106,23 @@ class TestSchedule:
             "orphan_cleanup",
         }
         assert sched.jobs[0].runs == 1
+
+    def test_job_error_isolation(self):
+        """A failing job must not starve later jobs or hot-retry: the
+        error is recorded and the job waits for its next slot."""
+        sched = MaintenanceSchedule()
+        ok_calls = []
+
+        def boom(now):
+            raise RuntimeError("warehouse gone")
+
+        sched.add("bad", "0 * * * *", boom, DT(2026, 1, 1, 0, 0))
+        sched.add("good", "0 * * * *", lambda now: ok_calls.append(now), DT(2026, 1, 1, 0, 0))
+        ran = sched.run_pending(DT(2026, 1, 1, 1, 0))
+        assert "error" in ran["bad"] and "warehouse gone" in ran["bad"]["error"]
+        assert len(ok_calls) == 1  # good ran despite bad failing first
+        bad = sched.jobs[0]
+        assert bad.failures == 1 and bad.runs == 0
+        # no immediate hot-retry: not due again until the next slot
+        assert sched.run_pending(DT(2026, 1, 1, 1, 1)) == {}
+        assert sched.run_pending(DT(2026, 1, 1, 2, 0)).keys() == {"bad", "good"}
