@@ -271,3 +271,32 @@ def test_rewrite_manifests_honors_target_chunk():
     # only the one partial shard is below target => nothing to merge
     assert again["shards_before"] == again["shards_after"] == 4
     assert len(t.snapshots()) == snaps_before  # no no-op commit
+
+
+def test_manifest_gc_spares_inflight_commits():
+    """compact_manifests must not delete a freshly written
+    unreferenced shard — it may be a concurrent commit between its
+    file writes and its metadata CAS. Old unreferenced files ARE
+    collected."""
+    import time as _time
+
+    from ice_spark.catalog.maintenance import compact_manifests
+
+    io = InMemoryFileIO()
+    Table.create(None, "/wh/ns/t", SCHEMA, partition_spec=[{"column": "day"}], io=io)
+    t = Table(None, "/wh/ns/t", io=io)
+    t.append_snapshot(entries_for_day(0, 10))
+
+    # a commit in flight: shard + manifest list written, CAS not yet done
+    inflight = "/wh/ns/t/metadata/manifest-deadbeef00000001.json"
+    io.write_atomic(inflight, json.dumps({"files": entries_for_day(1, 2)}))
+    res = compact_manifests(t, dry_run=False)
+    assert res["removed_manifests"] == []  # too young to judge
+    assert io.exists(inflight)
+
+    # the same file, aged past the guard, is garbage
+    io._mtimes[io._norm(inflight)] = _time.time() - 7200
+    res = compact_manifests(t, dry_run=False)
+    assert res["removed_manifests"] == ["manifest-deadbeef00000001.json"]
+    assert not io.exists(inflight)
+    assert len(t.files()) == 10  # live data untouched
