@@ -215,20 +215,21 @@ def f05(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS n_big,
            COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_label,
-           CAST(SUM(GREATEST(CAST(ROUND(o_totalprice * 100) AS BIGINT) - 25000000,
-                             CAST(0 AS BIGINT))) AS DOUBLE) / 100.0
-             AS excess_over_250k,
-           CAST(SUM(LEAST(CAST(ROUND(o_totalprice * 100) AS BIGINT),
-                          CAST(10000000 AS BIGINT))) AS DOUBLE) / 100.0
-             AS capped_at_100k
+           SUM(GREATEST(CAST(ROUND(o_totalprice * 100) AS BIGINT) - 25000000,
+                        CAST(0 AS BIGINT)))
+             AS excess_over_250k_cents,
+           SUM(LEAST(CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                     CAST(10000000 AS BIGINT)))
+             AS capped_at_100k_cents
     FROM orders
     GROUP BY o_orderstatus
     """,
     doc="Conditionals/null handling: CASE, COALESCE, NULLIF, "
-    "GREATEST/LEAST. Money paths run in exact integer cents end-to-end "
-    "(quantize once, clamp and sum in BIGINT, divide once) so no "
-    "double->decimal rounding edge exists to diverge across engines "
-    "(two rounds of driver-vs-local hash flake on the decimal form).",
+    "GREATEST/LEAST. Money paths are exact BIGINT cents end-to-end "
+    "(quantize once, clamp and sum in BIGINT, never convert back to "
+    "DOUBLE) so neither engine emits a float anywhere: after three "
+    "rounds of driver-vs-local hash flake on the DOUBLE/decimal output "
+    "forms, the output itself is integer and format-stable.",
 )
 def f06(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -239,13 +240,12 @@ def f06(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
             "status_label"
         ),
-        (
-            F.sum(F.greatest(tp_cents - F.lit(25000000), F.lit(0).cast("long"))).cast("double")
-            / 100.0
-        ).alias("excess_over_250k"),
-        (
-            F.sum(F.least(tp_cents, F.lit(10000000).cast("long"))).cast("double") / 100.0
-        ).alias("capped_at_100k"),
+        F.sum(F.greatest(tp_cents - F.lit(25000000), F.lit(0).cast("long"))).alias(
+            "excess_over_250k_cents"
+        ),
+        F.sum(F.least(tp_cents, F.lit(10000000).cast("long"))).alias(
+            "capped_at_100k_cents"
+        ),
     )
 
 
