@@ -31,13 +31,16 @@ Honest transform mapping (correctness over coverage):
 - identity / year / month / day / hour are exported faithfully;
   date-ish transforms convert our rendered values ("2020-05") to
   Iceberg's epoch-offset ints (months-since-1970 etc.).
-- truncate is exported only for STRING source columns (there our
-  substring semantics equal Iceberg's truncate); bucket and numeric
-  truncate use Spark hash/string semantics that do NOT match
-  Iceberg's murmur3/numeric definitions, so those fields are DROPPED
-  from the exported spec rather than mislabeled — a reader that
-  trusted a wrong transform would prune wrongly and return wrong
-  rows. Files stay readable; only that pruning dimension is lost.
+- bucket[N] and truncate[W] (string, int, long) are exported
+  faithfully: partition values are computed with the Iceberg spec's
+  own transforms (murmur3_x86_32 of the Appendix-B serialization,
+  floor-mod truncation — see catalog/iceberg_transforms.py), so
+  foreign readers prune byte-compatibly. Any transform/type combo we
+  can't guarantee byte-compatible (e.g. truncate on decimal) is
+  DROPPED from the exported spec rather than mislabeled — a reader
+  that trusted a wrong transform would prune wrongly and return
+  wrong rows. Files stay readable; only that pruning dimension is
+  lost.
 """
 
 from __future__ import annotations
@@ -218,10 +221,19 @@ def _exportable_spec_fields(table: Table, ice_schema: dict) -> list[dict]:
             ice_t, result = "hour", "int"
         elif t == "truncate" and src_type == "string":
             ice_t, result = f"truncate[{pf.param}]", "string"
+        elif t == "truncate" and src_type in ("int", "long"):
+            # our numeric truncate is Iceberg's (floor-mod via pmod,
+            # see iceberg_transforms.truncate_expr)
+            ice_t, result = f"truncate[{pf.param}]", src_type
+        elif t == "bucket":
+            # bucket ids are computed with Iceberg's murmur3_x86_32 of
+            # the Appendix-B serialization (iceberg_transforms.py),
+            # byte-compatible with foreign readers' pruning.
+            ice_t, result = f"bucket[{pf.param}]", "int"
         else:
-            # bucket (Spark hash != Iceberg murmur3 of encoded value)
-            # and numeric truncate (we truncate the rendered string):
-            # dropping the field keeps readers CORRECT.
+            # anything we can't guarantee byte-compatible is DROPPED
+            # rather than mislabeled (e.g. truncate on decimal) — a
+            # reader trusting a wrong transform would prune wrongly.
             continue
         out.append(
             {
@@ -265,6 +277,10 @@ def _partition_value(field: dict, raw):
             y, m, d, h = str(raw).split("-")
             dt = datetime.datetime(int(y), int(m), int(d), int(h), tzinfo=datetime.timezone.utc)
             return int(dt.timestamp()) // 3600
+        if t.startswith("bucket["):
+            return int(raw)
+        if t.startswith("truncate[") and field["result"] in ("int", "long"):
+            return int(raw)
         return str(raw)  # truncate[W] on string
     except (ValueError, TypeError):
         return None

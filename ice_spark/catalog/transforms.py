@@ -8,10 +8,14 @@ transform application
 is a single declarative job instead of an in-memory Map<PartitionKey,
 List<Record>>.
 
-Divergence noted for the judge: bucket[N] uses Spark's murmur3
-(`F.hash`) rather than Iceberg's murmur3_32 of the serialized value;
-bucket IDs are stable within this engine but not byte-compatible with
-Iceberg files.
+bucket[N] and numeric truncate[W] follow the Iceberg Table Spec
+(Appendix B) exactly — murmur3_x86_32 of the spec's byte
+serialization, floor-mod truncation — via
+`ice_spark.catalog.iceberg_transforms`, so partition values written
+here are byte-compatible with what any Iceberg reader computes and
+the exported spec keeps those fields (the reference gets the same
+property from the Iceberg library's client-side transforms,
+ice/.../iceberg/Partitioning.java:84-145).
 """
 
 from __future__ import annotations
@@ -21,6 +25,7 @@ import re
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as SPT
 
 _TRANSFORM_RE = re.compile(r"^(\w+)(?:\[(\d+)\])?$")
 
@@ -42,7 +47,10 @@ class PartitionField:
             return f"{self.column}_{self.transform}_{self.param}"
         return f"{self.column}_{self.transform}"
 
-    def expr(self) -> Column:
+    def expr(self, dtype: SPT.DataType | None = None) -> Column:
+        """Partition-value Column. `dtype` (the source column's Spark
+        type) is required for bucket and non-string truncate, whose
+        Iceberg-spec semantics are type-dependent."""
         c = F.col(self.column)
         t = self.transform
         if t == "identity":
@@ -58,9 +66,20 @@ class PartitionField:
         if t == "hour":
             return F.date_format(c, "yyyy-MM-dd-HH")
         if t == "bucket":
-            return F.pmod(F.hash(c), F.lit(self.param))
+            from ice_spark.catalog.iceberg_transforms import bucket_expr
+
+            if dtype is None:
+                raise ValueError(
+                    f"bucket[{self.param}] on {self.column} needs the "
+                    "source column dtype (pass df.schema[col].dataType)"
+                )
+            return bucket_expr(c, dtype, self.param)
         if t == "truncate":
-            return F.substring(c.cast("string"), 1, self.param)
+            from ice_spark.catalog.iceberg_transforms import truncate_expr
+
+            if dtype is None or isinstance(dtype, SPT.StringType):
+                return F.substring(c.cast("string"), 1, self.param)
+            return truncate_expr(c, dtype, self.param)
         raise ValueError(f"unknown transform: {t}")
 
     def to_json(self) -> dict:

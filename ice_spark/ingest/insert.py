@@ -369,7 +369,8 @@ def _write_df(
 
     part_cols = [f"__p_{p.field_name}" for p in pspec]
     for p, c in zip(pspec, part_cols):
-        aligned = aligned.withColumn(c, p.expr().cast("string"))
+        src_type = aligned.schema[p.column].dataType if p.column in aligned.columns else None
+        aligned = aligned.withColumn(c, p.expr(src_type).cast("string"))
 
     if pspec:
         aligned = aligned.repartition(*[F.col(c) for c in part_cols])

@@ -246,10 +246,15 @@ def test_date_transform_export(spark, tmp_path):
     assert years <= {50, 51}  # 2020-1970, 2021-1970
 
 
-def test_bucket_partition_dropped_not_mislabeled(spark, tmp_path):
-    """Spark-hash bucket values are NOT Iceberg bucket values; the
-    exported spec must drop the field (readers stay correct) instead
-    of mislabeling it."""
+def test_bucket_partition_exported_with_iceberg_murmur3(spark, tmp_path):
+    """bucket[N] partition values are Iceberg's murmur3 bucket ids
+    (spec Appendix B), so the exported spec RETAINS the field and each
+    file's partition value matches what an Iceberg reader would
+    compute for every row in that file."""
+    import pyarrow.parquet as pq
+
+    from ice_spark.catalog.iceberg_transforms import bucket_value
+
     cat = Catalog(spark, str(tmp_path / "wh"))
     cat.create_namespace("ns")
     t = cat.create_table(
@@ -265,10 +270,44 @@ def test_bucket_partition_dropped_not_mislabeled(spark, tmp_path):
     insert(t, sorted(glob.glob(src + "/*.parquet")))
     summary = export_iceberg(t, str(tmp_path / "ice"))
     meta = read_iceberg_metadata(summary["metadata_file"])
-    assert meta["partition-specs"][0]["fields"] == []
-    # data still fully readable
+    fields = meta["partition-specs"][0]["fields"]
+    assert [f["transform"] for f in fields] == ["bucket[4]"]
     files = iceberg_data_files(summary["metadata_file"])
     assert sum(f["record_count"] for f in files) == 20
+    seen = set()
+    for f in files:
+        bid = f["partition"]["id_bucket_4"]
+        seen.add(bid)
+        ids = pq.read_table(f["file_path"]).column("id").to_pylist()
+        assert ids, f["file_path"]
+        for v in ids:
+            assert bucket_value(v, 4, T.LongType()) == bid
+    assert len(seen) > 1  # 20 ids actually spread over buckets
+
+
+def test_numeric_truncate_partition_exported(spark, tmp_path):
+    """truncate[W] on a long column is Iceberg floor-mod truncation
+    and survives export with per-file values intact."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("ns")
+    t = cat.create_table(
+        "ns.tr",
+        schema=T.StructType([T.StructField("id", T.LongType())]),
+        partition_spec=[{"column": "id", "transform": "truncate[10]"}],
+    )
+    df = spark.range(-15, 25)
+    src = str(tmp_path / "tr.parquet")
+    df.coalesce(1).write.parquet(src)
+    import glob
+
+    insert(t, sorted(glob.glob(src + "/*.parquet")))
+    summary = export_iceberg(t, str(tmp_path / "ice"))
+    meta = read_iceberg_metadata(summary["metadata_file"])
+    fields = meta["partition-specs"][0]["fields"]
+    assert [f["transform"] for f in fields] == ["truncate[10]"]
+    files = iceberg_data_files(summary["metadata_file"])
+    vals = {f["partition"]["id_truncate_10"] for f in files}
+    assert vals == {-20, -10, 0, 10, 20}  # floor semantics: -15 -> -20
 
 
 def test_schema_conversion_nested():
