@@ -100,6 +100,15 @@ class LocalFileIO(FileIO):
             f.write(text)
         try:
             os.link(tmp, path)  # atomic create-exclusive
+        except FileExistsError:
+            raise
+        except OSError:
+            # filesystems without hard links (some NFS/overlay/FAT):
+            # O_EXCL create is still atomic there; only the
+            # write-then-link two-step is lost, and the content is
+            # small metadata written in one call.
+            with open(path, "x") as f:
+                f.write(text)
         finally:
             os.unlink(tmp)
 

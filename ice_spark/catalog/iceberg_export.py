@@ -460,6 +460,19 @@ def export_iceberg(table: Table, dest: str) -> dict:
     ice_schema_full = spark_to_iceberg_schema(table.schema)
     last_column_id = ice_schema_full.pop("last-column-id")
     spec_fields = _exportable_spec_fields(table, ice_schema_full)
+    # Rendered day/hour partition values are parsed back to Iceberg
+    # epoch offsets assuming UTC; a non-UTC session at write time
+    # would shift them, so exporting those transforms requires the
+    # session that wrote AND exports the table to be pinned to UTC
+    # (session.get_spark does this; a foreign session must opt in).
+    if any(f["pf"].transform in ("day", "hour", "month", "year") for f in spec_fields):
+        tz = table.spark.conf.get("spark.sql.session.timeZone", "")
+        if tz != "UTC":
+            raise ValueError(
+                "exporting time-transform partitions requires "
+                f"spark.sql.session.timeZone=UTC (session has {tz!r}); "
+                "set it before ingesting and exporting this table"
+            )
     entry_schema = manifest_entry_schema(spec_fields)
     bounds_by_name = _top_level_field_ids(ice_schema_full)
 
@@ -654,6 +667,10 @@ def export_iceberg(table: Table, dest: str) -> dict:
     if current is not None:
         refs["main"] = {"snapshot-id": current, "type": "branch"}
     for name, sid in table.refs().items():
+        if name == "main":
+            # a user tag named "main" must not overwrite the branch
+            # entry (the current-snapshot pointer stays authoritative)
+            name = "tag-main"
         refs[name] = {"snapshot-id": sid, "type": "tag"}
 
     metadata = {

@@ -162,13 +162,44 @@ def expire_snapshots(
     if dry_run or not expire:
         return plan
 
+    # Iceberg's expire order: commit the snapshot-list removal FIRST,
+    # then compute reachability from the COMMITTED metadata and delete
+    # only what nothing live references. Deleting before the commit
+    # can corrupt the table if the CAS fails after retries or a
+    # concurrent rollback re-references an expired snapshot's files.
+    expired_ids = {s["snapshot_id"] for s in expire}
+    dropped: dict[str, list] = {"snaps": []}
+
+    def mutate(meta: dict) -> dict:
+        # Re-derive eligibility against the fresh metadata each retry:
+        # a concurrent rollback may have made a planned expiree current
+        # again — keep it.
+        cur = meta.get("current_snapshot_id")
+        drop = [
+            s
+            for s in meta["snapshots"]
+            if s["snapshot_id"] in expired_ids and s["snapshot_id"] != cur
+        ]
+        dropped["snaps"] = drop
+        drop_ids = {s["snapshot_id"] for s in drop}
+        meta["snapshots"] = [
+            s for s in meta["snapshots"] if s["snapshot_id"] not in drop_ids
+        ]
+        return meta
+
+    table.commit(mutate)
+    table.refresh()
+    plan["expired"] = [s["snapshot_id"] for s in dropped["snaps"]]
+
+    # Reachability from the committed state (includes snapshots added
+    # by concurrent committers between planning and commit).
     kept_paths: set[str] = set()
     kept_meta: set[str] = set()
-    for s in keep:
+    for s in table.snapshots():
         kept_paths.update(e["path"] for e in table.snapshot_files(s))
         kept_meta.update(table.snapshot_meta_files(s))
     removed = 0
-    for s in expire:
+    for s in dropped["snaps"]:
         for e in table.snapshot_files(s):
             p = e["path"]
             if p not in kept_paths and not e.get("external"):
@@ -177,22 +208,13 @@ def expire_snapshots(
                     table.io.delete(full)
                     removed += 1
 
-    expired_ids = {s["snapshot_id"] for s in expire}
     # Metadata files of expired snapshots, minus shards still
     # referenced by a kept snapshot (shards are shared by reference
     # across snapshots — refcount, don't blindly delete).
     expired_meta: set[str] = set()
-    for s in expire:
+    for s in dropped["snaps"]:
         expired_meta.update(table.snapshot_meta_files(s))
     expired_meta -= kept_meta
-
-    def mutate(meta: dict) -> dict:
-        meta["snapshots"] = [
-            s for s in meta["snapshots"] if s["snapshot_id"] not in expired_ids
-        ]
-        return meta
-
-    table.commit(mutate)
     for mp in expired_meta:
         if table.io.exists(mp):
             table.io.delete(mp)

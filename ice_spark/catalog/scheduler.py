@@ -23,6 +23,7 @@ the forms the reference's docs use (e.g. "0 3 * * *").
 from __future__ import annotations
 
 import datetime
+import hashlib
 from dataclasses import dataclass, field
 
 from ice_spark.catalog.maintenance import perform_maintenance
@@ -135,14 +136,39 @@ class MaintenanceSchedule:
 
     jobs: list[ScheduledJob] = field(default_factory=list)
 
-    def add(self, name: str, cron_expr: str, fn, now: datetime.datetime) -> ScheduledJob:
+    def add(
+        self,
+        name: str,
+        cron_expr: str,
+        fn,
+        now: datetime.datetime,
+        jitter_minutes: int = 0,
+    ) -> ScheduledJob:
+        """`jitter_minutes` > 0 delays the FIRST fire by a
+        deterministic per-job offset in [0, jitter_minutes), derived
+        from the job name — the reference's jittered initial delay
+        (MaintenanceScheduler.java:34-115), there so a fleet of tables
+        sharing one cron doesn't thundering-herd the object store.
+        Deterministic (hash of name, no RNG) so schedules are
+        reproducible and testable; subsequent fires follow the cron
+        exactly."""
         job = ScheduledJob(name=name, cron=Cron.parse(cron_expr), fn=fn)
         job.next_fire = job.cron.next_fire(now)
+        if jitter_minutes > 0:
+            digest = hashlib.sha256(name.encode()).digest()
+            offset = int.from_bytes(digest[:4], "big") % jitter_minutes
+            job.next_fire += datetime.timedelta(minutes=offset)
         self.jobs.append(job)
         return job
 
     def add_table_maintenance(
-        self, catalog, ident: str, cron_expr: str, now: datetime.datetime, dry_run: bool = False
+        self,
+        catalog,
+        ident: str,
+        cron_expr: str,
+        now: datetime.datetime,
+        dry_run: bool = False,
+        jitter_minutes: int = 0,
     ) -> ScheduledJob:
         """The reference's per-table schedule: all four jobs in
         MaintenanceRunner order on each fire."""
@@ -150,7 +176,9 @@ class MaintenanceSchedule:
         def fn(_now):
             return perform_maintenance(catalog.load_table(ident), dry_run=dry_run)
 
-        return self.add(f"maintenance:{ident}", cron_expr, fn, now)
+        return self.add(
+            f"maintenance:{ident}", cron_expr, fn, now, jitter_minutes=jitter_minutes
+        )
 
     def run_pending(self, now: datetime.datetime) -> dict[str, object]:
         """Per-job error ISOLATION: one failing table's maintenance

@@ -89,5 +89,24 @@ def get_spark(
     return spark
 
 
+#: Runtime-settable confs the events loader depends on; the explicit
+#: opt-in for foreign sessions (get_spark sets them at build time).
+EVENTS_SESSION_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Pin the runtime confs ice_spark's loaders assume on a session
+    built elsewhere (e.g. a bare ``SparkSession.builder.getOrCreate()``).
+    Call this once after creating a foreign session; ``get_spark``
+    sessions are already configured."""
+    for k, v in EVENTS_SESSION_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+    return spark
+
+
 def sf_dir() -> str:
     return os.environ.get(ENV_SF_DIR, DEFAULT_SF_DIR)

@@ -90,12 +90,17 @@ def _read_normalized(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType
 
-    # Runtime-settable confs: harmless when ts is already a timestamp,
-    # nanosAsLong is required to even load a TIMESTAMP(NANOS) file, and
-    # UTC makes the NTZ->TIMESTAMP cast below wall-clock-preserving on
-    # caller-provided sessions (e.g. the driver harness).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from ice_spark.session import configure_session
+
+    # nanosAsLong is required to even load a TIMESTAMP(NANOS) file and
+    # UTC makes the NTZ->TIMESTAMP cast below wall-clock-preserving.
+    # The external correctness driver calls queries() on a BARE session
+    # it builds itself (no get_spark, no chance to opt in), so this
+    # seam MUST self-configure or every e-family gate query fails (the
+    # exact round-2 regression). configure_session is idempotent and
+    # only touches confs that differ; sessions from get_spark or an
+    # explicit configure_session call are never mutated here.
+    configure_session(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     dtype = df.schema["ts"].dataType
     if isinstance(dtype, LongType):

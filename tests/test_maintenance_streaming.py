@@ -80,6 +80,79 @@ def test_snapshot_expiry_and_manifest_gc(cat):
     assert gc["removed_manifests"] == []  # expiry already removed them
 
 
+def test_expiry_commit_failure_deletes_nothing(cat, monkeypatch):
+    """Expire order parity with Iceberg: the snapshot-list commit
+    happens BEFORE any file deletion, so a commit that fails after
+    retries leaves every referenced file on disk (the old order —
+    delete first, commit after — left live metadata pointing at
+    deleted data)."""
+    from ice_spark.catalog.table import CommitConflictError
+
+    cat.create_namespace("ns")
+    t = cat.create_table("ns.cf", schema_from_parquet=f"{SF}/region.parquet")
+    insert(t, [f"{SF}/region.parquet"])
+    insert(t, [f"{SF}/region.parquet"], force_duplicates=True)
+
+    def backdate(meta):
+        meta["snapshots"][0]["timestamp_ms"] -= int(200 * 3600 * 1000)
+        return meta
+
+    t.commit(backdate)
+    all_paths = [
+        os.path.join(t.location, e["path"])
+        for s in t.snapshots()
+        for e in t.snapshot_files(s)
+    ]
+
+    def always_conflict(meta, expected_version):
+        raise CommitConflictError("simulated permanent CAS failure")
+
+    monkeypatch.setattr(t, "_write_metadata", always_conflict)
+    with pytest.raises(CommitConflictError):
+        expire_snapshots(t, max_age_hours=120, min_to_keep=1)
+    for p in all_paths:
+        assert os.path.exists(p), f"file deleted before commit: {p}"
+
+
+def test_expiry_concurrent_rollback_keeps_refs(cat):
+    """A rollback committed between expiry planning and the expiry
+    commit re-references the expiree's files via a new snapshot.
+    Reachability is recomputed from the COMMITTED metadata, so those
+    files survive and the rolled-back table stays readable."""
+    cat.create_namespace("ns")
+    t = cat.create_table("ns.rr", schema_from_parquet=f"{SF}/region.parquet")
+    insert(t, [f"{SF}/region.parquet"])
+    insert(t, [f"{SF}/region.parquet"], force_duplicates=True)
+    first_sid = t.snapshots()[0]["snapshot_id"]
+
+    def backdate(meta):
+        meta["snapshots"][0]["timestamp_ms"] -= int(200 * 3600 * 1000)
+        return meta
+
+    t.commit(backdate)
+
+    other = cat.load_table("ns.rr")
+    orig_commit = t.commit
+    raced = {"done": False}
+
+    def commit_with_race(mutate, **kw):
+        if not raced["done"]:
+            raced["done"] = True
+            other.rollback(first_sid)
+        return orig_commit(mutate, **kw)
+
+    t.commit = commit_with_race
+    try:
+        expire_snapshots(t, max_age_hours=120, min_to_keep=1)
+    finally:
+        t.commit = orig_commit
+    t.refresh()
+    # rollback snapshot is current and its (shared) files survived
+    assert t.read().count() == 5
+    for e in t.files():
+        assert os.path.exists(os.path.join(t.location, e["path"]))
+
+
 def test_orphan_cleanup(cat):
     cat.create_namespace("ns")
     t = cat.create_table("ns.o", schema_from_parquet=f"{SF}/region.parquet")

@@ -126,3 +126,39 @@ class TestSchedule:
         # no immediate hot-retry: not due again until the next slot
         assert sched.run_pending(DT(2026, 1, 1, 1, 1)) == {}
         assert sched.run_pending(DT(2026, 1, 1, 2, 0)).keys() == {"bad", "good"}
+
+
+class TestInitialJitter:
+    def test_same_cron_distinct_first_fires(self):
+        """Two tables with the same cron get distinct, deterministic
+        first-fire times under jitter (reference's initial-delay
+        jitter, MaintenanceScheduler.java:34-115) so a fleet doesn't
+        hit the object store simultaneously."""
+        now = DT(2026, 1, 1, 0, 0)
+        sched = MaintenanceSchedule()
+        a = sched.add("maintenance:ns.a", "0 3 * * *", lambda n: "a", now, jitter_minutes=60)
+        b = sched.add("maintenance:ns.b", "0 3 * * *", lambda n: "b", now, jitter_minutes=60)
+        assert a.next_fire != b.next_fire
+        base = DT(2026, 1, 1, 3, 0)
+        for j in (a, b):
+            assert base <= j.next_fire < base + datetime.timedelta(minutes=60)
+        # deterministic: rebuilding the schedule reproduces the offsets
+        sched2 = MaintenanceSchedule()
+        a2 = sched2.add("maintenance:ns.a", "0 3 * * *", lambda n: "a", now, jitter_minutes=60)
+        assert a2.next_fire == a.next_fire
+
+    def test_jitter_only_on_first_fire(self):
+        now = DT(2026, 1, 1, 0, 0)
+        sched = MaintenanceSchedule()
+        j = sched.add("t", "0 * * * *", lambda n: "x", now, jitter_minutes=30)
+        first = j.next_fire
+        assert first > DT(2026, 1, 1, 1, 0) or first == DT(2026, 1, 1, 1, 0)
+        sched.run_pending(first)
+        # after the first run the cron is followed exactly (top of hour)
+        assert j.next_fire.minute == 0
+
+    def test_zero_jitter_default_unchanged(self):
+        now = DT(2026, 1, 1, 0, 0)
+        sched = MaintenanceSchedule()
+        j = sched.add("t", "0 3 * * *", lambda n: "x", now)
+        assert j.next_fire == DT(2026, 1, 1, 3, 0)
