@@ -69,19 +69,59 @@ def main() -> None:
             except Exception:
                 pass  # warm-up is best-effort; the measured run reports errors
 
+    # Median-of-N per query (VERDICT r3: sub-second queries on a
+    # shared sandbox swing ±0.3s run-to-run; three rounds of bench
+    # disagreed by more than the noise budget with zero code changes).
+    # The median is the reported number; p25/p75 expose the spread so
+    # a future drift can be judged against the distribution, not a
+    # single sample.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = specs[name]
-        t0 = time.time()
-        try:
-            df = spec.spark_fn(spark, sf)
-            # Materialize every row without collecting to the driver.
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # one bad query must not kill the line
-            errors[name] = str(e).splitlines()[0][:200]
-            timings[name] = round(time.time() - t0, 3)
+        samples: list[float] = []
+        for _ in range(reps):
+            t0 = time.time()
+            try:
+                df = spec.spark_fn(spark, sf)
+                # Materialize every row without collecting to the driver.
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+            except Exception as e:  # one bad query must not kill the line
+                errors[name] = str(e).splitlines()[0][:200]
+                samples.append(time.time() - t0)
+                break
+        s = sorted(samples)
+        med = s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+        timings[name] = round(med, 3)
+        stats[name] = {
+            "median": round(med, 3),
+            "p25": round(s[max(0, (len(s) - 1) // 4)], 3),
+            "p75": round(s[min(len(s) - 1, (3 * (len(s) - 1) + 3) // 4)], 3),
+            "runs": len(s),
+        }
+
+    # Drift vs the committed anchor (BENCH_r01.json medians — r1 is
+    # the oldest clean full run). >25% per-query movement is flagged
+    # in the output so measurement problems surface as data, not as
+    # three rounds of unexplained disagreement.
+    drift: dict[str, dict] = {}
+    anchor_file = REPO / "BENCH_r01.json"
+    try:
+        anchor = json.loads(anchor_file.read_text())
+        anchor_q = anchor.get("queries", {}) if anchor.get("sf") == float(
+            os.path.basename(sf.rstrip("/")).replace("sf", "") or 0
+        ) else {}
+        for name, med in timings.items():
+            base = anchor_q.get(name)
+            if base and base > 0:
+                ratio = med / base
+                if abs(ratio - 1.0) > 0.25:
+                    drift[name] = {"anchor": base, "now": med, "ratio": round(ratio, 2)}
+    except (OSError, ValueError):
+        pass
 
     # Ingest throughput — the reference's actual performance surface
     # (its hot path is parquet→table ingest with client-side
@@ -204,6 +244,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_stats": stats,
+        "reps": reps,
+        **({"drift_vs_r01": drift} if drift else {}),
         "sf": float(sf_label) if sf_label else sf,
         "ingest": ingest,
         **({"sf1_probe": sf1} if sf1 else {}),

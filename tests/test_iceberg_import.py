@@ -260,3 +260,216 @@ def test_import_file_uri_paths(spark, tmp_path):
     schema, entries = iceberg_table_entries(uri_meta)
     assert sum(e["records"] for e in entries) == 12
     assert all(e["path"].startswith("/") for e in entries)
+
+
+def test_import_spec_complete_foreign_fixture(spark, tmp_path):
+    """A hand-synthesized foreign Iceberg v2 table — built straight
+    from the public Table Spec, NOT by our exporter — covering shapes
+    the exporter never emits: EXISTING (status=0) and DELETED
+    (status=2) manifest entries, required fields, field-id-keyed
+    bounds, identity partition values in the manifest's partition
+    record. Import must serve exactly the live rows and keep bound
+    pruning working."""
+    import json
+    import struct
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ice_spark.catalog.iceberg_export import MANIFEST_LIST_SCHEMA
+    from ice_spark.catalog.iceberg_import import iceberg_table_entries
+    from ice_spark.sources import avro_io
+
+    root = tmp_path / "foreign"
+    meta_dir = root / "metadata"
+    data_dir = root / "data"
+    meta_dir.mkdir(parents=True)
+    data_dir.mkdir(parents=True)
+
+    # two live data files (one per partition) + one dropped file
+    files = {}
+    for name, cat, ids in [
+        ("a.parquet", "x", [1, 2, 3]),
+        ("b.parquet", "y", [10, 11]),
+        ("dropped.parquet", "x", [99]),
+    ]:
+        p = str(data_dir / name)
+        pq.write_table(
+            pa.table({"id": pa.array(ids, pa.int64()), "cat": [cat] * len(ids)}), p
+        )
+        files[name] = (p, cat, ids)
+
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int", "field-id": 134},
+                        {"name": "file_path", "type": "string", "field-id": 100},
+                        {"name": "file_format", "type": "string", "field-id": 101},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [
+                                    {"name": "cat", "type": ["null", "string"], "default": None, "field-id": 1000}
+                                ],
+                            },
+                            "field-id": 102,
+                        },
+                        {"name": "record_count", "type": "long", "field-id": 103},
+                        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                        {
+                            "name": "lower_bounds",
+                            "type": ["null", {"type": "array", "items": {
+                                "type": "record", "name": "k126_v127",
+                                "fields": [
+                                    {"name": "key", "type": "int", "field-id": 126},
+                                    {"name": "value", "type": "bytes", "field-id": 127},
+                                ]}, "logicalType": "map"}],
+                            "default": None,
+                            "field-id": 125,
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "type": ["null", {"type": "array", "items": {
+                                "type": "record", "name": "k129_v130",
+                                "fields": [
+                                    {"name": "key", "type": "int", "field-id": 129},
+                                    {"name": "value", "type": "bytes", "field-id": 130},
+                                ]}, "logicalType": "map"}],
+                            "default": None,
+                            "field-id": 128,
+                        },
+                    ],
+                },
+                "field-id": 2,
+            },
+        ],
+    }
+
+    def entry(status, name):
+        p, cat, ids = files[name]
+        return {
+            "status": status,
+            "snapshot_id": 77,
+            "sequence_number": 1,
+            "file_sequence_number": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": p,
+                "file_format": "PARQUET",
+                "partition": {"cat": cat},
+                "record_count": len(ids),
+                "file_size_in_bytes": 100,
+                "lower_bounds": [{"key": 1, "value": struct.pack("<q", min(ids))}],
+                "upper_bounds": [{"key": 1, "value": struct.pack("<q", max(ids))}],
+            },
+        }
+
+    m_path = str(meta_dir / "m-foreign.avro")
+    avro_io.write_container(
+        m_path,
+        entry_schema,
+        [entry(1, "a.parquet"), entry(0, "b.parquet"), entry(2, "dropped.parquet")],
+    )
+    ml_path = str(meta_dir / "snap-77.avro")
+    avro_io.write_container(
+        ml_path,
+        MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": m_path,
+                "manifest_length": 1000,
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 77,
+                "added_files_count": 1,
+                "existing_files_count": 1,
+                "deleted_files_count": 1,
+                "added_rows_count": 3,
+                "existing_rows_count": 2,
+                "deleted_rows_count": 1,
+                "partitions": None,
+                "key_metadata": None,
+            }
+        ],
+    )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "11111111-2222-3333-4444-555555555555",
+        "location": str(root),
+        "last-sequence-number": 1,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "id", "required": True, "type": "long"},
+                    {"id": 2, "name": "cat", "required": False, "type": "string"},
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {"name": "cat", "transform": "identity", "source-id": 2, "field-id": 1000}
+                ],
+            }
+        ],
+        "last-partition-id": 1000,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 77,
+        "snapshots": [
+            {
+                "snapshot-id": 77,
+                "sequence-number": 1,
+                "timestamp-ms": 1700000000000,
+                "manifest-list": ml_path,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            }
+        ],
+    }
+    mf = str(meta_dir / "v3.metadata.json")
+    with open(mf, "w") as f:
+        json.dump(metadata, f)
+
+    schema, entries = iceberg_table_entries(mf)
+    # DELETED entry skipped; ADDED + EXISTING live
+    assert len(entries) == 2
+    assert sum(e["records"] for e in entries) == 5
+    assert {e["partition"]["cat"] for e in entries} == {"x", "y"}
+    # bounds decoded from field-id keyed byte maps
+    by_cat = {e["partition"]["cat"]: e for e in entries}
+    assert by_cat["x"]["column_metrics"]["id"] == {"min": 1, "max": 3}
+    assert by_cat["y"]["column_metrics"]["id"] == {"min": 10, "max": 11}
+
+    # end to end through the catalog: rows + pruning
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("ext")
+    imp = register_iceberg_table(cat, "ext.foreign", mf)
+    assert imp.read().count() == 5
+    got = {(r.id, r.cat) for r in imp.read().collect()}
+    assert got == {(1, "x"), (2, "x"), (3, "x"), (10, "y"), (11, "y")}
+    assert (99, "x") not in got  # dropped file's rows absent
+    planned = imp.plan_files([{"name": "id", "op": "greater_than", "values": [5]}])
+    assert len(planned) == 1 and planned[0]["partition"]["cat"] == "y"
