@@ -188,3 +188,74 @@ class TestWatchQueue:
         t = cat.load_table("auto.t")
         assert t.read().count() == 6
         assert [f.name for f in t.schema.fields] == ["id", "v"]
+
+
+class TestCrashRecovery:
+    def test_crash_between_commit_and_delete_is_exactly_once(self, setup):
+        """The reference's confirmProcessed contract
+        (InsertWatch.java:317-342): messages are acked only AFTER the
+        commit, so a crash in the commit->ack window redelivers an
+        already-committed message; skip-duplicates must absorb the
+        replay with zero duplicate rows and no new snapshot."""
+        t, make_file, path_for = setup
+
+        class CrashOnDelete(FakeQueue):
+            armed = True
+
+            def delete(self, receipt_handles):
+                if self.armed:
+                    self.armed = False
+                    raise RuntimeError("simulated crash before ack")
+                super().delete(receipt_handles)
+
+        q = CrashOnDelete()
+        q.send(s3_event_body("b", [make_file("once.parquet", 0, 8)]))
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            watch_queue(t, q, path_for=path_for, fire_once=True)
+        # the commit landed, the ack did not
+        t.refresh()
+        assert t.read().count() == 8
+        snaps_after_commit = len(t.snapshots())
+        assert q.pending() == 1  # message still in flight
+
+        # visibility timeout elapses -> redelivery -> replay
+        q.expire_visibility()
+        stats = watch_queue(t, q, path_for=path_for, fire_once=True)
+        t.refresh()
+        assert stats["files_added"] == 0 and stats["files_skipped"] == 1
+        assert t.read().count() == 8  # no duplicate rows
+        assert len(t.snapshots()) == snaps_after_commit  # no extra commit
+        assert q.pending() == 0  # replayed message acked this time
+
+    def test_crash_before_commit_loses_nothing(self, setup, monkeypatch):
+        """Crash BEFORE the commit (insert raises): message stays
+        queued, a healthy restart ingests it exactly once."""
+        import ice_spark.streaming.queue_watch as qw
+
+        t, make_file, path_for = setup
+        q = FakeQueue()
+        q.send(s3_event_body("b", [make_file("late.parquet", 0, 5)]))
+
+        real_insert = qw.insert
+        calls = {"n": 0}
+
+        def flaky_insert(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("simulated crash mid-ingest")
+            return real_insert(*a, **k)
+
+        monkeypatch.setattr(qw, "insert", flaky_insert)
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="mid-ingest"):
+            watch_queue(t, q, path_for=path_for, fire_once=True)
+        t.refresh()
+        assert t.read().count() == 0  # nothing committed
+        q.expire_visibility()
+        stats = watch_queue(t, q, path_for=path_for, fire_once=True)
+        assert stats["files_added"] == 1
+        assert t.read().count() == 5
+        assert q.pending() == 0
