@@ -70,6 +70,61 @@ def _footer_stats(path: str) -> tuple[int, int]:
     return md.num_rows, os.path.getsize(path)
 
 
+def _s3_footer_schema(client, uri: str):
+    """Spark schema of an s3:// parquet object, from its footer via
+    ranged GETs (no download; the reference's schema gate reads the
+    footer through Iceberg's S3InputFile the same way)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from ice_spark.sources.s3 import S3RangeFile
+
+    return from_arrow_schema(
+        pq.ParquetFile(S3RangeFile(client, uri)).schema_arrow
+    )
+
+
+def _s3_copy_entries(
+    table: Table, files: list[str], client, version: int, assume_sorted: bool
+) -> list[dict]:
+    """Server-side copy each source object under <table>/data/ and
+    build manifest entries with footer metrics read via ranged GETs
+    (Insert.java:529-554 + CopyObjectMultipart.java). O(metadata)
+    client-side: bytes move bucket-to-bucket inside S3."""
+    import pyarrow.parquet as pq
+
+    from ice_spark.ingest.inspect import check_sorted, infer_partition
+    from ice_spark.sources.s3 import S3RangeFile, copy_object_multipart, parse_s3_uri
+
+    entries: list[dict] = []
+    ts = int(time.time() * 1000)
+    for f in files:
+        base = os.path.basename(parse_s3_uri(f).key)
+        dst = f"{table.location}/data/{ts}-{uuid.uuid4().hex[:16]}-{base}"
+        copy_object_multipart(client, f, dst)
+        partition = infer_partition(S3RangeFile(client, dst), table.partition_spec)
+        if table.sort_order and not assume_sorted:
+            if not check_sorted(S3RangeFile(client, dst), table.sort_order):
+                raise ValueError(
+                    f"{f} is not sorted by the table sort order; "
+                    "rewrite (copy insert) or pass assume_sorted"
+                )
+        fobj = S3RangeFile(client, dst)
+        md = pq.ParquetFile(fobj).metadata
+        entries.append(
+            {
+                "path": dst,
+                "partition": partition,
+                "records": md.num_rows,
+                "size_bytes": fobj.size(),
+                "source_path": f,
+                "schema_version": version,
+                "column_metrics": _footer_column_metrics(S3RangeFile(client, dst)),
+            }
+        )
+    return entries
+
+
 def _footer_column_metrics(path: str) -> dict:
     """Per-column value/null counts and lower/upper bounds from the
     Parquet footer — the reference builds Iceberg metrics the same way
@@ -134,6 +189,8 @@ def insert(
     assume_sorted: bool = False,
     input_format: str = "parquet",
     file_naming: str = "default",
+    s3_copy_object: bool = False,
+    s3_client=None,
 ) -> dict:
     """Ingest parquet files; returns a summary dict.
 
@@ -145,6 +202,13 @@ def insert(
     = keep each source file's basename (PRESERVE_ORIGINAL) — copies
     per input file (one output per input per partition), erroring on
     basename collisions instead of silently renaming.
+
+    s3_copy_object: server-side S3 CopyObject instead of
+    download+rewrite, valid only when source AND table live in
+    s3:// buckets (Insert.java:529-554). Bytes never transit the
+    client; footer metrics are read via ranged GETs
+    (sources/s3.S3RangeFile). Requires `s3_client` (boto3-shaped;
+    sources.s3.new_s3_client() in production, a fake in tests).
     """
     if file_naming not in ("default", "preserve"):
         raise ValueError(f"unsupported file_naming {file_naming!r}")
@@ -176,6 +240,20 @@ def insert(
     if len(set(files)) != len(files):
         # duplicate-input rejection (Insert.java:150-168)
         raise DuplicateInputError("duplicate input paths given")
+    if s3_copy_object:
+        if no_copy:
+            raise ValueError("s3_copy_object and no_copy are mutually exclusive")
+        # Insert.java:530-533 parity, same constraint text
+        if not table.location.startswith("s3://") or any(
+            not f.startswith(("s3://", "s3a://")) for f in files
+        ):
+            raise ValueError(
+                "--s3-copy-object is only supported between s3:// buckets"
+            )
+        if s3_client is None:
+            raise ValueError(
+                "s3_copy_object needs an S3 client (sources.s3.new_s3_client())"
+            )
 
     table.refresh()
     spark = table.spark
@@ -220,7 +298,10 @@ def insert(
 
     # --- schema gate per file (Insert.java:504-509)
     for f in files:
-        fschema = read_input(spark, f, input_format).schema
+        if s3_copy_object:
+            fschema = _s3_footer_schema(s3_client, f)
+        else:
+            fschema = read_input(spark, f, input_format).schema
         try:
             check_compatible(fschema, table.schema)
         except SchemaIncompatibleError as e:
@@ -267,6 +348,8 @@ def insert(
                     "column_metrics": _footer_column_metrics(absf),
                 }
             )
+    elif s3_copy_object:
+        entries = _s3_copy_entries(table, files, s3_client, version, assume_sorted)
     else:
         entries = _copy_write(
             table, files, compression, version, input_format, file_naming
