@@ -691,6 +691,54 @@ def c01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c02_sequence_packing",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 8 AS shard,
+             len({_SQL_TOKS.format(col='text')}) AS n_toks
+      FROM documents
+    ),
+    r AS (
+      SELECT shard, doc_id, n_toks,
+             SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS end_pos
+      FROM d
+    ),
+    b AS (
+      SELECT shard, n_toks, end_pos,
+             CAST(FLOOR((end_pos - 1) / 512.0) AS BIGINT) AS bin,
+             FLOOR((end_pos - n_toks) / 512.0) <> FLOOR((end_pos - 1) / 512.0)
+               AS straddles
+      FROM r
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(FLOOR((MAX(end_pos) - 1) / 512.0) + 1 AS BIGINT) AS n_bins,
+           CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_straddlers,
+           ROUND(CAST(SUM(n_toks) AS DOUBLE) / (
+             (FLOOR((MAX(end_pos) - 1) / 512.0) + 1) * 512), 4) AS utilization
+    FROM b
+    GROUP BY shard
+    """,
+    doc="Sequence packing (concat-and-chunk): documents are sharded "
+    "into 8 independent streams, concatenated in doc_id order, and "
+    "cut into 512-token context windows; per-shard window counts, "
+    "boundary straddlers, and utilization. One shuffle (the window "
+    "partition); shards scale out the per-stream sequential packing "
+    "(operators/packing.py).",
+)
+def c02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.packing import packing_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return packing_stats(docs, budget=512, shards=8)
+
+
+@register(
     "s06_stratified_sample",
     """
     WITH b AS (
