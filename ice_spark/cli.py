@@ -23,6 +23,14 @@ def _json_arg(s: str):
     return json.loads(s)
 
 
+def _s3_client_if(enabled: bool):
+    if not enabled:
+        return None
+    from ice_spark.sources.s3 import new_s3_client
+
+    return new_s3_client()
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ice-spark")
     p.add_argument("--warehouse", required=True, help="warehouse directory")
@@ -77,6 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--file-naming", dest="file_naming", default="default",
                     choices=["default", "preserve"],
                     help="preserve = keep source basenames (PRESERVE_ORIGINAL)")
+    sp.add_argument("--s3-copy-object", dest="s3_copy_object", action="store_true",
+                    help="server-side S3 copy (s3:// source AND table only; "
+                    "binds boto3 at runtime)")
 
     sp = sub.add_parser("scan")
     sp.add_argument("table")
@@ -394,6 +405,8 @@ def main(argv: list[str] | None = None) -> int:
             no_commit=args.no_commit,
             input_format=args.input_format,
             file_naming=args.file_naming,
+            s3_copy_object=args.s3_copy_object,
+            s3_client=_s3_client_if(args.s3_copy_object),
         )
     elif args.cmd == "sql":
         # Register every table as a `<ns>_<table>` view and run the
