@@ -435,6 +435,148 @@ def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d09_canonical_selection",
+    f"""
+    WITH RECURSIVE
+    {_SQL_NEARDUP_EDGES},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+      FROM reach GROUP BY u
+    ),
+    scored AS (
+      SELECT c.component, c.doc_id,
+             len({_SQL_TOKS.format(col='d.text')}) AS n_toks,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.component
+               ORDER BY len({_SQL_TOKS.format(col='d.text')}) DESC, c.doc_id ASC
+             ) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT component,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+           MAX(CASE WHEN rn = 1 THEN n_toks END) AS kept_toks,
+           COUNT(*) AS n_members,
+           COUNT(*) - 1 AS n_dropped
+    FROM scored
+    GROUP BY component
+    ORDER BY component
+    """,
+    doc="Canonical selection after near-dup clustering: within each "
+    "connected component keep the LONGEST document (ties -> lowest "
+    "id) and drop the rest — the keep-best policy real dedup "
+    "pipelines apply instead of keep-min-id. Composition of the CC "
+    "operator with a per-component window; scales as d06 plus one "
+    "narrow shuffle on component id.",
+)
+def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ice_spark.operators.cluster import alternating_star_components
+    from ice_spark.queries.registry import QUERIES
+
+    pairs = QUERIES["d02_ngram_jaccard_pairs"].spark_fn(spark, sf_dir)
+    comp = alternating_star_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").alias("n_toks")
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_toks"), F.asc("doc_id"))
+    scored = comp.join(docs, "doc_id").withColumn("rn", F.row_number().over(w))
+    return (
+        scored.groupBy("component")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_toks"))).alias("kept_toks"),
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"),
+        )
+        .orderBy("component")
+    )
+
+
+@register(
+    "s08_mixture_weights",
+    """
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n) AS t FROM counts),
+    target AS (
+      SELECT lang, n, t,
+             CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.2
+                       WHEN 'fr' THEN 0.1 WHEN 'de' THEN 0.1
+                       ELSE 0.1 END AS target_w
+      FROM counts, tot
+    )
+    SELECT lang,
+           n AS n_docs,
+           target_w,
+           ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                       target_w * t / n), 6) AS keep_rate,
+           CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE), target_w * t / n) * n)
+                AS BIGINT) AS expected_kept
+    FROM target
+    ORDER BY lang
+    """,
+    doc="Data-mixture solver: given target language weights, compute "
+    "per-stratum deterministic keep rates (capped at 1 — an "
+    "under-represented stratum is kept whole, the classic mixture "
+    "rebalancing constraint) and expected post-sampling sizes. "
+    "Aggregation is one tiny shuffle; the rates feed "
+    "operators/sampling.stratified_hash_sample for the actual "
+    "materialization.",
+)
+def s08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("t"))
+    target = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "target_w",
+            F.when(F.col("lang") == "en", F.lit(0.5))
+            .when(F.col("lang") == "es", F.lit(0.2))
+            .when(F.col("lang") == "fr", F.lit(0.1))
+            .when(F.col("lang") == "de", F.lit(0.1))
+            .otherwise(F.lit(0.1)),
+        )
+        .withColumn(
+            "keep_rate",
+            F.round(
+                F.least(
+                    F.lit(1.0).cast("double"),
+                    F.col("target_w") * F.col("t") / F.col("n_docs"),
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "expected_kept",
+            F.floor(
+                F.least(
+                    F.lit(1.0).cast("double"),
+                    F.col("target_w") * F.col("t") / F.col("n_docs"),
+                )
+                * F.col("n_docs")
+            ).cast("long"),
+        )
+    )
+    return target.select(
+        "lang", "n_docs", "target_w", "keep_rate", "expected_kept"
+    ).orderBy("lang")
+
+
+@register(
     "t05_bpe_token_counts",
     r"""
     SELECT lang,
