@@ -370,3 +370,80 @@ def f10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_translated_len"),
         F.max(F.repeat(F.substring("p_type", 1, 3), 2)).alias("max_type_echo"),
     )
+
+
+@register(
+    "f11_bitwise_functions",
+    """
+    SELECT o_orderkey,
+           o_orderkey & 255 AS k_and,
+           o_orderkey | 4096 AS k_or,
+           xor(o_orderkey, 1023) AS k_xor,
+           (o_orderkey << 3) & 1048575 AS k_shl_masked,
+           o_orderkey >> 2 AS k_shr,
+           CAST(bit_count(o_orderkey) AS INT) AS k_popcount
+    FROM orders
+    WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    """,
+    doc="Bitwise operators: AND/OR/XOR, shifts, population count — "
+    "exact integer semantics in both engines.",
+)
+def f11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("k_and"),
+        k.bitwiseOR(F.lit(4096)).alias("k_or"),
+        k.bitwiseXOR(F.lit(1023)).alias("k_xor"),
+        F.shiftleft(k, 3).bitwiseAND(F.lit(1048575)).alias("k_shl_masked"),
+        F.shiftright(k, 2).alias("k_shr"),
+        F.bit_count(k).alias("k_popcount"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "f12_filtered_aggregates",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_cents,
+           CAST(COALESCE(MIN(o_orderkey) FILTER (WHERE o_orderdate >= DATE '1997-01-01'), -1)
+                AS BIGINT) AS min_key_recent,
+           CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000)
+                AS BIGINT) AS big_spenders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="FILTER-clause aggregates (conditional count/sum/min/distinct "
+    "in one pass over the fact table — one shuffle for all five).",
+)
+def f12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents_expr = cents(F.col("o_totalprice"))
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", cents_expr))
+        .cast("long")
+        .alias("open_cents"),
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"),
+                    F.col("o_orderkey"),
+                )
+            ),
+            F.lit(-1).cast("long"),
+        )
+        .cast("long")
+        .alias("min_key_recent"),
+        F.count_distinct(
+            F.when(F.col("o_totalprice") > 100000, F.col("o_custkey"))
+        )
+        .cast("long")
+        .alias("big_spenders"),
+    )
