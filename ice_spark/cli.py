@@ -167,6 +167,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("table", help="catalog identifier to create")
     sp.add_argument("metadata_file", help="foreign Iceberg v2 metadata.json")
 
+    sp = sub.add_parser(
+        "scan-iceberg",
+        help="merge-on-read scan of a foreign Iceberg v2 table "
+        "(applies position + equality deletes; works on tables "
+        "register-iceberg refuses)",
+    )
+    sp.add_argument("metadata_file", help="foreign Iceberg v2 metadata.json")
+    sp.add_argument("--snapshot", type=int, default=None)
+    sp.add_argument("--limit", type=int, default=20)
+
     sp = sub.add_parser("analyze")
     sp.add_argument("table")
     sp.add_argument("--exact", action="store_true", help="exact NDV (HLL default)")
@@ -442,6 +452,13 @@ def main(argv: list[str] | None = None) -> int:
             "files": len(t.files()),
             "records": sum(e.get("records", 0) for e in t.files()),
         }
+    elif args.cmd == "scan-iceberg":
+        from ice_spark.catalog.iceberg_mor import read_iceberg_mor
+
+        df = read_iceberg_mor(
+            cat.spark, args.metadata_file, snapshot_id=args.snapshot
+        ).limit(args.limit)
+        out = [r.asDict(recursive=True) for r in df.collect()]
     elif args.cmd == "analyze":
         out = cat.load_table(args.table).analyze(approx=not args.exact)
     elif args.cmd == "tag":
