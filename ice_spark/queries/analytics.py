@@ -552,3 +552,73 @@ def e12(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bottom_half_value"),
         F.expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").alias("total_value"),
     )
+
+
+@register(
+    "e13_hourly_gap_fill_locf",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             DATE_TRUNC('hour', ts) AS h,
+             COUNT(*) AS n_events,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events
+      GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM spans
+    )
+    SELECT g.event_type,
+           STRFTIME(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           COALESCE(hy.n_events, 0) AS n_events,
+           LAST_VALUE(hy.cents IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_cents
+    FROM grid g LEFT JOIN hourly hy
+      ON g.event_type = hy.event_type AND g.h = hy.h
+    """,
+    doc="Time-series gap fill + LOCF resample: per event type, a dense "
+    "hourly grid between that type's first and last hour, missing "
+    "hours filled with zero counts and last-observation-carried-"
+    "forward value sums (exact integer cents). Spark-first shape: the "
+    "grid is generated from the PRE-AGGREGATED per-type span relation "
+    "(sequence+explode — rows = types x hours, never events x hours), "
+    "the fill join and LOCF window both run on the pre-aggregated "
+    "hourly relation, so window state is bounded by grid size, not "
+    "event count, at any scale.",
+)
+def e13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    spans = hourly.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    filled = grid.join(hourly, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
+    )
