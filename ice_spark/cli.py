@@ -177,6 +177,28 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--snapshot", type=int, default=None)
     sp.add_argument("--limit", type=int, default=20)
 
+    sp = sub.add_parser(
+        "create-matview",
+        help="materialize a groupBy aggregate of a base table as a new "
+        "table with incremental refresh metadata",
+    )
+    sp.add_argument("matview", help="identifier for the new view table")
+    sp.add_argument("base", help="base table identifier")
+    sp.add_argument("--group-by", required=True, help="comma-separated group columns")
+    sp.add_argument(
+        "--agg",
+        action="append",
+        required=True,
+        help="op:col:alias (op in sum/count/min/max); repeatable",
+    )
+
+    sp = sub.add_parser(
+        "refresh-matview",
+        help="fold base-table changes since the last refresh into the "
+        "view (O(new data); full recompute if the range has deletes)",
+    )
+    sp.add_argument("matview")
+
     sp = sub.add_parser("analyze")
     sp.add_argument("table")
     sp.add_argument("--exact", action="store_true", help="exact NDV (HLL default)")
@@ -459,6 +481,25 @@ def main(argv: list[str] | None = None) -> int:
             cat.spark, args.metadata_file, snapshot_id=args.snapshot
         ).limit(args.limit)
         out = [r.asDict(recursive=True) for r in df.collect()]
+    elif args.cmd == "create-matview":
+        from ice_spark.operators.matview import create_matview
+
+        aggs = []
+        for spec in args.agg:
+            op, col, alias = spec.split(":")
+            aggs.append({"op": op, "col": col, "alias": alias})
+        mv = create_matview(
+            cat, args.matview, args.base, args.group_by.split(","), aggs
+        )
+        out = {
+            "created": args.matview,
+            "base": args.base,
+            "rows": sum(e.get("records", 0) for e in mv.files()),
+        }
+    elif args.cmd == "refresh-matview":
+        from ice_spark.operators.matview import refresh_matview
+
+        out = refresh_matview(cat, args.matview)
     elif args.cmd == "analyze":
         out = cat.load_table(args.table).analyze(approx=not args.exact)
     elif args.cmd == "tag":
