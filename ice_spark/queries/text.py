@@ -1336,3 +1336,60 @@ def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_emails") + F.col("n_phones")).alias("total_redactions"),
         (F.sum(F.length("text") - F.length("clean"))).alias("chars_removed"),
     )
+
+
+@register(
+    "d10_duplicate_shingle_fraction",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_SQL_SHINGLE_HASHES} AS sh
+      FROM (SELECT doc_id, {_SQL_TOKH} AS th
+            FROM (SELECT doc_id, {_SQL_TOKS.format(col='text')} AS toks FROM documents))
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    freq AS (SELECT s, COUNT(*) AS nd FROM ex GROUP BY s),
+    per AS (
+      SELECT e.doc_id,
+             COUNT(*) AS n_shingles,
+             SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS n_dup
+      FROM ex e JOIN freq f ON e.s = f.s
+      GROUP BY 1
+    )
+    SELECT doc_id, n_shingles, n_dup,
+           ROUND(CAST(n_dup AS DOUBLE) / n_shingles, 6) AS dup_fraction
+    FROM per
+    WHERE n_dup > 0
+    """,
+    doc="Per-document corpus redundancy score: the fraction of a "
+    "document's distinct shingles that appear in at least one OTHER "
+    "document (shingles are per-doc distinct, so a global posting "
+    "count > 1 means cross-document sharing). The quality-filter "
+    "complement of the d02/d04 pair finders: a ranking signal for "
+    "boilerplate-heavy documents rather than a pair list. Shape: "
+    "inverted shingle index, two hash aggregations + one join on "
+    "8-byte keys, no pairwise expansion anywhere — at 100 TB this is "
+    "the same one-pass posting-count plan, optionally with a "
+    "frequency cap on degenerate shingles.",
+)
+def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.shingle_hashes("text").alias("sh")
+    )
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("nd"))
+    per = (
+        ex.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return per.filter(F.col("n_dup") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_dup",
+        F.round(F.col("n_dup").cast("double") / F.col("n_shingles"), 6).alias(
+            "dup_fraction"
+        ),
+    )
