@@ -622,3 +622,50 @@ def e13(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
         F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
     )
+
+
+@register(
+    "w06_value_window_functions",
+    """
+    WITH m AS (
+      SELECT o_orderpriority AS pri,
+             STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS mon,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      FROM orders
+      GROUP BY 1, 2
+    )
+    SELECT pri, mon, rev_cents,
+           FIRST_VALUE(rev_cents) OVER w AS first_rev_cents,
+           NTH_VALUE(rev_cents, 2) OVER w AS second_rev_cents,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY pri ORDER BY rev_cents), 6)
+             AS rev_pct_rank
+    FROM m
+    WINDOW w AS (PARTITION BY pri ORDER BY mon
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="FIRST_VALUE / NTH_VALUE / PERCENT_RANK window family over "
+    "pre-aggregated monthly revenue per order priority — window state "
+    "is months x priorities, never raw orders, so the sort inside "
+    "each window partition is tiny at any scale. Exact integer cents "
+    "end to end.",
+)
+def w06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("mon"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"))
+    wm = (
+        Window.partitionBy("pri")
+        .orderBy("mon")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("pri").orderBy("rev_cents")
+    return m.select(
+        "pri",
+        "mon",
+        "rev_cents",
+        F.first_value("rev_cents").over(wm).alias("first_rev_cents"),
+        F.nth_value("rev_cents", 2).over(wm).alias("second_rev_cents"),
+        F.round(F.percent_rank().over(wr), 6).alias("rev_pct_rank"),
+    )

@@ -447,3 +447,63 @@ def f12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("big_spenders"),
     )
+
+
+@register(
+    "f13_array_ordinality",
+    """
+    WITH arr AS (
+      SELECT l_orderkey,
+             array_agg(l_linenumber
+                       ORDER BY l_linenumber,
+                                CAST(ROUND(l_quantity) AS BIGINT)) AS lns,
+             array_agg(CAST(ROUND(l_quantity) AS BIGINT)
+                       ORDER BY l_linenumber,
+                                CAST(ROUND(l_quantity) AS BIGINT)) AS qtys
+      FROM lineitem
+      WHERE l_orderkey <= 2000
+      GROUP BY 1
+    )
+    SELECT l_orderkey,
+           t.i AS pos,
+           lns[t.i] AS linenumber,
+           qtys[t.i] AS qty,
+           CAST(t.i AS BIGINT) * qtys[t.i] AS pos_weighted_qty
+    FROM arr, UNNEST(generate_series(1, len(lns))) AS t(i)
+    """,
+    doc="Ordered array aggregation round trip: per-order arrays built "
+    "with an explicit ORDER BY inside the aggregate (sort_array over "
+    "structs in Spark — collect_list alone has no ordering "
+    "guarantee), then re-flattened WITH ORDINALITY (posexplode). "
+    "(l_linenumber is not unique per order in this data, so the sort "
+    "key is the full (linenumber, qty) pair — a total order in both "
+    "engines.) Covers the lateral-unnest shape training pipelines use for "
+    "token/array columns; map-only after one keyed aggregation.",
+)
+def f13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    arr = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.round("l_quantity").cast("long").alias("qty"),
+                    )
+                )
+            ),
+            lambda s: s,
+        ).alias("pairs")
+    )
+    ex = arr.select(
+        "l_orderkey", F.posexplode("pairs").alias("pos0", "pair")
+    )
+    return ex.select(
+        "l_orderkey",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("pair.ln").alias("linenumber"),
+        F.col("pair.qty").alias("qty"),
+        ((F.col("pos0") + 1).cast("long") * F.col("pair.qty")).alias(
+            "pos_weighted_qty"
+        ),
+    )
