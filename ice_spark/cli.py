@@ -199,6 +199,21 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("matview")
 
+    sp = sub.add_parser(
+        "agg-metadata",
+        help="COUNT(*)/MIN/MAX from manifests alone (no data scan); "
+        "errors if the answer is not provably exact",
+    )
+    sp.add_argument("table")
+    sp.add_argument(
+        "--agg",
+        action="append",
+        required=True,
+        help="count | min:col | max:col; repeatable",
+    )
+    sp.add_argument("--filter", dest="filters", type=_json_arg, default=None,
+                    help="delete-style JSON filters on identity partition fields")
+
     sp = sub.add_parser("analyze")
     sp.add_argument("table")
     sp.add_argument("--exact", action="store_true", help="exact NDV (HLL default)")
@@ -500,6 +515,27 @@ def main(argv: list[str] | None = None) -> int:
         from ice_spark.operators.matview import refresh_matview
 
         out = refresh_matview(cat, args.matview)
+    elif args.cmd == "agg-metadata":
+        from ice_spark.catalog.metadata_agg import aggregate_from_metadata
+
+        specs = []
+        for spec in args.agg:
+            if spec == "count":
+                specs.append({"op": "count"})
+            else:
+                op, _, col = spec.partition(":")
+                specs.append({"op": op, "col": col})
+        res = aggregate_from_metadata(
+            cat.load_table(args.table), specs, filters=args.filters
+        )
+        if res is None:
+            print(
+                "not answerable exactly from metadata (missing bounds or "
+                "non-partition filter); run a scan",
+                file=sys.stderr,
+            )
+            return 1
+        out = res
     elif args.cmd == "analyze":
         out = cat.load_table(args.table).analyze(approx=not args.exact)
     elif args.cmd == "tag":
