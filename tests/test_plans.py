@@ -138,3 +138,20 @@ def test_lsh_cap_single_bucket_shuffle(spark, sf_dir):
     a = _audit(spark, sf_dir, "d04_minhash_lsh_pairs")
     assert a.shuffles <= 5, a.plan[:2000]
     assert a.sort_merge_joins == 0
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("e13_hourly_gap_fill_locf", 2),  # hourly agg + per-type window
+        ("j01_bloom_semijoin_revenue", 1),  # bloom prefilter is map-side; broadcast join
+        ("w06_value_window_functions", 2),  # monthly agg + windows share partitioning
+        ("f13_array_ordinality", 1),  # per-order collect; posexplode is narrow
+        ("d10_duplicate_shingle_fraction", 2),  # posting count + per-doc agg
+    ],
+)
+def test_round4_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
+    a = _audit(spark, sf_dir, name)
+    assert a.shuffles <= max_exchanges, f"{name}: {a.shuffles} shuffles\n{a.plan[:2000]}"
+    assert a.sort_merge_joins == 0
+    assert "CartesianProduct" not in a.plan
