@@ -1393,3 +1393,74 @@ def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_fraction"
         ),
     )
+
+
+@register(
+    "s09_temperature_sampling",
+    f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    floor_n AS (SELECT MIN(n) AS n_min FROM counts),
+    rates AS (
+      SELECT source, n,
+             SQRT(CAST(n_min AS DOUBLE) / n) AS keep_rate
+      FROM counts, floor_n
+    ),
+    b AS (
+      SELECT source,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+               list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+               (a, x) -> (a * 131 + x) % 1000000007) % 10000 AS bucket
+      FROM documents
+    )
+    SELECT r.source,
+           r.n AS n_docs,
+           ROUND(r.keep_rate, 6) AS keep_rate,
+           COUNT(*) FILTER (
+             WHERE b.bucket < CAST(FLOOR(r.keep_rate * 10000) AS BIGINT)
+           ) AS n_kept
+    FROM b JOIN rates r ON b.source = r.source
+    GROUP BY r.source, r.n, r.keep_rate
+    """,
+    doc="Temperature-scaled source sampling (tau=2, i.e. p proportional "
+    "to n^0.5): each source's keep rate is sqrt(n_min/n), so the "
+    "smallest source is kept whole and over-represented sources are "
+    "downsampled toward balance — the standard multilingual/multi-"
+    "corpus rebalancing move. Rates use only per-source unary IEEE "
+    "ops on exact integers (no cross-row float summation), so both "
+    "engines compute bit-identical thresholds; membership is the "
+    "portable hash bucket, reproducible across engines and retries.",
+)
+def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    floor_n = counts.agg(F.min("n").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(floor_n)).select(
+        "source",
+        "n",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n")).alias("keep_rate"),
+    )
+    b = docs.select("source", hash_bucket(F.col("doc_id")).alias("bucket"))
+    return (
+        b.join(F.broadcast(rates), "source")
+        .groupBy("source", "n", "keep_rate")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("bucket")
+                    < F.floor(F.col("keep_rate") * 10000).cast("long"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_kept")
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.round("keep_rate", 6).alias("keep_rate"),
+            "n_kept",
+        )
+    )
