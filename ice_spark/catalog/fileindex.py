@@ -1,0 +1,176 @@
+"""Per-file Bloom indexes: point-lookup file pruning beyond min/max.
+
+Manifest column bounds (min/max) prune range predicates well, but an
+equality lookup on a high-cardinality column — `WHERE user_id = X`
+over a table not partitioned by user — matches every file's [min,max]
+and scans all of them. A small Bloom filter of each file's values
+turns that into "open only the files whose filter MIGHT contain X":
+at 100 TB with 4096-bit filters, the index costs 512 bytes per file
+(KBs–MBs of manifest metadata for the whole table) and cuts a point
+lookup from a full scan to a handful of files. This is the
+file-level analog of Parquet's row-group bloom filters, lifted into
+the manifest plane where planning happens without opening footers.
+
+Mechanics:
+
+- BUILD (`build_bloom_index`) is one distributed pass: every
+  (file, value) pair hashes to k bit positions via the repo's
+  portable polynomial hash (functions/text.char_hash — the same spec
+  the sampling/shingle oracles replay), positions fold into 64-bit
+  words with a map-side-combined bit_or grouped by (file, word), and
+  only the finished bitmaps (<= num_bits/64 longs per file) reach the
+  driver. The index commits as a `replace` snapshot — same logical
+  content, richer metadata — so incremental readers skip it.
+- PROBE is driver-side pure Python at plan time (`might_contain`):
+  the identical hash arithmetic tests the k bits; a miss on every
+  filter value prunes the file. No false pruning is possible
+  (Bloom filters have no false negatives), so `plan_files` stays
+  exact — files kept by a false positive are eliminated by the scan's
+  own predicate, exactly like min/max pruning today.
+
+Honesty rules: files written after the index was built carry no
+bitmap and are never pruned by it (rebuild to cover them); the hash
+stringifies values, so only types with a stable string form are
+indexable (int/long/string — same set the portable hash oracles use).
+"""
+
+from __future__ import annotations
+
+import base64
+import struct
+
+from pyspark.sql import functions as F
+
+from ice_spark.functions.text import HASH_INIT, HASH_MULT, MOD, char_hash
+
+DEFAULT_NUM_BITS = 4096
+DEFAULT_NUM_HASHES = 5
+_STEP_PRIME = 999_983
+
+
+def py_char_hash(value) -> int:
+    """Driver-side twin of functions.text.char_hash (must stay in
+    lockstep with the Spark expression)."""
+    h = HASH_INIT
+    for ch in str(value):
+        h = (h * HASH_MULT + ord(ch)) % MOD
+    return h
+
+
+def _py_positions(value, num_bits: int, num_hashes: int) -> list[int]:
+    h = py_char_hash(value)
+    step = h % _STEP_PRIME + 1
+    return [(h + i * step) % num_bits for i in range(num_hashes)]
+
+
+def _spark_positions(col, num_bits: int, num_hashes: int):
+    h = char_hash(col.cast("string"))
+    step = h % _STEP_PRIME + 1
+    return F.array(*[(h + F.lit(i) * step) % num_bits for i in range(num_hashes)])
+
+
+def build_bloom_index(
+    table,
+    column: str,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> dict:
+    """Build (or rebuild) the per-file Bloom index for `column` over
+    the CURRENT snapshot and commit it as a `replace` snapshot."""
+    if num_bits % 64 != 0:
+        raise ValueError("num_bits must be a multiple of 64")
+    if column not in {f.name for f in table.schema.fields}:
+        raise ValueError(f"unknown column {column!r}")
+    table.refresh()
+    entries = table.files()
+    if not entries:
+        return {"indexed_files": 0, "column": column}
+
+    import os
+
+    # one scan: (file, column) -> exploded bit positions -> bitmap words
+    by_ver: dict[int, list[str]] = {}
+    for e in entries:
+        by_ver.setdefault(e.get("schema_version", 1), []).append(
+            os.path.join(table.location, e["path"])
+        )
+    parts = []
+    for ver, paths in sorted(by_ver.items()):
+        df = (
+            table.spark.read.schema(table.schema_at(ver))
+            .parquet(*paths)
+            .withColumn("__file", F.col("_metadata.file_path"))
+        )
+        parts.append(
+            table._align_to_current(df, ver, extra_cols=("__file",)).select(
+                "__file", column
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+
+    pos = F.explode(
+        _spark_positions(F.col(column), num_bits, num_hashes)
+    ).alias("pos")
+    rows = (
+        df.filter(F.col(column).isNotNull())
+        .select("__file", pos)
+        .groupBy(
+            "__file", (F.col("pos") / 64).cast("int").alias("w")
+        )
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (F.col("pos") % 64).cast("int"),
+                )
+            ).alias("bits")
+        )
+        .collect()
+    )
+    bitmaps: dict[str, list[int]] = {}
+    for r in rows:
+        f = r["__file"]
+        if f.startswith("file:"):
+            f = "/" + f[len("file:"):].lstrip("/")
+        rel = os.path.relpath(f, table.location)
+        bitmaps.setdefault(rel, [0] * (num_bits // 64))[r["w"]] = r["bits"]
+
+    new_entries = []
+    indexed = 0
+    for e in entries:
+        e = dict(e)
+        words = bitmaps.get(e["path"])
+        if words is not None or e.get("records", 0) == 0:
+            bloom = dict(e.get("bloom") or {})
+            bloom[column] = {
+                "bits": num_bits,
+                "hashes": num_hashes,
+                "b64": base64.b64encode(
+                    struct.pack(f"<{num_bits // 64}q", *(words or [0] * (num_bits // 64)))
+                ).decode("ascii"),
+            }
+            e["bloom"] = bloom
+            indexed += 1
+        new_entries.append(e)
+    table.append_snapshot(
+        new_entries, "replace", extra_summary={"bloom-index": column}
+    )
+    return {"indexed_files": indexed, "column": column, "bits": num_bits}
+
+
+def might_contain(entry: dict, column: str, value) -> bool:
+    """Driver-side probe: False ONLY when the file provably lacks the
+    value (no bitmap -> True, never a false prune)."""
+    meta = (entry.get("bloom") or {}).get(column)
+    if not meta:
+        return True
+    words = struct.unpack(
+        f"<{meta['bits'] // 64}q", base64.b64decode(meta["b64"])
+    )
+    for p in _py_positions(value, meta["bits"], meta["hashes"]):
+        if not (words[p // 64] >> (p % 64)) & 1:
+            return False
+    return True

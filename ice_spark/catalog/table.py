@@ -615,11 +615,15 @@ class Table:
 
     # ---------- read path ----------
 
-    def _align_to_current(self, df: DataFrame, file_schema_version: int) -> DataFrame:
+    def _align_to_current(
+        self, df: DataFrame, file_schema_version: int, extra_cols: tuple = ()
+    ) -> DataFrame:
         """Project a file-version DataFrame onto the current schema:
         apply renames that happened after the file was written, fill
         added columns (with their initial_default for pre-existing
-        rows), drop removed columns, apply type promotions."""
+        rows), drop removed columns, apply type promotions.
+        extra_cols: passthrough columns (e.g. a _metadata capture) kept
+        verbatim alongside the aligned schema."""
         for r in self.meta.get("column_renames", []):
             if r["at_version"] > file_schema_version and r["from"] in df.columns:
                 df = df.withColumnRenamed(r["from"], r["to"])
@@ -636,6 +640,7 @@ class Table:
                 out.append(
                     F.lit(defaults.get(field.name)).cast(field.dataType).alias(field.name)
                 )
+        out.extend(F.col(c) for c in extra_cols)
         return df.select(*out)
 
     def read(
@@ -840,6 +845,11 @@ class Table:
         if name in part:
             # identity partition value: exact evaluation
             return any(op(*_coerce(part[name], v)) for v in values)
+        if op_name == "equals" and entry.get("bloom", {}).get(name):
+            from ice_spark.catalog.fileindex import might_contain
+
+            if not any(might_contain(entry, name, v) for v in values):
+                return False  # bloom miss on every value: provably absent
         m = (entry.get("column_metrics") or {}).get(name)
         if not m or m.get("min") is None or m.get("max") is None:
             return True  # no stats — cannot prune

@@ -200,6 +200,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("matview")
 
     sp = sub.add_parser(
+        "build-index",
+        help="per-file Bloom index on a column: point-lookup file "
+        "pruning beyond min/max bounds",
+    )
+    sp.add_argument("table")
+    sp.add_argument("column")
+    sp.add_argument("--bits", type=int, default=4096)
+
+    sp = sub.add_parser(
         "agg-metadata",
         help="COUNT(*)/MIN/MAX from manifests alone (no data scan); "
         "errors if the answer is not provably exact",
@@ -515,6 +524,12 @@ def main(argv: list[str] | None = None) -> int:
         from ice_spark.operators.matview import refresh_matview
 
         out = refresh_matview(cat, args.matview)
+    elif args.cmd == "build-index":
+        from ice_spark.catalog.fileindex import build_bloom_index
+
+        out = build_bloom_index(
+            cat.load_table(args.table), args.column, num_bits=args.bits
+        )
     elif args.cmd == "agg-metadata":
         from ice_spark.catalog.metadata_agg import aggregate_from_metadata
 

@@ -84,7 +84,17 @@ class TableChangeFeed:
             # (not a replay of history — deletes/compactions before
             # now are already reflected in it).
             return self.table.read(snapshot_id=cur), cur
-        return self.table.read_incremental(last, cur), cur
+        df = self.table.read_incremental(last, cur)  # raises on bad range
+        ops = {
+            s.get("operation", "append")
+            for s in self.table._snapshots_between(last, cur)
+        }
+        if ops <= {"replace"}:
+            # compaction/index-only range: no logical change — advance
+            # the checkpoint silently instead of delivering an empty batch
+            self.commit(cur)
+            return None
+        return df, cur
 
     def process_available(
         self, fn: Callable[[DataFrame, int], None], max_batches: Optional[int] = None

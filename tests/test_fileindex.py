@@ -1,0 +1,128 @@
+"""Per-file Bloom index (catalog/fileindex.py): point-lookup pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ice_spark.catalog import Catalog
+from ice_spark.catalog.fileindex import (
+    build_bloom_index,
+    might_contain,
+    py_char_hash,
+)
+from ice_spark.ingest.insert import append_dataframe
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = Catalog(spark, str(tmp_path / "wh"))
+    c.create_namespace("ns")
+    return c
+
+
+def test_hash_parity_spark_vs_python(spark):
+    from ice_spark.functions.text import char_hash
+
+    vals = ["42", "hello", "user_99871", "0", "-5"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string").select(
+        "s", char_hash(F.col("s")).alias("h")
+    )
+    got = {r.s: r.h for r in df.collect()}
+    assert got == {v: py_char_hash(v) for v in vals}
+
+
+def _table(spark, cat, name="ns.b"):
+    t = cat.create_table(name, schema=SCHEMA)
+    # three files with disjoint user sets
+    append_dataframe(t, spark.createDataFrame([(i, "a") for i in range(0, 100)], SCHEMA).coalesce(1))
+    append_dataframe(
+        t.refresh(),
+        spark.createDataFrame([(i, "b") for i in range(1000, 1100)], SCHEMA).coalesce(1),
+    )
+    append_dataframe(
+        t.refresh(),
+        spark.createDataFrame([(i, "c") for i in range(5000, 5100)], SCHEMA).coalesce(1),
+    )
+    return t.refresh()
+
+
+def test_point_lookup_prunes_to_one_file(spark, cat):
+    t = _table(spark, cat)
+    res = build_bloom_index(t, "user_id")
+    assert res["indexed_files"] == 3
+    t = t.refresh()
+
+    planned = t.plan_files([{"name": "user_id", "op": "equals", "values": [1042]}])
+    assert len(planned) == 1  # bloom pruned the other two files
+
+    # correctness: the scan still returns exactly the right row
+    rows = t.read_filtered(
+        [{"name": "user_id", "op": "equals", "values": [1042]}]
+    ).collect()
+    assert [(r.user_id, r.v) for r in rows] == [(1042, "b")]
+
+
+def test_absent_key_prunes_everything(spark, cat):
+    t = _table(spark, cat, "ns.b2")
+    build_bloom_index(t, "user_id")
+    t = t.refresh()
+    # min/max alone can't rule 550 out of file 1's [0,99]? it can — use
+    # a value INSIDE a file's range but absent from the table
+    planned = t.plan_files([{"name": "user_id", "op": "equals", "values": [57]}])
+    assert len(planned) == 1  # present value: one file
+    gone = t.plan_files([{"name": "user_id", "op": "equals", "values": [63]}])
+    assert len(gone) <= 1  # 63 IS present (0..99); sanity
+    # value inside [1000,1099] bounds but never written:
+    # bloom may false-positive, but usually prunes; assert no false
+    # NEGATIVE ever: every actually-present value keeps its file
+    for v in (0, 99, 1000, 5099):
+        assert len(
+            t.plan_files([{"name": "user_id", "op": "equals", "values": [v]}])
+        ) >= 1
+
+
+def test_unindexed_new_file_never_pruned(spark, cat):
+    t = _table(spark, cat, "ns.b3")
+    build_bloom_index(t, "user_id")
+    t = t.refresh()
+    append_dataframe(t, spark.createDataFrame([(777777, "d")], SCHEMA))
+    t = t.refresh()
+    planned = t.plan_files(
+        [{"name": "user_id", "op": "equals", "values": [777777]}]
+    )
+    # the new file has no bitmap -> must survive planning
+    assert any(e.get("bloom") is None or "user_id" not in (e.get("bloom") or {}) for e in planned)
+    rows = t.read_filtered(
+        [{"name": "user_id", "op": "equals", "values": [777777]}]
+    ).collect()
+    assert [(r.user_id, r.v) for r in rows] == [(777777, "d")]
+
+
+def test_index_commit_is_replace_and_feedsafe(spark, cat, tmp_path):
+    """The index snapshot is `replace`: incremental consumers skip it."""
+    from ice_spark.streaming.table_changes import TableChangeFeed
+
+    t = _table(spark, cat, "ns.b4")
+    feed = TableChangeFeed(t, str(tmp_path / "cp.json"))
+    feed.process_available(lambda df, sid: None)  # catch up
+    build_bloom_index(t, "user_id")
+    t.refresh()
+    assert t.snapshot()["operation"] == "replace"
+    assert feed.pending() is None  # no phantom redelivery
+
+
+def test_might_contain_no_false_negatives():
+    entry = {
+        "bloom": {},
+    }
+    # no bitmap -> always might contain
+    assert might_contain(entry, "user_id", 1)
