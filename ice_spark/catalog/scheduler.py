@@ -180,6 +180,28 @@ class MaintenanceSchedule:
             f"maintenance:{ident}", cron_expr, fn, now, jitter_minutes=jitter_minutes
         )
 
+    def add_matview_refresh(
+        self,
+        catalog,
+        ident: str,
+        cron_expr: str,
+        now: datetime.datetime,
+        jitter_minutes: int = 0,
+    ) -> ScheduledJob:
+        """Periodic incremental refresh of a materialized view
+        (operators/matview.py) — the natural companion of per-table
+        maintenance: refresh cost is O(rows appended since last fire),
+        so a frequent cron stays cheap."""
+
+        def fn(_now):
+            from ice_spark.operators.matview import refresh_matview
+
+            return refresh_matview(catalog, ident)
+
+        return self.add(
+            f"matview:{ident}", cron_expr, fn, now, jitter_minutes=jitter_minutes
+        )
+
     def run_pending(self, now: datetime.datetime) -> dict[str, object]:
         """Per-job error ISOLATION: one failing table's maintenance
         (commit conflict, missing path) must not starve the jobs after

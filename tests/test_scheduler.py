@@ -162,3 +162,33 @@ class TestInitialJitter:
         sched = MaintenanceSchedule()
         j = sched.add("t", "0 3 * * *", lambda n: "x", now)
         assert j.next_fire == DT(2026, 1, 1, 3, 0)
+
+
+def test_scheduled_matview_refresh(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from ice_spark.catalog import Catalog
+    from ice_spark.ingest.insert import append_dataframe
+    from ice_spark.operators.matview import create_matview
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("x", T.LongType())]
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("ns")
+    t = cat.create_table("ns.base", schema=schema)
+    append_dataframe(t, spark.createDataFrame([("a", 1)], schema))
+    create_matview(
+        cat, "ns.mv", "ns.base", ["k"], [{"op": "sum", "col": "x", "alias": "sum_x"}]
+    )
+
+    sched = MaintenanceSchedule()
+    sched.add_matview_refresh(cat, "ns.mv", "0 * * * *", DT(2026, 1, 1, 0, 0))
+    append_dataframe(t.refresh(), spark.createDataFrame([("a", 9)], schema))
+    ran = sched.run_pending(DT(2026, 1, 1, 1, 0))
+    assert ran["matview:ns.mv"]["mode"] == "incremental"
+    got = {r.k: r.sum_x for r in cat.load_table("ns.mv").read().collect()}
+    assert got == {"a": 10}
+    # caught-up fire is a noop, not an error
+    ran = sched.run_pending(DT(2026, 1, 1, 2, 0))
+    assert ran["matview:ns.mv"]["mode"] == "noop"
