@@ -200,6 +200,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("matview")
 
     sp = sub.add_parser(
+        "feed",
+        help="drain table changes since the checkpoint (change-data "
+        "feed; commit-after-output, replay-safe)",
+    )
+    sp.add_argument("table")
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--limit", type=int, default=20,
+                    help="max rows printed per batch (all rows are consumed)")
+
+    sp = sub.add_parser(
         "build-index",
         help="per-file Bloom index on a column: point-lookup file "
         "pruning beyond min/max bounds",
@@ -524,6 +534,25 @@ def main(argv: list[str] | None = None) -> int:
         from ice_spark.operators.matview import refresh_matview
 
         out = refresh_matview(cat, args.matview)
+    elif args.cmd == "feed":
+        from ice_spark.streaming.table_changes import TableChangeFeed
+
+        feed = TableChangeFeed(cat.load_table(args.table), args.checkpoint)
+        batches = []
+
+        def _emit(df, sid):
+            batches.append(
+                {
+                    "snapshot_id": sid,
+                    "rows": df.count(),
+                    "sample": [
+                        r.asDict(recursive=True) for r in df.limit(args.limit).collect()
+                    ],
+                }
+            )
+
+        n = feed.process_available(_emit)
+        out = {"batches": n, "detail": batches}
     elif args.cmd == "build-index":
         from ice_spark.catalog.fileindex import build_bloom_index
 

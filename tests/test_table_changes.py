@@ -85,6 +85,25 @@ def test_non_append_range_raises_then_reset(spark, cat, tmp_path):
     assert {r.id for r in df.collect()} == {1}
 
 
+def test_cli_feed(spark, cat, tmp_path, capsys, monkeypatch):
+    import json as _json
+
+    import ice_spark.session as session_mod
+    from ice_spark.cli import main
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: spark)
+    t = cat.create_table("ns.tf", schema=SCHEMA)
+    append_dataframe(t, _mk(spark, [(1, "a"), (2, "b")]))
+    cp = str(tmp_path / "cli_cp.json")
+    assert main(["--warehouse", cat.warehouse, "feed", "ns.tf", "--checkpoint", cp]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["batches"] == 1 and out["detail"][0]["rows"] == 2
+    # caught up: second invocation drains nothing
+    assert main(["--warehouse", cat.warehouse, "feed", "ns.tf", "--checkpoint", cp]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["batches"] == 0
+
+
 def test_stream_source_appends_only(spark, cat, tmp_path):
     t = cat.create_table("ns.t4", schema=SCHEMA)
     append_dataframe(t, _mk(spark, [(1, "a"), (2, "b")]))
