@@ -48,6 +48,22 @@ DEFAULT_NUM_HASHES = 5
 _STEP_PRIME = 999_983
 
 
+_INDEXABLE = {"integer", "long", "short", "byte", "string"}
+
+
+def _coerce_probe(value, type_name: str) -> str:
+    """Render a probe value EXACTLY as Spark's cast-to-string renders
+    the column at build time. Integral columns: decimal digits (a
+    float probe like 1042.0 from JSON must hash as '1042', and a
+    fractional probe can never match an integral column). Strings:
+    verbatim."""
+    if type_name in ("integer", "long", "short", "byte"):
+        if isinstance(value, float) and value != int(value):
+            return None  # fractional probe: matches nothing integral
+        return str(int(value))
+    return str(value)
+
+
 def py_char_hash(value) -> int:
     """Driver-side twin of functions.text.char_hash (must stay in
     lockstep with the Spark expression)."""
@@ -79,8 +95,17 @@ def build_bloom_index(
     the CURRENT snapshot and commit it as a `replace` snapshot."""
     if num_bits % 64 != 0:
         raise ValueError("num_bits must be a multiple of 64")
-    if column not in {f.name for f in table.schema.fields}:
+    fields = {f.name: f.dataType.typeName() for f in table.schema.fields}
+    if column not in fields:
         raise ValueError(f"unknown column {column!r}")
+    if fields[column] not in _INDEXABLE:
+        raise ValueError(
+            f"column {column!r} has type {fields[column]!r}; Bloom "
+            f"indexing needs a stable cross-engine string form — "
+            f"indexable types: {sorted(_INDEXABLE)} (float/timestamp/"
+            "boolean stringify differently between the build cast and "
+            "a driver-side probe, which would FALSELY prune files)"
+        )
     table.refresh()
     entries = table.files()
     if not entries:
@@ -148,6 +173,7 @@ def build_bloom_index(
             bloom[column] = {
                 "bits": num_bits,
                 "hashes": num_hashes,
+                "type": fields[column],
                 "b64": base64.b64encode(
                     struct.pack(f"<{num_bits // 64}q", *(words or [0] * (num_bits // 64)))
                 ).decode("ascii"),
@@ -167,10 +193,14 @@ def might_contain(entry: dict, column: str, value) -> bool:
     meta = (entry.get("bloom") or {}).get(column)
     if not meta:
         return True
+    type_name = meta.get("type", "string")
+    probe = _coerce_probe(value, type_name)
+    if probe is None:
+        return False  # fractional probe against an integral column
     words = struct.unpack(
         f"<{meta['bits'] // 64}q", base64.b64decode(meta["b64"])
     )
-    for p in _py_positions(value, meta["bits"], meta["hashes"]):
+    for p in _py_positions(probe, meta["bits"], meta["hashes"]):
         if not (words[p // 64] >> (p % 64)) & 1:
             return False
     return True

@@ -202,6 +202,17 @@ def _exportable_spec_fields(table: Table, ice_schema: dict) -> list[dict]:
     Returns [{source PartitionField, iceberg transform str, field-id,
     source-id, result type}]."""
     by_name = _top_level_field_ids(ice_schema)
+    # Tables whose data predates the Iceberg-spec transform
+    # implementation carry Spark-hash bucket / pre-floor-mod truncate
+    # partition values; labeling those with spec transform names would
+    # make foreign readers prune WRONGLY. Table.create stamps
+    # `transform-impl` since the spec implementation landed — a
+    # non-empty table without the stamp gets its bucket/truncate
+    # fields dropped (the old, honest behavior).
+    spec_values_ok = (
+        table.properties.get("transform-impl") == "iceberg-spec-v1"
+        or not table.files()
+    )
     out = []
     next_id = 1000
     for pf in table.partition_spec:
@@ -224,8 +235,12 @@ def _exportable_spec_fields(table: Table, ice_schema: dict) -> list[dict]:
         elif t == "truncate" and src_type in ("int", "long"):
             # our numeric truncate is Iceberg's (floor-mod via pmod,
             # see iceberg_transforms.truncate_expr)
+            if not spec_values_ok:
+                continue  # pre-spec values: drop, never mislabel
             ice_t, result = f"truncate[{pf.param}]", src_type
         elif t == "bucket":
+            if not spec_values_ok:
+                continue  # pre-spec values: drop, never mislabel
             # bucket ids are computed with Iceberg's murmur3_x86_32 of
             # the Appendix-B serialization (iceberg_transforms.py),
             # byte-compatible with foreign readers' pruning.

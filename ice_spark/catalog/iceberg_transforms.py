@@ -41,7 +41,7 @@ import struct
 
 import pandas as pd  # noqa: F401 - resolves pandas_udf type hints
 
-from pyspark.sql import Column
+from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as SPT
 
@@ -97,7 +97,10 @@ def _decimal_unscaled_bytes(unscaled: int) -> bytes:
     BigInteger.toByteArray), per spec Appendix B decimal hashing."""
     if unscaled == 0:
         return b"\x00"
-    length = (unscaled.bit_length() + 8) // 8  # +1 sign bit, round up
+    # Java bitLength(): for negatives, the bit length of ~x (so -128
+    # needs 7 bits -> ONE byte b'\x80', not b'\xff\x80'); +1 sign bit
+    bit_len = unscaled.bit_length() if unscaled > 0 else (-unscaled - 1).bit_length()
+    length = bit_len // 8 + 1
     return unscaled.to_bytes(length, "big", signed=True)
 
 
@@ -233,6 +236,19 @@ def bucket_expr(col: Column, dt: SPT.DataType, n: int) -> Column:
     elif isinstance(dt, SPT.DateType):
         as_long = F.unix_date(col).cast("long")
     elif isinstance(dt, (SPT.TimestampType, SPT.TimestampNTZType)):
+        if isinstance(dt, SPT.TimestampNTZType):
+            # NTZ micros are defined timezone-free, but the only route
+            # to unix_micros is a cast that interprets the wall time in
+            # the SESSION zone — pin it to UTC or the hashed value (and
+            # thus the written bucket id) shifts by the zone offset,
+            # diverging from the spec and from bucket_value's oracle.
+            sess = SparkSession.getActiveSession()
+            tz = sess.conf.get("spark.sql.session.timeZone", "") if sess else "UTC"
+            if tz != "UTC":
+                raise ValueError(
+                    "bucket[] on timestamp_ntz requires "
+                    f"spark.sql.session.timeZone=UTC (session has {tz!r})"
+                )
         as_long = F.unix_micros(col.cast("timestamp"))
     elif isinstance(dt, (SPT.StringType, SPT.BinaryType, SPT.DecimalType)):
         return _bucket_udf(n, dt)(col)

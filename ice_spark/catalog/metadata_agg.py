@@ -42,7 +42,13 @@ def _coerce_bound(value, type_name: str):
         return None
     if type_name in ("integer", "long", "short", "byte"):
         return int(value)
-    if type_name in ("float", "double") or type_name.startswith("decimal"):
+    if type_name.startswith("decimal"):
+        # exact: a float round-trip loses precision past 2^53, which
+        # would break this module's provably-exact contract
+        import decimal
+
+        return decimal.Decimal(str(value))
+    if type_name in ("float", "double"):
         return float(value)
     return str(value)
 

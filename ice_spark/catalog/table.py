@@ -226,7 +226,11 @@ class Table:
             "schema": schema.jsonValue(),
             "partition_spec": partition_spec or [],
             "sort_order": sort_order or [],
-            "properties": properties or {},
+            # transform-impl stamps WHICH bucket/truncate arithmetic
+            # wrote this table's partition values; the Iceberg export
+            # refuses to label unstamped (pre-spec) values with spec
+            # transform names (see iceberg_export._exportable_spec_fields)
+            "properties": {"transform-impl": "iceberg-spec-v1", **(properties or {})},
             "current_snapshot_id": None,
             "snapshots": [],
             "metadata_log": [],
@@ -491,7 +495,11 @@ class Table:
         return kept + self._write_shards_chunked(residual)
 
     def append_snapshot(
-        self, files: list[dict], operation: str = "append", extra_summary: dict | None = None
+        self,
+        files: list[dict],
+        operation: str = "append",
+        extra_summary: dict | None = None,
+        set_properties: dict | None = None,
     ) -> int:
         """Commit a snapshot. For `append`, the file list becomes
         current files + `files` and the commit writes exactly one new
@@ -538,6 +546,12 @@ class Table:
                 }
             )
             meta["current_snapshot_id"] = sid
+            if set_properties:
+                # atomically with the snapshot: state + bookkeeping in
+                # ONE commit (a crash between two commits must never
+                # leave them disagreeing — e.g. a matview's folded data
+                # vs its recorded base snapshot)
+                meta.setdefault("properties", {}).update(set_properties)
             return meta
 
         self.commit(mutate)

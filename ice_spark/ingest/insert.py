@@ -100,26 +100,34 @@ def _s3_copy_entries(
     ts = int(time.time() * 1000)
     for f in files:
         base = os.path.basename(parse_s3_uri(f).key)
-        dst = f"{table.location}/data/{ts}-{uuid.uuid4().hex[:16]}-{base}"
+        rel = f"data/{ts}-{uuid.uuid4().hex[:16]}-{base}"
+        dst = f"{table.location}/{rel}"
         copy_object_multipart(client, f, dst)
-        partition = infer_partition(S3RangeFile(client, dst), table.partition_spec)
+        # ONE ranged-file handle (one HEAD) reused for partition
+        # inference, the sortedness gate, and footer metrics — each
+        # S3RangeFile construction costs a head_object and each
+        # ParquetFile open re-fetches the footer.
+        fobj = S3RangeFile(client, dst)
+        partition = infer_partition(fobj, table.partition_spec)
         if table.sort_order and not assume_sorted:
-            if not check_sorted(S3RangeFile(client, dst), table.sort_order):
+            if not check_sorted(fobj, table.sort_order):
                 raise ValueError(
                     f"{f} is not sorted by the table sort order; "
                     "rewrite (copy insert) or pass assume_sorted"
                 )
-        fobj = S3RangeFile(client, dst)
         md = pq.ParquetFile(fobj).metadata
         entries.append(
             {
-                "path": dst,
+                # RELATIVE path: every consumer joins against
+                # table.location (an absolute URI here would be
+                # double-joined by _read_entries / maintenance)
+                "path": rel,
                 "partition": partition,
                 "records": md.num_rows,
                 "size_bytes": fobj.size(),
                 "source_path": f,
                 "schema_version": version,
-                "column_metrics": _footer_column_metrics(S3RangeFile(client, dst)),
+                "column_metrics": _column_metrics_from_metadata(md),
             }
         )
     return entries
@@ -132,7 +140,10 @@ def _footer_column_metrics(path: str) -> dict:
     describe -m, Describe.java:155-238)."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    return _column_metrics_from_metadata(pq.ParquetFile(path).metadata)
+
+
+def _column_metrics_from_metadata(md) -> dict:
     cols: dict[str, dict] = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)

@@ -34,7 +34,6 @@ import json
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ice_spark.catalog.alter import set_tblproperty
 from ice_spark.ingest.insert import _write_df
 
 # op -> (delta aggregate over raw rows, merge aggregate over partials)
@@ -121,6 +120,15 @@ def refresh_matview(catalog, mv_ident: str, compression: str = "zstd") -> dict:
         state = _delta_agg(base.read(), group_by, aggs)
 
     entries = _write_df(mv, state, compression, mv.current_version())
-    mv.append_snapshot(entries, "overwrite", extra_summary={"mv-refresh": mode})
-    set_tblproperty(mv, "mv-base-snapshot", str(cur_sid))
+    # state + checkpoint in ONE commit: a crash between two commits
+    # would otherwise leave the folded data with a stale
+    # mv-base-snapshot, double-folding the same delta on the next
+    # refresh. Refresh is single-writer (like maintenance jobs — use
+    # the scheduler); concurrent refreshes are not coordinated.
+    mv.append_snapshot(
+        entries,
+        "overwrite",
+        extra_summary={"mv-refresh": mode},
+        set_properties={"mv-base-snapshot": str(cur_sid)},
+    )
     return {"refreshed": mv_ident, "mode": mode, "base_snapshot": cur_sid}

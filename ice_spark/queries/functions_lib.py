@@ -483,16 +483,13 @@ def f12(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f13(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
     arr = li.groupBy("l_orderkey").agg(
-        F.transform(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("l_linenumber").alias("ln"),
-                        F.round("l_quantity").cast("long").alias("qty"),
-                    )
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("ln"),
+                    F.round("l_quantity").cast("long").alias("qty"),
                 )
-            ),
-            lambda s: s,
+            )
         ).alias("pairs")
     )
     ex = arr.select(

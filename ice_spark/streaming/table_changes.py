@@ -133,6 +133,14 @@ def stream_table_appends(
             "partitioned layouts keep partition values in metadata, not in "
             "data files; use TableChangeFeed for partitioned tables"
         )
+    versions = {e.get("schema_version", 1) for e in table.files()}
+    if table.meta.get("column_renames") or len(versions) > 1:
+        raise ValueError(
+            "table has schema evolution (renames or multiple file schema "
+            "versions); the raw file-stream source reads files by CURRENT "
+            "column names and would silently null renamed columns — use "
+            "TableChangeFeed, which aligns each file's schema"
+        )
     return (
         spark.readStream.schema(table.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -126,3 +126,31 @@ def test_might_contain_no_false_negatives():
     }
     # no bitmap -> always might contain
     assert might_contain(entry, "user_id", 1)
+
+
+def test_float_probe_coerces_not_false_prunes(spark, cat):
+    """JSON filters arrive as floats ('1042.0'); the probe must hash
+    them exactly as the build cast rendered the column ('1042')."""
+    t = _table(spark, cat, "ns.b5")
+    build_bloom_index(t, "user_id")
+    t = t.refresh()
+    planned = t.plan_files(
+        [{"name": "user_id", "op": "equals", "values": [1042.0]}]
+    )
+    assert len(planned) >= 1  # float probe still finds its file
+    assert (
+        len(t.plan_files([{"name": "user_id", "op": "equals", "values": [1042.5]}]))
+        == 0
+    )  # fractional value provably matches nothing
+
+
+def test_unstable_string_types_rejected_at_build(spark, cat):
+    import pyspark.sql.types as T2
+
+    t = cat.create_table(
+        "ns.b6",
+        schema=T2.StructType([T2.StructField("x", T2.DoubleType())]),
+    )
+    append_dataframe(t, spark.createDataFrame([(1.5,)], t.schema))
+    with pytest.raises(ValueError, match="indexable types"):
+        build_bloom_index(t.refresh(), "x")

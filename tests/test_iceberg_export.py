@@ -374,3 +374,54 @@ def test_export_mirrors_shards_o_metadata(tmp_path):
     files = iceberg_data_files(summary["metadata_file"])
     assert len(files) == 5000
     assert {f["partition"]["day"] for f in files} == set(range(50))
+
+
+def test_pre_spec_bucket_values_dropped_not_mislabeled(spark, tmp_path):
+    """A table whose partition values predate the Iceberg-spec
+    transform implementation (no transform-impl stamp) must export
+    WITHOUT the bucket field — mislabeling Spark-hash values as spec
+    murmur3 would make foreign readers prune wrongly."""
+    import glob
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from ice_spark.catalog import Catalog
+    from ice_spark.catalog.iceberg_export import export_iceberg
+    from ice_spark.ingest.insert import insert
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("ns")
+    t = cat.create_table(
+        "ns.old",
+        schema=T.StructType([T.StructField("id", T.LongType())]),
+        partition_spec=[{"column": "id", "transform": "bucket[4]"}],
+    )
+    src = str(tmp_path / "s.parquet")
+    spark.range(0, 20).coalesce(1).write.parquet(src)
+    insert(t, sorted(glob.glob(src + "/*.parquet")))
+
+    # simulate a pre-stamp table: remove the marker
+    def strip(meta):
+        meta.get("properties", {}).pop("transform-impl", None)
+        return meta
+
+    t.refresh().commit(strip)
+
+    out = export_iceberg(t.refresh(), str(tmp_path / "ice_old"))
+    meta = _json.loads(open(out["metadata_file"]).read())
+    fields = meta["partition-specs"][0]["fields"]
+    assert fields == []  # bucket dropped, not mislabeled
+
+    # stamped table (the default) keeps the field
+    t2 = cat.create_table(
+        "ns.new",
+        schema=T.StructType([T.StructField("id", T.LongType())]),
+        partition_spec=[{"column": "id", "transform": "bucket[4]"}],
+    )
+    insert(t2, sorted(glob.glob(src + "/*.parquet")))
+    out2 = export_iceberg(t2.refresh(), str(tmp_path / "ice_new"))
+    meta2 = _json.loads(open(out2["metadata_file"]).read())
+    assert [f["transform"] for f in meta2["partition-specs"][0]["fields"]] == [
+        "bucket[4]"
+    ]

@@ -378,12 +378,14 @@ class TestS3CopyObjectIngest:
         assert res["added"] == 1
         t.refresh()
         [e] = t.files()
-        assert e["path"].startswith("s3://wh/ns/t/data/")
+        # RELATIVE path: consumers resolve against table.location, so
+        # an absolute URI here would be double-joined on read/expiry
+        assert e["path"].startswith("data/") and e["path"].endswith(".parquet")
         assert e["records"] == 500
         assert e["size_bytes"] == len(data)
         assert e["column_metrics"]["id"]["min"] == 0
         assert e["column_metrics"]["id"]["max"] == 499
-        assert ("wh", e["path"][len("s3://wh/") :]) in c.objects
+        assert ("wh", f"ns/t/{e['path']}") in c.objects
         assert "copy" in c.ops  # server-side copy happened
 
     def test_rejects_non_s3(self, spark, tmp_path):
