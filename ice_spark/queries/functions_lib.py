@@ -504,3 +504,82 @@ def f13(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos_weighted_qty"
         ),
     )
+
+
+@register(
+    "a06_grouping_id_rollup",
+    """
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    doc="GROUPING() indicator functions over ROLLUP: distinguishes "
+    "'aggregated-away' from a genuine NULL group value — the standard "
+    "way BI layers label subtotal rows. One shuffle (rollup expands "
+    "map-side).",
+)
+def a06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n",
+        )
+    )
+
+
+@register(
+    "f14_try_functions",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (
+             WHERE CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   / NULLIF(CAST(ROUND(l_quantity) AS BIGINT) - 30, 0) IS NULL
+           ) AS n_div_by_zero,
+           COUNT(*) FILTER (
+             WHERE TRY_CAST(l_linestatus AS INTEGER) IS NULL
+           ) AS n_unparsed,
+           SUM(COALESCE(TRY_CAST(SUBSTRING(l_returnflag, 1, 1) AS INTEGER), 0))
+             AS parsed_sum
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Null-safe 'try' function family: try_divide (divide-by-zero "
+    "-> NULL, counted via the qty=30 rows), try_cast on unparseable "
+    "strings. Spark's try_* maps to DuckDB's NULLIF-division and "
+    "TRY_CAST — same null semantics, pinned by the oracle. Map-only "
+    "plus one aggregation.",
+)
+def f14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    div = F.try_divide(
+        cents(F.col("l_extendedprice")),
+        F.round("l_quantity").cast("long") - F.lit(30),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(div.isNull(), 1)).alias("n_div_by_zero"),
+        F.count(
+            F.when(F.expr("try_cast(l_linestatus AS INT)").isNull(), 1)
+        ).alias("n_unparsed"),
+        F.sum(
+            F.coalesce(
+                F.expr("try_cast(substring(l_returnflag, 1, 1) AS INT)"),
+                F.lit(0),
+            )
+        ).alias("parsed_sum"),
+    )
