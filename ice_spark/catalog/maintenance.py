@@ -147,6 +147,9 @@ def expire_snapshots(
     cutoff_ms = int((time.time() - max_age_hours * 3600) * 1000)
     snaps = sorted(table.snapshots(), key=lambda s: s["timestamp_ms"])
     current_id = table.meta.get("current_snapshot_id")
+    # tags AND staged WAP branches pin their snapshots (a branch
+    # awaiting audit must survive cleanup; abort_branch un-pins)
+    ref_ids = set(table.refs().values())
     keep, expire = [], []
     for i, s in enumerate(snaps):
         remaining = len(snaps) - i
@@ -154,6 +157,7 @@ def expire_snapshots(
             s["timestamp_ms"] < cutoff_ms
             and remaining > min_to_keep
             and s["snapshot_id"] != current_id
+            and s["snapshot_id"] not in ref_ids
         ):
             expire.append(s)
         else:

@@ -500,6 +500,7 @@ class Table:
         operation: str = "append",
         extra_summary: dict | None = None,
         set_properties: dict | None = None,
+        branch: str | None = None,
     ) -> int:
         """Commit a snapshot. For `append`, the file list becomes
         current files + `files` and the commit writes exactly one new
@@ -545,7 +546,13 @@ class Table:
                     },
                 }
             )
-            meta["current_snapshot_id"] = sid
+            if branch is None:
+                meta["current_snapshot_id"] = sid
+            else:
+                # write-audit-publish staging: the snapshot exists (and
+                # is readable via the ref / snapshot id) but main does
+                # NOT advance until publish_branch fast-forwards it
+                meta.setdefault("refs", {})[branch] = sid
             if set_properties:
                 # atomically with the snapshot: state + bookkeeping in
                 # ONE commit (a crash between two commits must never
@@ -736,6 +743,43 @@ class Table:
 
     # ---------- named refs (Iceberg tags analog) ----------
 
+    def publish_branch(self, branch: str) -> int:
+        """Fast-forward main to a staged branch (the publish half of
+        write-audit-publish). Refuses if main moved since the stage —
+        the staged snapshot's parent must BE the current snapshot, or
+        the stage must be re-done against the new state (publishing
+        anyway would silently drop the interleaved commit)."""
+
+        def mutate(meta: dict) -> dict:
+            refs = meta.get("refs", {})
+            if branch not in refs:
+                raise ValueError(f"no such branch: {branch}")
+            sid = refs[branch]
+            snap = next(
+                (x for x in meta.get("snapshots", []) if x["snapshot_id"] == sid),
+                None,
+            )
+            if snap is None:
+                raise ValueError(f"branch {branch} points at a missing snapshot")
+            if snap.get("parent_snapshot_id") != meta.get("current_snapshot_id"):
+                raise CommitConflictError(
+                    f"branch {branch} is not a fast-forward of main "
+                    "(main advanced since the stage); re-stage against "
+                    "the current state"
+                )
+            meta["current_snapshot_id"] = sid
+            del refs[branch]
+            return meta
+
+        self.commit(mutate)
+        self.refresh()
+        return self.meta["current_snapshot_id"]
+
+    def abort_branch(self, branch: str) -> None:
+        """Drop a staged branch; its files become orphans (reclaimed
+        by ORPHAN_CLEANUP after the retention window)."""
+        self.drop_ref(branch)
+
     def set_ref(self, name: str, snapshot_id: int | None = None) -> int:
         """Tag a snapshot with a stable name (Iceberg tag analog —
         'the snapshot we trained run X on'). Defaults to current."""
@@ -915,23 +959,35 @@ class Table:
         self, from_snapshot_id: int | None, to_snapshot_id: int | None
     ) -> list[dict]:
         """Snapshots strictly after `from` up to and including `to`,
-        in commit order. None `from` = since table creation; None `to`
-        = current."""
+        oldest first, following the PARENT CHAIN from `to` — not list
+        order, which would include unpublished staged (branch)
+        snapshots that were never part of main's lineage. None `from`
+        = since table creation; None `to` = current."""
         snaps = self.snapshots()
-        ids = [s["snapshot_id"] for s in snaps]
-        lo = -1
-        if from_snapshot_id is not None:
-            if from_snapshot_id not in ids:
-                raise ValueError(f"no snapshot {from_snapshot_id}")
-            lo = ids.index(from_snapshot_id)
-        hi = len(snaps) - 1
-        if to_snapshot_id is not None:
-            if to_snapshot_id not in ids:
-                raise ValueError(f"no snapshot {to_snapshot_id}")
-            hi = ids.index(to_snapshot_id)
-        if hi < lo:
-            raise ValueError("to_snapshot precedes from_snapshot")
-        return snaps[lo + 1 : hi + 1]
+        by_id = {s["snapshot_id"]: s for s in snaps}
+        if to_snapshot_id is None:
+            to_snapshot_id = self.meta.get("current_snapshot_id")
+            if to_snapshot_id is None:
+                return []
+        if to_snapshot_id not in by_id:
+            raise ValueError(f"no snapshot {to_snapshot_id}")
+        if from_snapshot_id is not None and from_snapshot_id not in by_id:
+            raise ValueError(f"no snapshot {from_snapshot_id}")
+        chain: list[dict] = []
+        cur = to_snapshot_id
+        while cur is not None and cur != from_snapshot_id:
+            snap = by_id.get(cur)
+            if snap is None:
+                break  # parent expired: treat as the start of history
+            chain.append(snap)
+            cur = snap.get("parent_snapshot_id")
+        if from_snapshot_id is not None and cur != from_snapshot_id:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_snapshot_id} (to_snapshot precedes from_snapshot, "
+                "or the range crosses a rollback/branch)"
+            )
+        return list(reversed(chain))
 
     def changed_files(
         self,

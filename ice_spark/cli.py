@@ -79,6 +79,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--no-copy", action="store_true")
     sp.add_argument("--force-no-copy", action="store_true")
     sp.add_argument("--no-commit", action="store_true")
+    sp.add_argument("--stage", default=None, metavar="BRANCH",
+                    help="write-audit-publish: commit onto a branch ref; "
+                    "main does not advance until `publish`")
     sp.add_argument("--compression", default="gzip")
     sp.add_argument("--format", dest="input_format", default="parquet",
                     choices=["parquet", "csv", "json"])
@@ -198,6 +201,19 @@ def build_parser() -> argparse.ArgumentParser:
         "view (O(new data); full recompute if the range has deletes)",
     )
     sp.add_argument("matview")
+
+    sp = sub.add_parser(
+        "publish",
+        help="fast-forward main to a staged branch (write-audit-publish)",
+    )
+    sp.add_argument("table")
+    sp.add_argument("branch")
+
+    sp = sub.add_parser(
+        "abort-branch", help="drop a staged branch (files become orphans)"
+    )
+    sp.add_argument("table")
+    sp.add_argument("branch")
 
     sp = sub.add_parser(
         "feed",
@@ -469,6 +485,7 @@ def main(argv: list[str] | None = None) -> int:
             partition_spec=args.partition,
             sort_order=args.sort,
             no_commit=args.no_commit,
+            stage_branch=args.stage,
             input_format=args.input_format,
             file_naming=args.file_naming,
             s3_copy_object=args.s3_copy_object,
@@ -534,6 +551,12 @@ def main(argv: list[str] | None = None) -> int:
         from ice_spark.operators.matview import refresh_matview
 
         out = refresh_matview(cat, args.matview)
+    elif args.cmd == "publish":
+        sid = cat.load_table(args.table).publish_branch(args.branch)
+        out = {"published": args.branch, "snapshot_id": sid}
+    elif args.cmd == "abort-branch":
+        cat.load_table(args.table).abort_branch(args.branch)
+        out = {"aborted": args.branch}
     elif args.cmd == "feed":
         from ice_spark.streaming.table_changes import TableChangeFeed
 

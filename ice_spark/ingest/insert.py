@@ -202,6 +202,7 @@ def insert(
     file_naming: str = "default",
     s3_copy_object: bool = False,
     s3_client=None,
+    stage_branch: str | None = None,
 ) -> dict:
     """Ingest parquet files; returns a summary dict.
 
@@ -370,7 +371,14 @@ def insert(
         summary["staged"] = len(entries)
         return summary
 
-    sid = table.append_snapshot(entries, "append", extra_summary={"source-paths": files})
+    # write-audit-publish: commit onto a branch ref; main does not
+    # advance until Table.publish_branch fast-forwards it
+    sid = table.append_snapshot(
+        entries,
+        "append",
+        extra_summary={"source-paths": files},
+        branch=stage_branch,
+    )
     # post-commit verification (Insert.java:901-931): every staged file
     # visible in the committed snapshot.
     committed = {e["path"] for e in table.files(sid)}
