@@ -1042,6 +1042,64 @@ class Table:
             prev = snap["snapshot_id"]
         return self._read_entries(entries)
 
+    def read_changelog(
+        self,
+        from_snapshot_id: int | None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Row-level change events between two snapshots: the table's
+        columns plus `_change_type` ('insert' | 'delete'). Extends the
+        incremental scan to FILE-LEVEL DELETE snapshots: an `append`
+        contributes its added files as inserts, a `delete` contributes
+        its removed files' rows as deletes (readable while the files
+        exist — a --purge delete destroys them, so consume the feed
+        before purging), and compaction `replace` is no logical
+        change. `overwrite` (merge) snapshots raise: rewritten files
+        re-state every surviving row, so a file-level diff would emit
+        false delete+insert pairs for unchanged rows — CDC for merges
+        comes from the streaming upsert path, which knows the keys."""
+        ins: list[dict] = []
+        dels: list[dict] = []
+        prev = from_snapshot_id
+        for snap in self._snapshots_between(from_snapshot_id, to_snapshot_id):
+            op = snap.get("operation", "append")
+            sid = snap["snapshot_id"]
+            if op == "replace":
+                prev = sid
+                continue
+            if op not in ("append", "delete"):
+                raise ValueError(
+                    f"snapshot {sid} is {op!r}: file-level changelog "
+                    "cannot attribute rewritten rows; read a full snapshot"
+                )
+            prev_by_path = {e["path"]: e for e in self.files(prev)} if prev is not None else {}
+            cur_by_path = {e["path"]: e for e in self.files(sid)}
+            if op == "append":
+                ins.extend(
+                    e for p, e in sorted(cur_by_path.items()) if p not in prev_by_path
+                )
+            else:  # delete
+                dels.extend(
+                    e for p, e in sorted(prev_by_path.items()) if p not in cur_by_path
+                )
+            prev = sid
+        parts = []
+        if ins:
+            parts.append(
+                self._read_entries(ins).withColumn("_change_type", F.lit("insert"))
+            )
+        if dels:
+            parts.append(
+                self._read_entries(dels).withColumn("_change_type", F.lit("delete"))
+            )
+        if not parts:
+            schema = self.schema.add("_change_type", SPT.StringType())
+            return self.spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def partitions(self) -> list[dict]:
         """Distinct partition tuples with file/record counts
         (ListPartitions.java:31-59)."""

@@ -1,0 +1,67 @@
+"""Row-level changelog reads (Table.read_changelog): inserts AND
+file-level deletes as change events."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from ice_spark.catalog import Catalog
+from ice_spark.catalog.delete import delete
+from ice_spark.ingest.insert import append_dataframe
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("x", T.LongType()),
+    ]
+)
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = Catalog(spark, str(tmp_path / "wh"))
+    c.create_namespace("ns")
+    return c
+
+
+def test_changelog_inserts_and_deletes(spark, cat):
+    t = cat.create_table(
+        "ns.t",
+        schema=SCHEMA,
+        partition_spec=[{"column": "k", "transform": "identity"}],
+    )
+    append_dataframe(t, spark.createDataFrame([("a", 1), ("b", 2)], SCHEMA))
+    base = t.refresh().meta["current_snapshot_id"]
+    append_dataframe(t, spark.createDataFrame([("c", 3)], SCHEMA))
+    delete(
+        t.refresh(),
+        [{"name": "k", "op": "equals", "values": ["b"]}],
+        dry_run=False,
+    )
+    events = {
+        (r.k, r.x, r._change_type)
+        for r in t.refresh().read_changelog(base).collect()
+    }
+    assert events == {("c", 3, "insert"), ("b", 2, "delete")}
+
+
+def test_changelog_empty_range(spark, cat):
+    t = cat.create_table("ns.t2", schema=SCHEMA)
+    append_dataframe(t, spark.createDataFrame([("a", 1)], SCHEMA))
+    t.refresh()
+    sid = t.meta["current_snapshot_id"]
+    df = t.read_changelog(sid)
+    assert df.count() == 0
+    assert "_change_type" in df.columns
+
+
+def test_changelog_rejects_overwrite(spark, cat):
+    from ice_spark.catalog.merge import merge_upsert
+
+    t = cat.create_table("ns.t3", schema=SCHEMA)
+    append_dataframe(t, spark.createDataFrame([("a", 1)], SCHEMA))
+    base = t.refresh().meta["current_snapshot_id"]
+    merge_upsert(t, spark.createDataFrame([("a", 9)], SCHEMA), ["k"])
+    with pytest.raises(ValueError, match="changelog"):
+        t.refresh().read_changelog(base)
