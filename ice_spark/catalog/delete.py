@@ -24,6 +24,8 @@ from __future__ import annotations
 import os
 import operator
 
+from pyspark.sql import functions as F
+
 from ice_spark.catalog.table import Table
 
 _OPS = {
@@ -108,3 +110,58 @@ def delete(
                 os.remove(p)
                 result["purged"] += 1
     return result
+
+
+def delete_rows(
+    table: Table,
+    filters: list[dict],
+    compression: str = "gzip",
+    dry_run: bool = False,
+) -> dict:
+    """Row-level copy-on-write DELETE WHERE — beyond the reference,
+    whose only delete is whole-file partition drop (Delete.java:41-126).
+    Same planning discipline as MERGE (catalog/merge.py): manifest
+    bounds (+ Bloom index when present) prune files the predicate
+    provably cannot touch; only files that MIGHT contain matching rows
+    are read and rewritten without them. SQL DELETE semantics: a row
+    is removed iff the predicate is TRUE — NULL keeps the row.
+
+    filters use the delete dialect ({name, op, values}) on ANY column,
+    not just partition fields."""
+    from ice_spark.catalog.table import filters_to_column
+    from ice_spark.ingest.insert import _write_df
+
+    table.refresh()
+    names = {f.name for f in table.schema.fields}
+    for flt in filters:
+        if flt["name"] not in names:
+            raise ValueError(f"unknown column {flt['name']!r}")
+    if not filters:
+        raise ValueError("refusing to delete with no filters")
+
+    kept, affected = [], []
+    for e in table.files():
+        might = all(Table._file_might_match(e, flt) for flt in filters)
+        (affected if might else kept).append(e)
+    plan = {
+        "files_rewritten": len(affected),
+        "files_kept": len(kept),
+        "dry_run": dry_run,
+    }
+    if dry_run or not affected:
+        plan["rows_deleted"] = 0
+        return plan
+
+    existing = table._read_entries(affected)
+    pred = filters_to_column(filters)
+    remaining = existing.where(~F.coalesce(pred, F.lit(False)))
+    entries = _write_df(table, remaining, compression, table.current_version())
+    written = sum(e.get("records", 0) for e in entries)
+    affected_rows = sum(e.get("records", 0) for e in affected)
+    table.append_snapshot(
+        kept + entries,
+        "overwrite",
+        extra_summary={"row-delete-filters": filters, "rows-deleted": affected_rows - written},
+    )
+    plan["rows_deleted"] = affected_rows - written
+    return plan

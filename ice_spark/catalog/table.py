@@ -95,6 +95,28 @@ def _minmax(values: list):
     return None
 
 
+def filters_to_column(filters: list[dict]):
+    """Delete-dialect JSON filters -> a Spark Column predicate
+    (AND of filters, OR of each filter's values)."""
+    cmp_of = {
+        "equals": lambda c, v: c == v,
+        "less_than": lambda c, v: c < v,
+        "greater_than": lambda c, v: c > v,
+        "less_than_or_equal": lambda c, v: c <= v,
+        "greater_than_or_equal": lambda c, v: c >= v,
+    }
+    cond = None
+    for flt in filters:
+        fn = cmp_of[flt.get("op", "equals")]
+        clause = None
+        for v in flt.get("values", []):
+            cmp = fn(F.col(flt["name"]), F.lit(v))
+            clause = cmp if clause is None else (clause | cmp)
+        if clause is not None:
+            cond = clause if cond is None else (cond & clause)
+    return cond
+
+
 def _range_might_match(lo, hi, op_name: str, values: list) -> bool:
     """Can any value in [lo, hi] satisfy `op` against any of `values`?
     Conservative: type mismatch ⇒ True (cannot prune)."""
@@ -920,29 +942,7 @@ class Table:
         predicate on top (files may contain non-matching rows)."""
         entries = self.plan_files(filters, snapshot_id)
         df = self._read_entries(entries)
-        spark_ops = {
-            "equals": "=",
-            "less_than": "<",
-            "greater_than": ">",
-            "less_than_or_equal": "<=",
-            "greater_than_or_equal": ">=",
-        }
-        cond = None
-        for flt in filters:
-            sym = spark_ops[flt.get("op", "equals")]
-            clause = None
-            for v in flt.get("values", []):
-                lit = F.lit(v)
-                cmp = {
-                    "=": F.col(flt["name"]) == lit,
-                    "<": F.col(flt["name"]) < lit,
-                    ">": F.col(flt["name"]) > lit,
-                    "<=": F.col(flt["name"]) <= lit,
-                    ">=": F.col(flt["name"]) >= lit,
-                }[sym]
-                clause = cmp if clause is None else (clause | cmp)
-            if clause is not None:
-                cond = clause if cond is None else (cond & clause)
+        cond = filters_to_column(filters)
         return df.where(cond) if cond is not None else df
 
     # ---------- incremental (CDC-style) reads ----------

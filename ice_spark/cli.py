@@ -138,6 +138,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--no-dry-run", dest="dry_run", action="store_false")
     sp.add_argument("--purge", action="store_true")
 
+    sp = sub.add_parser(
+        "delete-rows",
+        help="row-level copy-on-write DELETE WHERE (any column; "
+        "bounds/Bloom-pruned rewrite)",
+    )
+    sp.add_argument("table")
+    sp.add_argument("filters", type=_json_arg)
+    sp.add_argument("--dry-run", dest="dry_run", action="store_true", default=True)
+    sp.add_argument("--no-dry-run", dest="dry_run", action="store_false")
+
     sub.add_parser("catalog-export")
 
     sp = sub.add_parser("catalog-import")
@@ -551,6 +561,12 @@ def main(argv: list[str] | None = None) -> int:
         from ice_spark.operators.matview import refresh_matview
 
         out = refresh_matview(cat, args.matview)
+    elif args.cmd == "delete-rows":
+        from ice_spark.catalog.delete import delete_rows
+
+        out = delete_rows(
+            cat.load_table(args.table), args.filters, dry_run=args.dry_run
+        )
     elif args.cmd == "publish":
         sid = cat.load_table(args.table).publish_branch(args.branch)
         out = {"published": args.branch, "snapshot_id": sid}

@@ -65,3 +65,44 @@ def test_changelog_rejects_overwrite(spark, cat):
     merge_upsert(t, spark.createDataFrame([("a", 9)], SCHEMA), ["k"])
     with pytest.raises(ValueError, match="changelog"):
         t.refresh().read_changelog(base)
+
+
+def test_delete_rows_copy_on_write(spark, cat):
+    from ice_spark.catalog.delete import delete_rows
+
+    t = cat.create_table("ns.dr", schema=SCHEMA)
+    append_dataframe(
+        t, spark.createDataFrame([("a", 1), ("b", 2), ("c", None)], SCHEMA).coalesce(1)
+    )
+    append_dataframe(
+        t.refresh(),
+        spark.createDataFrame([("d", 100), ("e", 200)], SCHEMA).coalesce(1),
+    )
+    t.refresh()
+    # predicate x > 1: bounds prune the second file? no — [100,200] matches;
+    # first file [1,2] matches too. Delete x >= 100: first file pruned.
+    before = {e["path"] for e in t.files()}
+    res = delete_rows(
+        t, [{"name": "x", "op": "greater_than_or_equal", "values": [100]}]
+    )
+    assert res["rows_deleted"] == 2
+    assert res["files_kept"] == 1 and res["files_rewritten"] == 1
+    t.refresh()
+    # pruned file untouched on disk (same path kept)
+    assert len({e["path"] for e in t.files()} & before) == 1
+    got = {(r.k, r.x) for r in t.read().collect()}
+    # NULL predicate keeps the row (SQL DELETE semantics)
+    assert got == {("a", 1), ("b", 2), ("c", None)}
+
+
+def test_delete_rows_dry_run_and_validation(spark, cat):
+    from ice_spark.catalog.delete import delete_rows
+
+    t = cat.create_table("ns.dr2", schema=SCHEMA)
+    append_dataframe(t, spark.createDataFrame([("a", 1)], SCHEMA))
+    t.refresh()
+    res = delete_rows(t, [{"name": "x", "op": "equals", "values": [1]}], dry_run=True)
+    assert res["dry_run"] and res["rows_deleted"] == 0
+    assert t.refresh().read().count() == 1
+    with pytest.raises(ValueError, match="unknown column"):
+        delete_rows(t, [{"name": "nope", "op": "equals", "values": [1]}])
