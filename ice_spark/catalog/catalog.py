@@ -278,3 +278,88 @@ class Catalog:
             f.write(str(version))
         os.replace(tmp, hint)
         return self.load_table(ident)
+
+    # ---------- views ----------
+    #
+    # The reference's REST route set includes the full view protocol
+    # (list/create/load/update/rename/drop — Route.java:50-116) but its
+    # etcd backend implements none of it (no ViewCatalog). Here views
+    # are first-class: a named SQL definition stored in the namespace
+    # (<ns>/<name>.view.json), resolvable by the `sql` verb alongside
+    # tables. Views are logical only — no data, no snapshots.
+
+    def _view_path(self, ident: str) -> tuple[str, str]:
+        parts = _split_ident(ident)
+        if len(parts) < 2:
+            raise ValueError(f"view identifier needs a namespace: {ident!r}")
+        ns, name = ".".join(parts[:-1]), parts[-1]
+        ns_dir = self._ns_dir(ns)
+        if not self._is_namespace(ns_dir):
+            raise NamespaceError(f"no such namespace: {ns}")
+        return os.path.join(ns_dir, f"{name}.view.json"), name
+
+    def create_view(
+        self, ident: str, sql: str, comment: str = "", replace: bool = False
+    ) -> dict:
+        import json as _json
+        import time as _time
+
+        path, name = self._view_path(ident)
+        if os.path.exists(path) and not replace:
+            raise ValueError(f"view exists: {ident}")
+        view = {
+            "name": name,
+            "sql": sql,
+            "comment": comment,
+            "created_ms": int(_time.time() * 1000),
+        }
+        with open(path, "w") as f:
+            _json.dump(view, f, indent=1)
+        return view
+
+    def load_view(self, ident: str) -> dict:
+        import json as _json
+
+        path, _ = self._view_path(ident)
+        if not os.path.exists(path):
+            raise ValueError(f"no such view: {ident}")
+        with open(path) as f:
+            return _json.load(f)
+
+    def list_views(self, ns: str) -> list[str]:
+        ns_dir = self._ns_dir(ns)
+        if not self._is_namespace(ns_dir):
+            raise NamespaceError(f"no such namespace: {ns}")
+        return sorted(
+            e[: -len(".view.json")]
+            for e in os.listdir(ns_dir)
+            if e.endswith(".view.json")
+        )
+
+    def drop_view(self, ident: str) -> None:
+        path, _ = self._view_path(ident)
+        if not os.path.exists(path):
+            raise ValueError(f"no such view: {ident}")
+        os.remove(path)
+
+    def register_sql_context(self) -> list[str]:
+        """Register every table AND view as `<ns>_<name>` temp views
+        for spark.sql. Views register after tables, oldest first, so a
+        view may reference tables and previously-created views."""
+        registered = []
+        for ns in self.list_namespaces():
+            for tb in self.list_tables(ns):
+                alias = f"{ns.replace('.', '_')}_{tb}"
+                self.load_table(f"{ns}.{tb}").read().createOrReplaceTempView(alias)
+                registered.append(alias)
+        views = []
+        for ns in self.list_namespaces():
+            for v in self.list_views(ns):
+                views.append((ns, self.load_view(f"{ns}.{v}")))
+        for ns, view in sorted(views, key=lambda x: x[1].get("created_ms", 0)):
+            alias = f"{ns.replace('.', '_')}_{view['name']}"
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMP VIEW {alias} AS {view['sql']}"
+            )
+            registered.append(alias)
+        return registered

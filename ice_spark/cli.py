@@ -160,6 +160,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--dry-run", dest="dry_run", action="store_true", default=True)
     sp.add_argument("--no-dry-run", dest="dry_run", action="store_false")
 
+    sp = sub.add_parser("create-view")
+    sp.add_argument("view", help="namespaced view identifier, e.g. ns.v")
+    sp.add_argument("query", help="SQL over <ns>_<table> names")
+    sp.add_argument("--comment", default="")
+    sp.add_argument("--replace", action="store_true")
+
+    sp = sub.add_parser("drop-view")
+    sp.add_argument("view")
+
+    sp = sub.add_parser("list-views")
+    sp.add_argument("namespace")
+
     sp = sub.add_parser("sql")
     sp.add_argument("query", help="SQL over catalog tables (registered as ns_table views)")
     sp.add_argument("--limit", type=int, default=100)
@@ -501,15 +513,20 @@ def main(argv: list[str] | None = None) -> int:
             s3_copy_object=args.s3_copy_object,
             s3_client=_s3_client_if(args.s3_copy_object),
         )
+    elif args.cmd == "create-view":
+        out = cat.create_view(
+            args.view, args.query, comment=args.comment, replace=args.replace
+        )
+    elif args.cmd == "drop-view":
+        cat.drop_view(args.view)
+        out = {"dropped": args.view}
+    elif args.cmd == "list-views":
+        out = cat.list_views(args.namespace)
     elif args.cmd == "sql":
-        # Register every table as a `<ns>_<table>` view and run the
-        # query — joins/aggs/windows over catalog tables, the whole
+        # Register every table and stored view as `<ns>_<name>` and run
+        # the query — joins/aggs/windows over catalog tables, the whole
         # point of the Spark rebuild (SURVEY.md §2.8).
-        for ns in cat.list_namespaces():
-            for tb in cat.list_tables(ns):
-                cat.load_table(f"{ns}.{tb}").read().createOrReplaceTempView(
-                    f"{ns.replace('.', '_')}_{tb}"
-                )
+        cat.register_sql_context()
         rows = cat.spark.sql(args.query).limit(args.limit).collect()
         out = [r.asDict(recursive=True) for r in rows]
     elif args.cmd == "export":

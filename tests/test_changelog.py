@@ -106,3 +106,46 @@ def test_delete_rows_dry_run_and_validation(spark, cat):
     assert t.refresh().read().count() == 1
     with pytest.raises(ValueError, match="unknown column"):
         delete_rows(t, [{"name": "nope", "op": "equals", "values": [1]}])
+
+
+def test_catalog_views(spark, cat, capsys, monkeypatch):
+    import json as _json
+
+    import ice_spark.session as session_mod
+    from ice_spark.cli import main
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: spark)
+    t = cat.create_table("ns.v_base", schema=SCHEMA)
+    append_dataframe(t, spark.createDataFrame([("a", 1), ("a", 2), ("b", 5)], SCHEMA))
+    wh = cat.warehouse
+    assert (
+        main(
+            [
+                "--warehouse", wh, "create-view", "ns.totals",
+                "SELECT k, SUM(x) AS total FROM ns_v_base GROUP BY k",
+            ]
+        )
+        == 0
+    )
+    capsys.readouterr()
+    # view-on-view: register order is creation order
+    assert (
+        main(
+            [
+                "--warehouse", wh, "create-view", "ns.big_totals",
+                "SELECT * FROM ns_totals WHERE total > 2",
+            ]
+        )
+        == 0
+    )
+    capsys.readouterr()
+    assert main(["--warehouse", wh, "sql", "SELECT * FROM ns_big_totals ORDER BY k"]) == 0
+    rows = _json.loads(capsys.readouterr().out)
+    assert rows == [{"k": "a", "total": 3}, {"k": "b", "total": 5}]
+    assert main(["--warehouse", wh, "list-views", "ns"]) == 0
+    assert _json.loads(capsys.readouterr().out) == ["big_totals", "totals"]
+    assert main(["--warehouse", wh, "drop-view", "ns.big_totals"]) == 0
+    capsys.readouterr()
+    assert cat.list_views("ns") == ["totals"]
+    # a view file must never be mistaken for a table
+    assert "totals" not in cat.list_tables("ns")
