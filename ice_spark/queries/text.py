@@ -1464,3 +1464,62 @@ def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kept",
         )
     )
+
+
+@register(
+    "s10_importance_resampling",
+    f"""
+    WITH d AS (
+      SELECT source, doc_id,
+             len({_SQL_TOKS.format(col='text')}) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT source, n_tokens,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+               list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+               (a, x) -> (a * 131 + x) % 1000000007) % 10000 AS bucket,
+             CAST(FLOOR(LEAST(n_tokens, 200) / 200.0 * 10000) AS BIGINT)
+               AS keep_below
+      FROM d
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE bucket < keep_below) AS n_kept,
+           CAST(SUM(CASE WHEN bucket < keep_below THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM b
+    GROUP BY source
+    """,
+    doc="Importance resampling by per-document weight: keep "
+    "probability proportional to token count (capped at 200 -> "
+    "weight 1.0), membership decided by the portable hash bucket "
+    "against a per-doc threshold. The threshold arithmetic is one "
+    "int->double division and multiply per row (IEEE-identical in "
+    "both engines; no cross-row float accumulation), so the sample "
+    "is bit-reproducible across engines, partitionings and retries. "
+    "Map-only + one aggregation.",
+)
+def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        T.token_count("text").alias("n_tokens"),
+        hash_bucket(F.col("doc_id")).alias("bucket"),
+    ).withColumn(
+        "keep_below",
+        F.floor(F.least(F.col("n_tokens"), F.lit(200)) / 200.0 * 10000).cast(
+            "long"
+        ),
+    )
+    kept = F.col("bucket") < F.col("keep_below")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
