@@ -213,9 +213,25 @@ def _exportable_spec_fields(table: Table, ice_schema: dict) -> list[dict]:
         table.properties.get("transform-impl") == "iceberg-spec-v1"
         or not table.files()
     )
+    # Partition evolution: files written BEFORE a field was added have
+    # no value for it (key absent, distinct from a legitimate null).
+    # Exporting them as null under the current spec would let foreign
+    # readers prune them on `field = X` and silently miss rows — drop
+    # such fields from the exported spec instead (same policy as
+    # unverifiable transforms: never mislabel).
+    missing_everywhere: set = set()
+    for e in table.files():
+        if e.get("records", 0) == 0:
+            continue
+        part = e.get("partition") or {}
+        for pf in table.partition_spec:
+            if pf.field_name not in part:
+                missing_everywhere.add(pf.field_name)
     out = []
     next_id = 1000
     for pf in table.partition_spec:
+        if pf.field_name in missing_everywhere:
+            continue
         if pf.column not in by_name:
             continue
         src_id, src_type = by_name[pf.column]

@@ -425,3 +425,38 @@ def test_pre_spec_bucket_values_dropped_not_mislabeled(spark, tmp_path):
     assert [f["transform"] for f in meta2["partition-specs"][0]["fields"]] == [
         "bucket[4]"
     ]
+
+
+def test_evolved_partition_field_dropped_from_export(spark, tmp_path):
+    """Files from before add_partition_field have no value for the new
+    field; exporting it would null-prune them in foreign readers."""
+    import glob
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from ice_spark.catalog import Catalog
+    from ice_spark.catalog.alter import add_partition_field
+    from ice_spark.catalog.iceberg_export import export_iceberg
+    from ice_spark.ingest.insert import insert
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("ns")
+    t = cat.create_table(
+        "ns.evolved",
+        schema=T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("c", T.StringType())]
+        ),
+    )
+    src = str(tmp_path / "s.parquet")
+    spark.createDataFrame([(1, "x"), (2, "y")], t.schema).coalesce(1).write.parquet(src)
+    insert(t, sorted(glob.glob(src + "/*.parquet")))
+    add_partition_field(t.refresh(), "c")
+    src2 = str(tmp_path / "s2.parquet")
+    spark.createDataFrame([(3, "z")], t.schema).coalesce(1).write.parquet(src2)
+    insert(t.refresh(), sorted(glob.glob(src2 + "/*.parquet")))
+
+    out = export_iceberg(t.refresh(), str(tmp_path / "ice"))
+    meta = _json.loads(open(out["metadata_file"]).read())
+    names = [f["name"] for f in meta["partition-specs"][0]["fields"]]
+    assert "c" not in names  # pre-evolution files can't carry it honestly
