@@ -42,6 +42,40 @@ DEFAULT_ORPHAN_RETENTION_DAYS = 3.0
 DEFAULT_ORPHAN_WHITELIST = ["*/metadata/*", "*/data/*"]
 
 
+def _merged_bloom(group: list[dict]) -> dict:
+    """Union of the inputs' per-file Bloom bitmaps (bitwise OR) —
+    valid because OR preserves every set bit, so the merged filter has
+    no false negatives for any input's values. Only columns indexed on
+    EVERY input with identical parameters carry over; anything else is
+    dropped (absent bloom = never pruned)."""
+    import base64
+    import struct
+
+    if not group:
+        return {}
+    common = set((group[0].get("bloom") or {}).keys())
+    for e in group[1:]:
+        common &= set((e.get("bloom") or {}).keys())
+    out: dict = {}
+    for c in sorted(common):
+        metas = [e["bloom"][c] for e in group]
+        key0 = (metas[0]["bits"], metas[0]["hashes"], metas[0].get("type"))
+        if any((m["bits"], m["hashes"], m.get("type")) != key0 for m in metas):
+            continue
+        n = key0[0] // 64
+        acc = [0] * n
+        for m in metas:
+            words = struct.unpack(f"<{n}q", base64.b64decode(m["b64"]))
+            acc = [a | w for a, w in zip(acc, words)]
+        out[c] = {
+            "bits": key0[0],
+            "hashes": key0[1],
+            "type": key0[2],
+            "b64": base64.b64encode(struct.pack(f"<{n}q", *acc)).decode("ascii"),
+        }
+    return out
+
+
 def compact_data(
     table: Table,
     target_file_size_mb: int = DEFAULT_TARGET_FILE_SIZE_MB,
@@ -107,6 +141,7 @@ def compact_data(
         os.makedirs(dst_dir, exist_ok=True)
         tmp_out = os.path.join(table.location, f"_compact_{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(tmp_out)
+        bloom = _merged_bloom(g)
         for root, _d, fnames in os.walk(tmp_out):
             for fn in fnames:
                 if fn.endswith(".parquet"):
@@ -114,7 +149,10 @@ def compact_data(
                     os.replace(os.path.join(root, fn), dst)
                     import pyarrow.parquet as pq
 
-                    md = pq.ParquetFile(dst).metadata
+                    from ice_spark.ingest.insert import _column_metrics_from_metadata
+
+                    pf = pq.ParquetFile(dst)
+                    md = pf.metadata
                     new_entries.append(
                         {
                             "path": os.path.relpath(dst, table.location),
@@ -122,6 +160,11 @@ def compact_data(
                             "records": md.num_rows,
                             "size_bytes": os.path.getsize(dst),
                             "schema_version": ver,
+                            # bounds survive compaction (pruning parity
+                            # with freshly-ingested files)...
+                            "column_metrics": _column_metrics_from_metadata(md),
+                            # ...and so do Bloom indexes, by bitmap OR
+                            **({"bloom": bloom} if bloom else {}),
                         }
                     )
         import shutil

@@ -154,3 +154,31 @@ def test_unstable_string_types_rejected_at_build(spark, cat):
     append_dataframe(t, spark.createDataFrame([(1.5,)], t.schema))
     with pytest.raises(ValueError, match="indexable types"):
         build_bloom_index(t.refresh(), "x")
+
+
+def test_compaction_preserves_metrics_and_bloom(spark, cat):
+    from ice_spark.catalog.maintenance import compact_data
+
+    t = _table(spark, cat, "ns.b7")
+    build_bloom_index(t, "user_id")
+    t = t.refresh()
+    res = compact_data(t, candidate_min_age_hours=0, min_input_files=2)
+    assert res["rewritten"] >= 1
+    t = t.refresh()
+    merged = [e for e in t.files() if "bloom" in e]
+    assert merged, "compacted entries lost their bloom index"
+    # bounds survive too: pruning works post-compaction
+    assert all(e.get("column_metrics") for e in t.files())
+    # point lookup still finds its row and still prunes nothing wrongly
+    rows = t.read_filtered(
+        [{"name": "user_id", "op": "equals", "values": [1042]}]
+    ).collect()
+    assert [r.user_id for r in rows] == [1042]
+    # a value in no source file is still bloom-pruned after the merge
+    t.last_plan_stats = {}
+    planned = t.plan_files(
+        [{"name": "user_id", "op": "equals", "values": [999999]}]
+    )
+    assert len(planned) == 0 or all(
+        "bloom" not in e for e in planned
+    )  # either pruned or only unindexed files remain
