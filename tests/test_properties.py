@@ -146,3 +146,36 @@ def test_parse_rejects_bad_transforms():
     for bad in ["bucket", "truncate", "frobnicate", "bucket[x]", ""]:
         with pytest.raises(ValueError):
             parse_partition_spec([{"column": "c", "transform": bad}])
+
+
+# --- decimal two's-complement (Iceberg bucket serialization) -----------------
+
+
+@given(st.integers(min_value=-(10**30), max_value=10**30))
+@settings(max_examples=300, deadline=None)
+def test_decimal_bytes_match_java_biginteger(n):
+    """Model Java BigInteger.toByteArray: minimal big-endian
+    two's-complement, round-trips, and minimality (no redundant
+    leading byte)."""
+    from ice_spark.catalog.iceberg_transforms import _decimal_unscaled_bytes
+
+    b = _decimal_unscaled_bytes(n)
+    assert int.from_bytes(b, "big", signed=True) == n  # round trip
+    if len(b) > 1:
+        # minimality: dropping the first byte must change the value
+        assert int.from_bytes(b[1:], "big", signed=True) != n
+
+
+# --- bloom membership (driver probe vs build spec) ---------------------------
+
+
+@given(st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_bloom_positions_deterministic_and_in_range(keys):
+    from ice_spark.catalog.fileindex import _py_positions
+
+    for k in keys:
+        pos = _py_positions(str(k), 4096, 5)
+        assert pos == _py_positions(str(k), 4096, 5)  # deterministic
+        assert all(0 <= p < 4096 for p in pos)
+        assert len(pos) == 5
