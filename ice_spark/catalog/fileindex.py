@@ -29,7 +29,10 @@ Mechanics:
   own predicate, exactly like min/max pruning today.
 
 Honesty rules: files written after the index was built carry no
-bitmap and are never pruned by it (rebuild to cover them); the hash
+bitmap and are never pruned by it — rebuild to cover them, or set the
+table property `bloom-columns` so every INSERT indexes its new files
+before the commit (attach_ingest_blooms) and DATA_COMPACTION merges
+bitmaps by OR; the hash
 stringifies values, so only types with a stable string form are
 indexable (int/long/string — same set the portable hash oracles use).
 """
@@ -85,16 +88,7 @@ def _spark_positions(col, num_bits: int, num_hashes: int):
     return F.array(*[(h + F.lit(i) * step) % num_bits for i in range(num_hashes)])
 
 
-def build_bloom_index(
-    table,
-    column: str,
-    num_bits: int = DEFAULT_NUM_BITS,
-    num_hashes: int = DEFAULT_NUM_HASHES,
-) -> dict:
-    """Build (or rebuild) the per-file Bloom index for `column` over
-    the CURRENT snapshot and commit it as a `replace` snapshot."""
-    if num_bits % 64 != 0:
-        raise ValueError("num_bits must be a multiple of 64")
+def _validate_column(table, column: str) -> str:
     fields = {f.name: f.dataType.typeName() for f in table.schema.fields}
     if column not in fields:
         raise ValueError(f"unknown column {column!r}")
@@ -106,14 +100,24 @@ def build_bloom_index(
             "boolean stringify differently between the build cast and "
             "a driver-side probe, which would FALSELY prune files)"
         )
-    table.refresh()
-    entries = table.files()
-    if not entries:
-        return {"indexed_files": 0, "column": column}
+    return fields[column]
 
+
+def bitmaps_for_entries(
+    table,
+    entries: list[dict],
+    column: str,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> dict:
+    """{entry path -> bloom metadata dict} for the given entries —
+    one distributed pass, only finished bitmaps reach the driver."""
     import os
 
-    # one scan: (file, column) -> exploded bit positions -> bitmap words
+    type_name = _validate_column(table, column)
+    entries = [e for e in entries if e.get("records", 0) > 0]
+    if not entries:
+        return {}
     by_ver: dict[int, list[str]] = {}
     for e in entries:
         by_ver.setdefault(e.get("schema_version", 1), []).append(
@@ -141,9 +145,7 @@ def build_bloom_index(
     rows = (
         df.filter(F.col(column).isNotNull())
         .select("__file", pos)
-        .groupBy(
-            "__file", (F.col("pos") / 64).cast("int").alias("w")
-        )
+        .groupBy("__file", (F.col("pos") / 64).cast("int").alias("w"))
         .agg(
             F.bit_or(
                 F.call_function(
@@ -155,29 +157,92 @@ def build_bloom_index(
         )
         .collect()
     )
-    bitmaps: dict[str, list[int]] = {}
+    words_by_rel: dict[str, list[int]] = {}
     for r in rows:
         f = r["__file"]
         if f.startswith("file:"):
             f = "/" + f[len("file:"):].lstrip("/")
         rel = os.path.relpath(f, table.location)
-        bitmaps.setdefault(rel, [0] * (num_bits // 64))[r["w"]] = r["bits"]
+        words_by_rel.setdefault(rel, [0] * (num_bits // 64))[r["w"]] = r["bits"]
+    out = {}
+    for e in entries:
+        words = words_by_rel.get(e["path"], [0] * (num_bits // 64))
+        out[e["path"]] = {
+            "bits": num_bits,
+            "hashes": num_hashes,
+            "type": type_name,
+            "b64": base64.b64encode(
+                struct.pack(f"<{num_bits // 64}q", *words)
+            ).decode("ascii"),
+        }
+    return out
 
+
+def attach_ingest_blooms(table, entries: list[dict]) -> list[dict]:
+    """Ingest-time indexing: if the table property `bloom-columns`
+    (comma-separated) is set, every NEW file gets its bitmaps before
+    the commit — closing the window where fresh files are unindexed
+    until a rebuild. Costs one narrow pass over the just-written
+    files; invalid/absent columns are skipped silently (the property
+    must never break an insert)."""
+    import os
+
+    spec = table.properties.get("bloom-columns", "")
+    if not spec:
+        return entries
+    bits = int(table.properties.get("bloom-bits", DEFAULT_NUM_BITS))
+    # externally-registered / absolute paths are skipped: the builder
+    # resolves relative to the table location
+    local = [
+        e for e in entries
+        if not e.get("external") and not os.path.isabs(e["path"])
+    ]
+    for column in [c.strip() for c in spec.split(",") if c.strip()]:
+        try:
+            bms = bitmaps_for_entries(table, local, column, num_bits=bits)
+        except ValueError:
+            continue
+        for e in local:
+            if e["path"] in bms:
+                e.setdefault("bloom", {})[column] = bms[e["path"]]
+    return entries
+
+
+def build_bloom_index(
+    table,
+    column: str,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> dict:
+    """Build (or rebuild) the per-file Bloom index for `column` over
+    the CURRENT snapshot and commit it as a `replace` snapshot."""
+    if num_bits % 64 != 0:
+        raise ValueError("num_bits must be a multiple of 64")
+    _validate_column(table, column)
+    table.refresh()
+    entries = table.files()
+    if not entries:
+        return {"indexed_files": 0, "column": column}
+    bms = bitmaps_for_entries(
+        table, entries, column, num_bits=num_bits, num_hashes=num_hashes
+    )
     new_entries = []
     indexed = 0
     for e in entries:
         e = dict(e)
-        words = bitmaps.get(e["path"])
-        if words is not None or e.get("records", 0) == 0:
+        if e["path"] in bms or e.get("records", 0) == 0:
             bloom = dict(e.get("bloom") or {})
-            bloom[column] = {
-                "bits": num_bits,
-                "hashes": num_hashes,
-                "type": fields[column],
-                "b64": base64.b64encode(
-                    struct.pack(f"<{num_bits // 64}q", *(words or [0] * (num_bits // 64)))
-                ).decode("ascii"),
-            }
+            bloom[column] = bms.get(
+                e["path"],
+                {
+                    "bits": num_bits,
+                    "hashes": num_hashes,
+                    "type": _validate_column(table, column),
+                    "b64": base64.b64encode(
+                        struct.pack(f"<{num_bits // 64}q", *([0] * (num_bits // 64)))
+                    ).decode("ascii"),
+                },
+            )
             e["bloom"] = bloom
             indexed += 1
         new_entries.append(e)

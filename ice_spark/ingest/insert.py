@@ -371,6 +371,11 @@ def insert(
         summary["staged"] = len(entries)
         return summary
 
+    # table-property-driven Bloom indexing of the new files
+    from ice_spark.catalog.fileindex import attach_ingest_blooms
+
+    entries = attach_ingest_blooms(table, entries)
+
     # write-audit-publish: commit onto a branch ref; main does not
     # advance until Table.publish_branch fast-forwards it
     sid = table.append_snapshot(

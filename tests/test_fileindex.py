@@ -182,3 +182,33 @@ def test_compaction_preserves_metrics_and_bloom(spark, cat):
     assert len(planned) == 0 or all(
         "bloom" not in e for e in planned
     )  # either pruned or only unindexed files remain
+
+
+def test_ingest_time_bloom_via_table_property(spark, cat, tmp_path):
+    """bloom-columns property: every insert indexes its new files —
+    no unindexed-file window, no rebuild needed."""
+    import glob
+
+    from ice_spark.ingest.insert import insert
+
+    t = cat.create_table(
+        "ns.b8",
+        schema=SCHEMA,
+        properties={"bloom-columns": "user_id"},
+    )
+    for lo in (0, 1000, 5000):
+        src = str(tmp_path / f"s{lo}.parquet")
+        spark.createDataFrame(
+            [(i, "v") for i in range(lo, lo + 100)], SCHEMA
+        ).coalesce(1).write.parquet(src)
+        insert(t.refresh(), sorted(glob.glob(src + "/*.parquet")))
+    t = t.refresh()
+    assert all("user_id" in (e.get("bloom") or {}) for e in t.files())
+    planned = t.plan_files(
+        [{"name": "user_id", "op": "equals", "values": [5042]}]
+    )
+    assert len(planned) == 1  # bloom-pruned straight from ingest
+    rows = t.read_filtered(
+        [{"name": "user_id", "op": "equals", "values": [5042]}]
+    ).collect()
+    assert [r.user_id for r in rows] == [5042]
