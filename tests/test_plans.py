@@ -155,3 +155,20 @@ def test_round4_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
     assert a.shuffles <= max_exchanges, f"{name}: {a.shuffles} shuffles\n{a.plan[:2000]}"
     assert a.sort_merge_joins == 0
     assert "CartesianProduct" not in a.plan
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("a06_grouping_id_rollup", 1),  # rollup expands map-side
+        ("f14_try_functions", 1),  # map-only + one aggregation
+        ("s09_temperature_sampling", 3),  # counts + broadcast rates + final agg
+        ("s10_importance_resampling", 1),  # per-row threshold, one agg
+        ("e14_windowed_dedup", 2),  # keyed dedup agg + per-type rollup
+    ],
+)
+def test_round4b_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
+    a = _audit(spark, sf_dir, name)
+    assert a.shuffles <= max_exchanges, f"{name}: {a.shuffles} shuffles\n{a.plan[:2000]}"
+    assert a.sort_merge_joins == 0
+    assert "CartesianProduct" not in a.plan
