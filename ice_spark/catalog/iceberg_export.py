@@ -693,6 +693,36 @@ def export_iceberg(table: Table, dest: str) -> dict:
         k: v if isinstance(v, str) else json.dumps(v)
         for k, v in table.properties.items()
     }
+    # schema.name-mapping.default (Iceberg spec "Column Projection"):
+    # files written before a rename carry the OLD physical column
+    # name; without a mapping a foreign reader projecting the new
+    # name reads NULLs from them. The mapping lists every historical
+    # name per field-id — the same mechanism the reference forces via
+    # its name-mapping property (CreateTable.java:104-108).
+    renames = table.meta.get("column_renames", [])
+    if renames:
+        names_of: dict[str, list[str]] = {}
+        # walk rename lineage backwards: current <- ... <- original
+        for f in table.schema.fields:
+            chain = [f.name]
+            cur = f.name
+            changed = True
+            while changed:
+                changed = False
+                for r in reversed(renames):
+                    if r["to"] == cur and r["from"] not in chain:
+                        chain.append(r["from"])
+                        cur = r["from"]
+                        changed = True
+                        break
+            names_of[f.name] = chain
+        by_name = _top_level_field_ids(ice_schema_full)
+        mapping = [
+            {"field-id": by_name[f.name][0], "names": names_of[f.name]}
+            for f in table.schema.fields
+            if f.name in by_name
+        ]
+        properties["schema.name-mapping.default"] = json.dumps(mapping)
     current = table.meta.get("current_snapshot_id")
     refs = {}
     if current is not None:

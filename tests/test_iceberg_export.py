@@ -460,3 +460,39 @@ def test_evolved_partition_field_dropped_from_export(spark, tmp_path):
     meta = _json.loads(open(out["metadata_file"]).read())
     names = [f["name"] for f in meta["partition-specs"][0]["fields"]]
     assert "c" not in names  # pre-evolution files can't carry it honestly
+
+
+def test_renamed_column_exports_name_mapping(spark, tmp_path):
+    """Old files carry old physical names; the export must emit
+    schema.name-mapping.default listing every historical name per
+    field-id so foreign readers project them correctly."""
+    import glob
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from ice_spark.catalog import Catalog
+    from ice_spark.catalog.alter import rename_column
+    from ice_spark.catalog.iceberg_export import export_iceberg
+    from ice_spark.ingest.insert import insert
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("ns")
+    t = cat.create_table(
+        "ns.renamed",
+        schema=T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("old", T.StringType())]
+        ),
+    )
+    src = str(tmp_path / "s.parquet")
+    spark.createDataFrame([(1, "x")], t.schema).coalesce(1).write.parquet(src)
+    insert(t, sorted(glob.glob(src + "/*.parquet")))
+    rename_column(t.refresh(), "old", "mid")
+    rename_column(t.refresh(), "mid", "new")
+
+    out = export_iceberg(t.refresh(), str(tmp_path / "ice"))
+    meta = _json.loads(open(out["metadata_file"]).read())
+    mapping = _json.loads(meta["properties"]["schema.name-mapping.default"])
+    by_names = {tuple(m["names"]): m["field-id"] for m in mapping}
+    assert ("new", "mid", "old") in by_names  # full lineage, newest first
+    assert ("id",) in by_names
