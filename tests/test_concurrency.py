@@ -76,3 +76,63 @@ def test_conflicting_commit_raises_after_retries(spark, table):
 
     with pytest.raises(CommitConflictError):
         t1.commit(always_stale, retries=2, backoff_ms=1)
+
+
+def test_concurrent_stage_publish_exactly_one_wins(spark, table):
+    """N writers each stage a branch against the SAME base and race to
+    publish: exactly ONE fast-forward may land; every loser gets the
+    non-fast-forward refusal, and the table ends with exactly the
+    winner's file."""
+    n = 6
+    base_entry = {
+        "path": "data/base.parquet",
+        "partition": {},
+        "records": 1,
+        "size_bytes": 10,
+        "schema_version": 1,
+    }
+    table.append_snapshot([base_entry], "append")
+
+    # all stages happen against the same base snapshot
+    handles = [Table(spark, table.location, table.identifier) for _ in range(n)]
+    for w, t in enumerate(handles):
+        t.append_snapshot(
+            [
+                {
+                    "path": f"data/stage_{w}.parquet",
+                    "partition": {},
+                    "records": 1,
+                    "size_bytes": 10,
+                    "schema_version": 1,
+                }
+            ],
+            "append",
+            branch=f"b{w}",
+        )
+
+    results: list[tuple[int, bool]] = []
+    lock = threading.Lock()
+
+    def racer(w: int) -> None:
+        t = Table(spark, table.location, table.identifier)
+        try:
+            t.publish_branch(f"b{w}")
+            ok = True
+        except Exception:
+            ok = False
+        with lock:
+            results.append((w, ok))
+
+    threads = [threading.Thread(target=racer, args=(w,)) for w in range(n)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    winners = [w for w, ok in results if ok]
+    assert len(winners) == 1, f"expected one winner, got {winners}"
+    t = Table(spark, table.location, table.identifier).refresh()
+    paths = {e["path"] for e in t.files()}
+    assert paths == {"data/base.parquet", f"data/stage_{winners[0]}.parquet"}
+    # losers' branches survive for re-staging
+    assert len(t.refs()) == n - 1
