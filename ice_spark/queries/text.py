@@ -1523,3 +1523,76 @@ def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_tokens"),
     )
+
+
+@register(
+    "p02_pretraining_mixture_pipeline",
+    f"""
+    WITH keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    ),
+    d AS (
+      SELECT doc.source, doc.doc_id,
+             len({_SQL_TOKS.format(col='doc.text')}) AS n_tokens
+      FROM documents doc JOIN keep ON doc.doc_id = keep.doc_id
+    ),
+    counts AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+    fl AS (SELECT MIN(n) AS n_min FROM counts),
+    rates AS (
+      SELECT source, CAST(FLOOR(SQRT(CAST(n_min AS DOUBLE) / n) * 10000)
+                          AS BIGINT) AS keep_below
+      FROM counts, fl
+    ),
+    b AS (
+      SELECT d.source, d.n_tokens,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+               list_transform(string_split(CAST(d.doc_id AS VARCHAR), ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+               (a, x) -> (a * 131 + x) % 1000000007) % 10000 AS bucket,
+             r.keep_below
+      FROM d JOIN rates r ON d.source = r.source
+    )
+    SELECT source,
+           COUNT(*) FILTER (WHERE bucket < keep_below) AS n_docs_kept,
+           CAST(SUM(CASE WHEN bucket < keep_below THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS kept_tokens,
+           CAST(FLOOR(SUM(CASE WHEN bucket < keep_below THEN n_tokens ELSE 0 END)
+                      / 512) AS BIGINT) AS full_sequences_512
+    FROM b
+    GROUP BY source
+    """,
+    doc="Composed pretraining-mixture pipeline: exact dedup (keep min "
+    "doc id per text) -> temperature-scaled source rebalancing "
+    "(tau=2, portable hash membership) -> packing yield (how many "
+    "full 512-token training sequences each source contributes). One "
+    "declarative plan — dedup agg, tiny broadcast rates, final agg — "
+    "the end-to-end recipe a 100 TB data pipeline runs nightly.",
+)
+def p02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.dedup import exact_dedup
+    from ice_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = exact_dedup(docs, ["text"], "doc_id").select(
+        "source",
+        T.token_count("text").alias("n_tokens"),
+        hash_bucket(F.col("doc_id")).alias("bucket"),
+    )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    fl = counts.agg(F.min("n").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(fl)).select(
+        "source",
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n")) * 10000
+        )
+        .cast("long")
+        .alias("keep_below"),
+    )
+    b = d.join(F.broadcast(rates), "source")
+    kept = F.col("bucket") < F.col("keep_below")
+    kept_tokens = F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+    return b.groupBy("source").agg(
+        F.count(F.when(kept, 1)).alias("n_docs_kept"),
+        kept_tokens.cast("long").alias("kept_tokens"),
+        F.floor(kept_tokens / 512).cast("long").alias("full_sequences_512"),
+    )
