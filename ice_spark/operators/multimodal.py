@@ -305,3 +305,37 @@ def repartition_for_media(df: DataFrame, size_col: str, target_bytes: int = 256 
     total = df.agg(F.sum(size_col)).first()[0] or 0
     n = max(1, int(total / target_bytes))
     return df.repartition(n)
+
+
+def patch_grid(
+    df: DataFrame,
+    width_col: str = "meta.width",
+    height_col: str = "meta.height",
+    patch: int = 8,
+) -> DataFrame:
+    """ViT-style patch tiling: one row per (patch_x, patch_y) tile of
+    each image, with the tile's actual width/height (edge tiles are
+    clipped, never padded — padding policy belongs to the model side).
+    Pure Spark expressions (sequence + transform + explode): patches
+    per image = ceil(w/p)*ceil(h/p), generated executor-side with no
+    Python, so tiling 10^9 images is a narrow map stage."""
+    from pyspark.sql import functions as F
+
+    w, h, p = F.col(width_col), F.col(height_col), F.lit(patch)
+    nx = F.ceil(w.cast("double") / p).cast("int")
+    ny = F.ceil(h.cast("double") / p).cast("int")
+    tiles = F.explode(
+        F.expr(
+            f"flatten(transform(sequence(0, int(ceil({width_col}/{patch}.0)) - 1), "
+            f"px -> transform(sequence(0, int(ceil({height_col}/{patch}.0)) - 1), "
+            "py -> struct(px, py))))"
+        )
+    ).alias("t")
+    out = df.select("*", tiles)
+    return out.select(
+        "*",
+        F.col("t.px").alias("patch_x"),
+        F.col("t.py").alias("patch_y"),
+        F.least(p, w - F.col("t.px") * p).alias("patch_w"),
+        F.least(p, h - F.col("t.py") * p).alias("patch_h"),
+    ).drop("t")

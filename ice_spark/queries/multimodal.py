@@ -134,3 +134,62 @@ def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.avg(F.length("frame")).alias("avg_frame_bytes"),
     )
+
+
+@register(
+    "m03_patch_grid",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             doc_id % 3 AS kind,
+             8 + doc_id % 24 AS w,
+             8 + octet_length(encode(text)) % 24 AS h
+      FROM documents
+    ),
+    p AS (
+      SELECT CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS format,
+             w, h, t.px AS px, t.py AS py,
+             LEAST(8, w - t.px * 8) AS pw,
+             LEAST(8, h - t.py * 8) AS ph
+      FROM m
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS px) gx
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS py) gy,
+      LATERAL (SELECT gx.px AS px, gy.py AS py) t
+      WHERE t.px < CAST(CEIL(w / 8.0) AS INTEGER)
+        AND t.py < CAST(CEIL(h / 8.0) AS INTEGER)
+    )
+    SELECT format,
+           COUNT(*) AS n_patches,
+           COUNT(*) FILTER (WHERE pw < 8 OR ph < 8) AS n_edge_patches,
+           CAST(SUM(pw * CAST(ph AS BIGINT)) AS BIGINT) AS total_patch_area
+    FROM p
+    GROUP BY format
+    """,
+    doc="ViT-style patch tiling over REAL decoded image headers: "
+    "synthesize container bytes, decode width/height back out "
+    "(functions/media.py), tile into 8x8 patches with clipped edge "
+    "tiles (operators/multimodal.patch_grid — sequence+explode, no "
+    "Python per row). The oracle replays the dimension arithmetic and "
+    "the full tiling grid; a header-parse or tiling bug on either "
+    "side breaks the hash.",
+)
+def m03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.multimodal import (
+        decode_image_metadata,
+        patch_grid,
+        synthesize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = synthesize_media(docs, id_col="doc_id", text_col="text")
+    decoded = decode_image_metadata(media, strict=True)
+    tiled = patch_grid(decoded, patch=8)
+    return tiled.groupBy(F.col("meta.format").alias("format")).agg(
+        F.count(F.lit(1)).alias("n_patches"),
+        F.sum(
+            F.when((F.col("patch_w") < 8) | (F.col("patch_h") < 8), 1).otherwise(0)
+        ).alias("n_edge_patches"),
+        F.sum(F.col("patch_w") * F.col("patch_h").cast("long"))
+        .cast("long")
+        .alias("total_patch_area"),
+    )
