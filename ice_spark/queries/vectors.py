@@ -140,25 +140,28 @@ def v04(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _v05_oracle() -> str:
+def _sql_bucket(col: str) -> str:
     # The hyperplanes are deterministic floats (LCG, operators/
     # similarity._hyperplane); inlining the exact literals makes the
     # projection fold reproducible in DuckDB, so even the bucket
     # assignment is oracle-checked.
     from ice_spark.operators.similarity import _hyperplane
 
-    def bucket(col: str) -> str:
-        terms = []
-        for pidx in range(6):
-            plane = _hyperplane(64, seed=pidx + 1)
-            lits = "[" + ", ".join(repr(v) for v in plane) + "]"
-            proj = (
-                f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-                f"list_transform(generate_series(1, 64), "
-                f"i -> CAST({col}[i] AS DOUBLE) * ({lits})[i])), (x, y) -> x + y)"
-            )
-            terms.append(f"(CASE WHEN {proj} > 0 THEN {2 ** pidx} ELSE 0 END)")
-        return "(" + " + ".join(terms) + ")"
+    terms = []
+    for pidx in range(6):
+        plane = _hyperplane(64, seed=pidx + 1)
+        lits = "[" + ", ".join(repr(v) for v in plane) + "]"
+        proj = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, 64), "
+            f"i -> CAST({col}[i] AS DOUBLE) * ({lits})[i])), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {2 ** pidx} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _v05_oracle() -> str:
+    bucket = _sql_bucket
 
     return f"""
     WITH q AS (
@@ -700,4 +703,89 @@ def v11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adc_topk(
         emb, queries, "vec_id", "embedding", "vec_id", "embedding",
         books, k=3, dim=64,
+    )
+
+
+def _v12_oracle() -> str:
+    bucket = _sql_bucket
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, {bucket('embedding')} AS bq
+      FROM embeddings WHERE vec_id < 20
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, {bucket('embedding')} AS bc
+      FROM embeddings
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 ROUND({_SQL_DOT.format(a='qv', b='cv')}
+                       / ({_SQL_NORM.format(a='qv')} * {_SQL_NORM.format(a='cv')}), 6)
+                 DESC, neighbor_id) AS rk
+        FROM q JOIN c ON query_id <> neighbor_id
+      ) e WHERE rk <= 3
+    ),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 ROUND({_SQL_DOT.format(a='qv', b='cv')}
+                       / ({_SQL_NORM.format(a='qv')} * {_SQL_NORM.format(a='cv')}), 6)
+                 DESC, neighbor_id) AS rk
+        FROM q JOIN c ON bq = bc AND query_id <> neighbor_id
+      ) e WHERE rk <= 3
+    )
+    SELECT e.query_id,
+           COUNT(l.neighbor_id) AS n_hits,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           ROUND(CAST(COUNT(l.neighbor_id) AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM exact e
+    LEFT JOIN lsh l
+      ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@register(
+    "v12_ann_recall_audit",
+    _v12_oracle(),
+    doc="Index-quality audit: recall@3 of the hyperplane-LSH ANN "
+    "against exact brute-force cosine, per query vector — the "
+    "measurement a pipeline runs before trusting an approximate "
+    "index at scale. Both retrievals broadcast the bounded query "
+    "side; the audit join is on (query, neighbor) ids only. The "
+    "oracle replays BOTH retrievals including the inlined hyperplane "
+    "bucket assignment.",
+)
+def v12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    kw = dict(
+        corpus=emb,
+        queries=queries,
+        id_col="vec_id",
+        vec_col="embedding",
+        query_id_col="vec_id",
+        query_vec_col="embedding",
+        k=3,
+    )
+    exact = brute_force_topk(**kw).select("query_id", "neighbor_id")
+    lsh = lsh_topk(dim=64, n_planes=6, **kw).select(
+        F.col("query_id").alias("l_qid"), F.col("neighbor_id").alias("l_nid")
+    )
+    audited = exact.join(
+        lsh,
+        (exact.query_id == lsh.l_qid) & (exact.neighbor_id == lsh.l_nid),
+        "left_outer",
+    )
+    return audited.groupBy("query_id").agg(
+        F.count("l_nid").alias("n_hits"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.round(F.count("l_nid").cast("double") / F.count(F.lit(1)), 6).alias(
+            "recall"
+        ),
     )
