@@ -62,6 +62,7 @@ def load_all() -> dict[str, QuerySpec]:
     from ice_spark.queries import functions_lib  # noqa: F401
     from ice_spark.queries import joins  # noqa: F401
     from ice_spark.queries import multimodal  # noqa: F401
+    from ice_spark.queries import sketches  # noqa: F401
     from ice_spark.queries import text  # noqa: F401
     from ice_spark.queries import tpch  # noqa: F401
     from ice_spark.queries import vectors  # noqa: F401

@@ -1,0 +1,315 @@
+"""Bounded-memory sketch operators: KMV distinct, count-min, profiling.
+
+At 100 TB the questions these answer — "how many distinct users per
+event type?", "which keys are heavy hitters?", "what does this table
+look like column by column?" — cannot be answered with unbounded
+hash tables per group. Each query here keeps per-group state bounded
+by a constant (k hashes, d*w counters, one stats tuple per column)
+regardless of input cardinality, which is exactly why engines like
+the reference expose sketch-backed aggregates.
+
+Determinism: all sketches use the portable MINSTD-style modular hash
+``h(key) = ((key % P) * A + B) % P`` with P = 2^31 - 1. Products stay
+below 2^47, so both Spark (wrapping) and DuckDB (checked) evaluate it
+identically in 64-bit integer arithmetic. Every output column is
+integer or string — no floats anywhere — so the driver's value-hash
+comparison is format-stable across engines.
+
+Scale notes per query are in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ice_spark.queries.registry import register
+from ice_spark.tables import load_table
+
+P = 2_147_483_647  # 2^31 - 1 (Mersenne prime; MINSTD modulus)
+KMV_K = 64
+
+# (row_index, multiplier, offset) for the count-min rows. Multipliers
+# are classic full-period MINSTD/GGL constants so each row permutes
+# [1, P) independently.
+CM_ROWS = [(0, 48271, 11), (1, 16807, 23), (2, 69621, 37), (3, 40692, 53)]
+CM_WIDTH = 512
+CM_TOPK = 10
+
+
+def _hash_col(key, a: int, b: int):
+    return ((key % P) * a + b) % P
+
+
+def _hash_sql(key_sql: str, a: int, b: int) -> str:
+    return f"((({key_sql}) % {P}) * {a} + {b}) % {P}"
+
+
+@register(
+    "k01_kmv_distinct_users",
+    f"""
+    WITH hv AS (
+      SELECT DISTINCT event_type,
+             {_hash_sql('user_id', 48271, 11)} AS h
+      FROM events
+    ), ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hv
+    ), sk AS (
+      SELECT event_type,
+             COUNT(*) AS n_kept,
+             MAX(h) AS kth
+      FROM ranked WHERE rn <= {KMV_K}
+      GROUP BY event_type
+    ), exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT sk.event_type,
+           CASE WHEN n_kept < {KMV_K} THEN n_kept
+                ELSE {(KMV_K - 1) * P} // kth END AS kmv_estimate,
+           exact_distinct,
+           ABS(CASE WHEN n_kept < {KMV_K} THEN n_kept
+                    ELSE {(KMV_K - 1) * P} // kth END - exact_distinct)
+             * 10000 // exact_distinct AS err_bp
+    FROM sk JOIN exact ON sk.event_type = exact.event_type
+    ORDER BY sk.event_type
+    """,
+    doc="KMV (k-minimum-values) distinct-count sketch per event type, "
+    "k=64, audited against the exact count. At 100 TB the sketch state "
+    "is 64 longs per group (mergeable by keeping the k smallest of the "
+    "union), vs an unbounded hash set for COUNT(DISTINCT); the window "
+    "rank-filter compiles to Spark's WindowGroupLimit so each partition "
+    "ships at most k rows per group to the shuffle.",
+)
+def k01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hv = (
+        events.select(
+            "event_type", _hash_col(F.col("user_id"), 48271, 11).alias("h")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hv.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_kept"), F.max("h").alias("kth"))
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    # `div` (exact integer division) on both sides — floats would risk
+    # one-ulp disagreement with DuckDB's `//` at exactly-divisible
+    # boundaries.
+    est = F.when(F.col("n_kept") < KMV_K, F.col("n_kept")).otherwise(
+        F.expr(f"CAST({(KMV_K - 1) * P} AS BIGINT) div kth")
+    )
+    return (
+        sk.join(exact, "event_type")
+        .withColumn("kmv_estimate", est.cast("long"))
+        .select(
+            "event_type",
+            "kmv_estimate",
+            "exact_distinct",
+            F.expr("(abs(kmv_estimate - exact_distinct) * 10000) div exact_distinct")
+            .cast("long")
+            .alias("err_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CM_VALUES = ", ".join(f"({i}, {a}, {b})" for i, a, b in CM_ROWS)
+
+
+@register(
+    "k02_countmin_heavy_hitters",
+    f"""
+    WITH params(row_i, a, b) AS (VALUES {_CM_VALUES}),
+    cells AS (
+      SELECT p.row_i,
+             ((o.o_custkey % {P}) * p.a + p.b) % {P} % {CM_WIDTH} AS cell,
+             COUNT(*) AS cnt
+      FROM orders o CROSS JOIN params p
+      GROUP BY p.row_i, cell
+    ), exact AS (
+      SELECT o_custkey, COUNT(*) AS exact_cnt
+      FROM orders GROUP BY o_custkey
+      ORDER BY exact_cnt DESC, o_custkey LIMIT {CM_TOPK}
+    ), est AS (
+      SELECT e.o_custkey, e.exact_cnt, MIN(c.cnt) AS cms_estimate
+      FROM exact e CROSS JOIN params p
+      JOIN cells c
+        ON c.row_i = p.row_i
+       AND c.cell = ((e.o_custkey % {P}) * p.a + p.b) % {P} % {CM_WIDTH}
+      GROUP BY e.o_custkey, e.exact_cnt
+    )
+    SELECT o_custkey, exact_cnt, cms_estimate,
+           cms_estimate - exact_cnt AS overcount
+    FROM est ORDER BY exact_cnt DESC, o_custkey
+    """,
+    doc="Count-min sketch (d=4, w=512) over the order→customer stream; "
+    "the 10 heaviest customers' exact counts audited against the sketch "
+    "estimate (CMS never undercounts). The sketch build is a map-side- "
+    "combinable groupBy over at most d*w = 2048 cells — constant memory "
+    "and a 2048-row shuffle no matter how many distinct keys exist, "
+    "which is the whole point at 100 TB. The probe side joins a 10-row "
+    "candidate set against the 2048-row sketch: broadcast territory.",
+)
+def k02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    params = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"), F.lit(a).alias("a"), F.lit(b).alias("b")
+            )
+            for i, a, b in CM_ROWS
+        ]
+    )
+    key_mod = F.col("o_custkey") % P
+    cells = (
+        orders.select("o_custkey", F.explode(params).alias("p"))
+        .select(
+            F.col("p.row_i").alias("row_i"),
+            ((key_mod * F.col("p.a") + F.col("p.b")) % P % CM_WIDTH).alias("cell"),
+        )
+        .groupBy("row_i", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "o_custkey")
+        .limit(CM_TOPK)
+    )
+    probe = exact.select(
+        "o_custkey", "exact_cnt", F.explode(params).alias("p")
+    ).select(
+        "o_custkey",
+        "exact_cnt",
+        F.col("p.row_i").alias("row_i"),
+        ((F.col("o_custkey") % P * F.col("p.a") + F.col("p.b")) % P % CM_WIDTH).alias(
+            "cell"
+        ),
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["row_i", "cell"])
+        .groupBy("o_custkey", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "o_custkey",
+        "exact_cnt",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_cnt")).alias("overcount"),
+    ).orderBy(F.desc("exact_cnt"), "o_custkey")
+
+
+@register(
+    "k03_column_profile",
+    """
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+             COUNT(DISTINCT o_orderkey) AS n_distinct,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+             COUNT(DISTINCT o_custkey),
+             CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+             COUNT(DISTINCT o_orderstatus),
+             MIN(o_orderstatus), MAX(o_orderstatus)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+             COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))),
+             CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+             COUNT(DISTINCT o_orderdate),
+             CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR),
+             CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+             COUNT(DISTINCT o_orderpriority),
+             MIN(o_orderpriority), MAX(o_orderpriority)
+      FROM orders
+    ) ORDER BY column_name
+    """,
+    doc="Single-pass table profiler for the orders table: one row per "
+    "column with row/null/distinct counts and min/max rendered as "
+    "strings (numeric columns via DECIMAL(18,2) so both engines format "
+    "identically). The Spark plan is ONE aggregate over the table — "
+    "multi-column distinct counts share a single Expand-based pass — "
+    "then a 6-row unpivot; at 100 TB that is one scan, not one scan "
+    "per column, which is what a naive per-column profiler costs.",
+)
+def k03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    date_d = F.col("o_orderdate").cast("date")
+    agg = orders.agg(
+        F.count("*").alias("n_rows"),
+        # per-column: nulls, distinct, min/max (string-rendered)
+        F.count("o_orderkey").alias("nn_orderkey"),
+        F.countDistinct("o_orderkey").alias("nd_orderkey"),
+        F.min("o_orderkey").cast("string").alias("mn_orderkey"),
+        F.max("o_orderkey").cast("string").alias("mx_orderkey"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.min("o_custkey").cast("string").alias("mn_custkey"),
+        F.max("o_custkey").cast("string").alias("mx_custkey"),
+        F.count("o_orderstatus").alias("nn_orderstatus"),
+        F.countDistinct("o_orderstatus").alias("nd_orderstatus"),
+        F.min("o_orderstatus").alias("mn_orderstatus"),
+        F.max("o_orderstatus").alias("mx_orderstatus"),
+        F.count("o_totalprice").alias("nn_totalprice"),
+        F.countDistinct(price_dec).alias("nd_totalprice"),
+        F.min(price_dec).cast("string").alias("mn_totalprice"),
+        F.max(price_dec).cast("string").alias("mx_totalprice"),
+        F.count("o_orderdate").alias("nn_orderdate"),
+        F.countDistinct("o_orderdate").alias("nd_orderdate"),
+        F.min(date_d).cast("string").alias("mn_orderdate"),
+        F.max(date_d).cast("string").alias("mx_orderdate"),
+        F.count("o_orderpriority").alias("nn_orderpriority"),
+        F.countDistinct("o_orderpriority").alias("nd_orderpriority"),
+        F.min("o_orderpriority").alias("mn_orderpriority"),
+        F.max("o_orderpriority").alias("mx_orderpriority"),
+    )
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_orderpriority",
+        "o_orderstatus",
+        "o_totalprice",
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c[2:]}")).alias("n_nulls"),
+                F.col(f"nd_{c[2:]}").alias("n_distinct"),
+                F.col(f"mn_{c[2:]}").alias("min_value"),
+                F.col(f"mx_{c[2:]}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("column_name")
+    )

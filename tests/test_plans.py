@@ -172,3 +172,21 @@ def test_round4b_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
     assert a.shuffles <= max_exchanges, f"{name}: {a.shuffles} shuffles\n{a.plan[:2000]}"
     assert a.sort_merge_joins == 0
     assert "CartesianProduct" not in a.plan
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # key-only distinct + window + sketch agg + exact 2-phase distinct
+        ("k01_kmv_distinct_users", 5),
+        # 2048-cell sketch agg + top-k candidates; probe join broadcasts
+        ("k02_countmin_heavy_hitters", 2),
+        # one Expand-based multi-distinct pass over the table
+        ("k03_column_profile", 1),
+    ],
+)
+def test_sketch_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
+    a = _audit(spark, sf_dir, name)
+    assert a.shuffles <= max_exchanges, f"{name}: {a.shuffles} shuffles\n{a.plan[:2000]}"
+    assert a.sort_merge_joins == 0
+    assert "CartesianProduct" not in a.plan
