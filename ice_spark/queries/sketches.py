@@ -313,3 +313,153 @@ def k03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("column_name")
     )
+
+
+@register(
+    "k04_kmv_audience_overlap",
+    f"""
+    WITH hv AS (
+      SELECT DISTINCT event_type, ((user_id % {P}) * 48271 + 11) % {P} AS h
+      FROM events
+    ), ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hv
+    ), sk AS (
+      SELECT event_type, h FROM ranked WHERE rn <= {KMV_K}
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ), contrib AS (
+      SELECT p.ta, p.tb, s.h,
+             CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END AS in_b
+      FROM pairs p JOIN sk s ON s.event_type IN (p.ta, p.tb)
+    ), mh AS (
+      SELECT ta, tb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+      FROM contrib GROUP BY ta, tb, h
+    ), mr AS (
+      SELECT ta, tb, in_a, in_b,
+             ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+      FROM mh
+    ), sketch_j AS (
+      SELECT ta, tb, COUNT(*) AS kk,
+             SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS matches
+      FROM mr WHERE rn <= {KMV_K} GROUP BY ta, tb
+    ), du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), cnt AS (
+      SELECT event_type, COUNT(*) AS n FROM du GROUP BY event_type
+    ), inter AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS ni
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    ), exact AS (
+      SELECT i.ta, i.tb, ni, ca.n + cb.n - ni AS nu
+      FROM inter i
+      JOIN cnt ca ON ca.event_type = i.ta
+      JOIN cnt cb ON cb.event_type = i.tb
+    )
+    SELECT s.ta AS type_a, s.tb AS type_b,
+           (matches * 10000) // kk AS kmv_jaccard_bp,
+           (ni * 10000) // nu AS exact_jaccard_bp,
+           ABS((matches * 10000) // kk - (ni * 10000) // nu) AS err_bp
+    FROM sketch_j s JOIN exact e ON s.ta = e.ta AND s.tb = e.tb
+    ORDER BY type_a, type_b
+    """,
+    doc="Audience-overlap (Jaccard) between every pair of event types, "
+    "estimated from merged KMV sketches and audited against the exact "
+    "pairwise overlap. The sketch path is the 100 TB product: per-type "
+    "state is 64 longs, pairs are compared by merging 64-hash sketches "
+    "(KBs moved, no pairwise distinct-user join); the exact audit side "
+    "IS the quadratic cost the sketch avoids — co-partitioned on "
+    "user_id so even the audit is a single-key-shuffle join, never a "
+    "cross product.",
+)
+def k04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # One distinct over (type, user) feeds everything: the KMV sketch,
+    # the per-type counts, and both sides of the exact-audit join.
+    # Identical subtrees let Spark reuse the shuffle (ReusedExchange),
+    # so events is scanned and deduped once, not four times.
+    du = events.select("event_type", "user_id").distinct()
+    hv = (
+        du.select("event_type", _hash_col(F.col("user_id"), 48271, 11).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hv.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+    )
+    cnt = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    types = cnt.select("event_type")
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .join(
+            types.select(F.col("event_type").alias("tb")),
+            F.col("ta") < F.col("tb"),
+        )
+    )
+    # Two hash joins + union instead of an IN-disjunction join (which
+    # Spark would plan as a nested loop): sketches are tiny (k rows per
+    # type) so both joins broadcast.
+    side_a = pairs.join(F.broadcast(sk), F.col("event_type") == F.col("ta")).select(
+        "ta", "tb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    side_b = pairs.join(F.broadcast(sk), F.col("event_type") == F.col("tb")).select(
+        "ta", "tb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    mh = (
+        side_a.unionByName(side_b)
+        .groupBy("ta", "tb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("ta", "tb").orderBy("h")
+    sketch_j = (
+        mh.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("ta", "tb")
+        .agg(
+            F.count("*").alias("kk"),
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+            ).alias("matches"),
+        )
+    )
+    a = du.select(F.col("event_type").alias("ta"), "user_id")
+    b = du.select(F.col("event_type").alias("tb"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("ni"))
+    )
+    exact = (
+        inter.join(
+            F.broadcast(cnt.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))),
+            "ta",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("event_type").alias("tb"), F.col("n").alias("nb"))),
+            "tb",
+        )
+        .select("ta", "tb", "ni", (F.col("na") + F.col("nb") - F.col("ni")).alias("nu"))
+    )
+    return (
+        sketch_j.join(exact, ["ta", "tb"])
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.expr("(matches * 10000) div kk").alias("kmv_jaccard_bp"),
+            F.expr("(ni * 10000) div nu").alias("exact_jaccard_bp"),
+            F.expr(
+                "abs((matches * 10000) div kk - (ni * 10000) div nu)"
+            ).alias("err_bp"),
+        )
+        .orderBy("type_a", "type_b")
+    )

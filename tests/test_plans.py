@@ -190,3 +190,14 @@ def test_sketch_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
     assert a.shuffles <= max_exchanges, f"{name}: {a.shuffles} shuffles\n{a.plan[:2000]}"
     assert a.sort_merge_joins == 0
     assert "CartesianProduct" not in a.plan
+
+
+def test_kmv_overlap_plan(spark, sf_dir):
+    # k04's sketch path is all tiny broadcast joins; the one sort-merge
+    # join is the exact-audit self-join on user_id — a high-cardinality
+    # key where a shuffle join is the CORRECT plan at scale (broadcast
+    # is impossible by design; that cost is what the sketch avoids).
+    a = _audit(spark, sf_dir, "k04_kmv_audience_overlap")
+    assert a.sort_merge_joins <= 1
+    assert "CartesianProduct" not in a.plan
+    assert a.shuffles <= 18, f"{a.shuffles} shuffles\n{a.plan[:2000]}"
