@@ -463,3 +463,127 @@ def k04(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "k05_kmv_mergeable_rollup",
+    f"""
+    WITH hv AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, event_type,
+             ((user_id % {P}) * 48271 + 11) % {P} AS h
+      FROM events
+    ), daily AS (
+      SELECT day, event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY day, event_type ORDER BY h) AS rn
+      FROM hv
+    ), daily_sk AS (
+      SELECT day, event_type, h FROM daily WHERE rn <= {KMV_K}
+    ), merged AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM (SELECT DISTINCT event_type, h FROM daily_sk)
+    ), merged_sk AS (
+      SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS kth
+      FROM merged WHERE rn <= {KMV_K} GROUP BY event_type
+    ), direct AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM (SELECT DISTINCT event_type, h FROM hv)
+    ), direct_sk AS (
+      SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS kth
+      FROM direct WHERE rn <= {KMV_K} GROUP BY event_type
+    ), days AS (
+      SELECT event_type, COUNT(DISTINCT day) AS n_days FROM hv GROUP BY event_type
+    ), exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT m.event_type, d2.n_days,
+           CASE WHEN m.n_kept < {KMV_K} THEN m.n_kept
+                ELSE {(KMV_K - 1) * P} // m.kth END AS merged_estimate,
+           CASE WHEN d.n_kept < {KMV_K} THEN d.n_kept
+                ELSE {(KMV_K - 1) * P} // d.kth END AS direct_estimate,
+           CASE WHEN m.kth = d.kth AND m.n_kept = d.n_kept
+                THEN 1 ELSE 0 END AS merge_lossless,
+           e.exact_distinct
+    FROM merged_sk m
+    JOIN direct_sk d ON d.event_type = m.event_type
+    JOIN days d2 ON d2.event_type = m.event_type
+    JOIN exact e ON e.event_type = m.event_type
+    ORDER BY m.event_type
+    """,
+    doc="Two-level KMV rollup: per-day sketches (bounded k-longs per "
+    "(day, type) cell) merged into a monthly distinct-count estimate, "
+    "proven IDENTICAL to the estimate computed directly from raw data "
+    "(merge_lossless = 1): every global k-minimum hash is a k-minimum "
+    "of its own day, so merging partials loses nothing. This algebra is "
+    "what makes 100 TB rollups cheap — daily jobs persist 64 longs per "
+    "cell, and any time-range distinct count re-aggregates sketches "
+    "(KBs) instead of rescanning raw events.",
+)
+def k05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hv = events.select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        _hash_col(F.col("user_id"), 48271, 11).alias("h"),
+    ).distinct()
+
+    def kmv(df: DataFrame, part_cols: list[str]) -> DataFrame:
+        w = Window.partitionBy(*part_cols).orderBy("h")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= KMV_K)
+            .groupBy(*part_cols)
+            .agg(F.count("*").alias("n_kept"), F.max("h").alias("kth"))
+        )
+
+    daily_w = Window.partitionBy("day", "event_type").orderBy("h")
+    daily_sk = (
+        hv.withColumn("rn", F.row_number().over(daily_w))
+        .where(F.col("rn") <= KMV_K)
+        .select("day", "event_type", "h")
+    )
+    merged_sk = kmv(daily_sk.select("event_type", "h").distinct(), ["event_type"])
+    direct_sk = kmv(hv.select("event_type", "h").distinct(), ["event_type"])
+    days = hv.groupBy("event_type").agg(F.countDistinct("day").alias("n_days"))
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+
+    def est(prefix: str) -> F.Column:
+        return F.when(F.col(f"{prefix}_n_kept") < KMV_K, F.col(f"{prefix}_n_kept")).otherwise(
+            F.expr(f"CAST({(KMV_K - 1) * P} AS BIGINT) div {prefix}_kth")
+        )
+
+    m = merged_sk.select(
+        "event_type",
+        F.col("n_kept").alias("m_n_kept"),
+        F.col("kth").alias("m_kth"),
+    )
+    d = direct_sk.select(
+        "event_type",
+        F.col("n_kept").alias("d_n_kept"),
+        F.col("kth").alias("d_kth"),
+    )
+    return (
+        m.join(d, "event_type")
+        .join(days, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            est("m").cast("long").alias("merged_estimate"),
+            est("d").cast("long").alias("direct_estimate"),
+            F.when(
+                (F.col("m_kth") == F.col("d_kth"))
+                & (F.col("m_n_kept") == F.col("d_n_kept")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("merge_lossless"),
+            "exact_distinct",
+        )
+        .orderBy("event_type")
+    )

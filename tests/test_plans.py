@@ -192,6 +192,26 @@ def test_sketch_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
     assert "CartesianProduct" not in a.plan
 
 
+def test_kmv_rollup_plan(spark, sf_dir):
+    # Daily sketch + merged/direct re-rank + tiny joins; no shuffle join
+    # and no cross product anywhere.
+    a = _audit(spark, sf_dir, "k05_kmv_mergeable_rollup")
+    assert a.sort_merge_joins == 0
+    assert "CartesianProduct" not in a.plan
+    assert a.shuffles <= 12, f"{a.shuffles} shuffles\n{a.plan[:2000]}"
+
+
+def test_kmv_rollup_merge_is_lossless(spark, sf_dir):
+    from ice_spark.queries.registry import load_all
+
+    df = load_all()["k05_kmv_mergeable_rollup"].spark_fn(spark, sf_dir)
+    rows = df.collect()
+    assert rows, "rollup produced no groups"
+    for r in rows:
+        assert r.merge_lossless == 1, r
+        assert r.merged_estimate == r.direct_estimate, r
+
+
 def test_kmv_overlap_plan(spark, sf_dir):
     # k04's sketch path is all tiny broadcast joins; the one sort-merge
     # join is the exact-audit self-join on user_id — a high-cardinality
