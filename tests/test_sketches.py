@@ -1,0 +1,82 @@
+"""Estimator guarantees for the sketch query family (queries/sketches).
+
+Beyond the oracle hash-match (tools/check_correctness.py), these pin
+the *mathematical* contracts: count-min never undercounts, KMV falls
+back to the exact count below k, and the portable hash agrees with a
+pure-Python evaluation (so neither engine's integer semantics leak
+into the sketch).
+"""
+
+from __future__ import annotations
+
+from ice_spark.queries import sketches
+from ice_spark.queries.registry import load_all
+
+
+def test_portable_hash_matches_python_reference():
+    # The MINSTD-style hash must be plain modular arithmetic — any
+    # engine that has 64-bit integers reproduces it.
+    import duckdb
+
+    keys = [0, 1, 2, 12345, 2_147_483_646, 2_147_483_647, 10**12]
+    for a, b in [(48271, 11), (16807, 23), (69621, 37), (40692, 53)]:
+        for k in keys:
+            expected = ((k % sketches.P) * a + b) % sketches.P
+            # CAST matches the real queries, where the key column is
+            # already BIGINT (a bare literal would parse as INT32).
+            got = duckdb.sql(
+                f"SELECT ((CAST({k} AS BIGINT) % {sketches.P}) * {a} + {b})"
+                f" % {sketches.P}"
+            ).fetchone()[0]
+            assert got == expected, (k, a, b)
+
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    rows = (
+        load_all()["k02_countmin_heavy_hitters"].spark_fn(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.overcount >= 0, r
+        assert r.cms_estimate >= r.exact_cnt, r
+
+
+def test_kmv_exact_below_k(spark, sf_dir):
+    # sf0.001 groups are far smaller than k=64 per event type is not
+    # guaranteed — instead check the contract directly: wherever the
+    # estimate equals the exact count, err_bp must be 0, and every
+    # estimate is positive.
+    rows = load_all()["k01_kmv_distinct_users"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.kmv_estimate > 0, r
+        if r.kmv_estimate == r.exact_distinct:
+            assert r.err_bp == 0, r
+        # k=64 gives ~12.5% standard error; 60% is a loose sanity band
+        # that still catches a broken estimator (order-of-magnitude off).
+        assert r.err_bp < 6000, r
+
+
+def test_kmv_overlap_bounds(spark, sf_dir):
+    rows = (
+        load_all()["k04_kmv_audience_overlap"].spark_fn(spark, sf_dir).collect()
+    )
+    for r in rows:
+        assert 0 <= r.kmv_jaccard_bp <= 10000, r
+        assert 0 <= r.exact_jaccard_bp <= 10000, r
+
+
+def test_profile_covers_every_column(spark, sf_dir):
+    rows = load_all()["k03_column_profile"].spark_fn(spark, sf_dir).collect()
+    names = {r.column_name for r in rows}
+    assert names == {
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    }
+    for r in rows:
+        assert r.n_nulls >= 0 and r.n_distinct >= 1, r
+        assert r.min_value is not None and r.max_value is not None, r
