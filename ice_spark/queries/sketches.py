@@ -8,12 +8,19 @@ by a constant (k hashes, d*w counters, one stats tuple per column)
 regardless of input cardinality, which is exactly why engines like
 the reference expose sketch-backed aggregates.
 
-Determinism: all sketches use the portable MINSTD-style modular hash
-``h(key) = ((key % P) * A + B) % P`` with P = 2^31 - 1. Products stay
-below 2^47, so both Spark (wrapping) and DuckDB (checked) evaluate it
-identically in 64-bit integer arithmetic. Every output column is
-integer or string — no floats anywhere — so the driver's value-hash
-comparison is format-stable across engines.
+Determinism: all sketches use the portable modular hash
+``h(key) = ((key % P) * A + B) % P`` with P = 2^31 - 1 and LARGE
+multipliers A (~0.5-0.85 * 2^31, classic LCG constants). A must be
+comparable to P: with a small A, consecutive integer keys (exactly
+what synthetic user_id/custkey columns are) map to an arithmetic
+progression that never wraps mod P, so the k smallest hashes all come
+from the smallest keys and KMV over-estimates by orders of magnitude.
+A large A makes successive keys wrap every ~1.3 steps — a Weyl-spread,
+near-uniform sequence. Products stay below 2^62, so both Spark
+(wrapping) and DuckDB (overflow-checked) evaluate the hash identically
+in 64-bit integer arithmetic. Every output column is integer or
+string — no floats anywhere — so the driver's value-hash comparison is
+format-stable across engines.
 
 Scale notes per query are in each docstring.
 """
@@ -30,9 +37,10 @@ P = 2_147_483_647  # 2^31 - 1 (Mersenne prime; MINSTD modulus)
 KMV_K = 64
 
 # (row_index, multiplier, offset) for the count-min rows. Multipliers
-# are classic full-period MINSTD/GGL constants so each row permutes
-# [1, P) independently.
-CM_ROWS = [(0, 48271, 11), (1, 16807, 23), (2, 69621, 37), (3, 40692, 53)]
+# are classic large LCG constants (glibc, MT-seed, Borland) — each is
+# invertible mod the prime P, so each row permutes [0, P)
+# independently.
+CM_ROWS = [(0, 1686629717, 11), (1, 1103515245, 23), (2, 1566083941, 37), (3, 1812433253, 53)]
 CM_WIDTH = 512
 CM_TOPK = 10
 
@@ -50,7 +58,7 @@ def _hash_sql(key_sql: str, a: int, b: int) -> str:
     f"""
     WITH hv AS (
       SELECT DISTINCT event_type,
-             {_hash_sql('user_id', 48271, 11)} AS h
+             {_hash_sql('user_id', 1686629717, 11)} AS h
       FROM events
     ), ranked AS (
       SELECT event_type, h,
@@ -87,7 +95,7 @@ def k01(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     hv = (
         events.select(
-            "event_type", _hash_col(F.col("user_id"), 48271, 11).alias("h")
+            "event_type", _hash_col(F.col("user_id"), 1686629717, 11).alias("h")
         )
         .distinct()
     )
@@ -319,7 +327,7 @@ def k03(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k04_kmv_audience_overlap",
     f"""
     WITH hv AS (
-      SELECT DISTINCT event_type, ((user_id % {P}) * 48271 + 11) % {P} AS h
+      SELECT DISTINCT event_type, ((user_id % {P}) * 1686629717 + 11) % {P} AS h
       FROM events
     ), ranked AS (
       SELECT event_type, h,
@@ -387,7 +395,7 @@ def k04(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so events is scanned and deduped once, not four times.
     du = events.select("event_type", "user_id").distinct()
     hv = (
-        du.select("event_type", _hash_col(F.col("user_id"), 48271, 11).alias("h"))
+        du.select("event_type", _hash_col(F.col("user_id"), 1686629717, 11).alias("h"))
         .distinct()
     )
     w = Window.partitionBy("event_type").orderBy("h")
@@ -470,7 +478,7 @@ def k04(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH hv AS (
       SELECT DISTINCT CAST(ts AS DATE) AS day, event_type,
-             ((user_id % {P}) * 48271 + 11) % {P} AS h
+             ((user_id % {P}) * 1686629717 + 11) % {P} AS h
       FROM events
     ), daily AS (
       SELECT day, event_type, h,
@@ -526,7 +534,7 @@ def k05(spark: SparkSession, sf_dir: str) -> DataFrame:
     hv = events.select(
         F.to_date("ts").alias("day"),
         "event_type",
-        _hash_col(F.col("user_id"), 48271, 11).alias("h"),
+        _hash_col(F.col("user_id"), 1686629717, 11).alias("h"),
     ).distinct()
 
     def kmv(df: DataFrame, part_cols: list[str]) -> DataFrame:

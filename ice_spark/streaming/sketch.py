@@ -1,0 +1,102 @@
+"""Streaming KMV distinct-count: bounded-state cardinality per group.
+
+The batch KMV sketch (queries/sketches.py) is mergeable — the k
+smallest distinct hashes of a union are found among the k smallest of
+each part. That makes it a natural streaming operator: per-group
+state is a sorted array of at most k longs, each micro-batch merges
+its hashes in, and the emitted estimate after any prefix of batches
+equals the batch estimate over the same prefix (pinned in
+tests/test_streaming_sketch.py).
+
+Contrast with Spark's built-in `approx_count_distinct`, which is not
+available as incremental per-group state in arbitrary stateful
+operators; this gives the same bounded-memory property (k longs per
+group, vs an unbounded exact-distinct set in dropDuplicates-based
+counting) with a deterministic, engine-portable estimate.
+
+Scale: state per group is k*8 bytes regardless of stream length;
+the shuffle moves only (group, hash) pairs, and the per-batch merge
+is O(batch + k log k) per group in Arrow-batched pandas.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# Same portable hash constants as queries/sketches.py (P = 2^31 - 1).
+P = 2_147_483_647
+HASH_A = 1686629717
+HASH_B = 11
+DEFAULT_K = 64
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType()),
+        T.StructField("kmv_estimate", T.LongType()),
+        T.StructField("n_kept", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType([T.StructField("kmin", T.ArrayType(T.LongType()))])
+
+
+def kmv_estimate(kmin: list[int], k: int) -> int:
+    """Estimate distinct count from the k smallest hashes (exact when
+    fewer than k hashes have been seen)."""
+    if len(kmin) < k:
+        return len(kmin)
+    return (k - 1) * P // kmin[-1]
+
+
+def _sketch_fn(k: int):
+    def fn(key, pdfs: Iterator, state: GroupState):
+        import pandas as pd
+
+        (group_key,) = key
+        kmin: list[int] = list(state.get[0]) if state.exists else []
+        merged = set(kmin)
+        for pdf in pdfs:
+            merged.update(int(h) for h in pdf["h"])
+        kmin = sorted(merged)[:k]
+        state.update((kmin,))
+        yield pd.DataFrame(
+            [
+                {
+                    "group_key": group_key,
+                    "kmv_estimate": kmv_estimate(kmin, k),
+                    "n_kept": len(kmin),
+                }
+            ]
+        )
+
+    return fn
+
+
+def kmv_distinct_stream(
+    stream: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Per-group streaming distinct-count estimate with k-longs state.
+
+    ``key_col`` must be an integral column (the portable hash is
+    modular arithmetic over BIGINT, the same spec as the batch
+    sketches so stream and batch estimates are comparable).
+    """
+    h = ((F.col(key_col).cast("long") % P) * HASH_A + HASH_B) % P
+    prepared = stream.select(
+        F.col(group_col).cast("string").alias("group_key"), h.alias("h")
+    )
+    return prepared.groupBy("group_key").applyInPandasWithState(
+        _sketch_fn(k),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

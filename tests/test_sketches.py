@@ -14,12 +14,12 @@ from ice_spark.queries.registry import load_all
 
 
 def test_portable_hash_matches_python_reference():
-    # The MINSTD-style hash must be plain modular arithmetic — any
+    # The modular hash must be plain 64-bit arithmetic — any
     # engine that has 64-bit integers reproduces it.
     import duckdb
 
     keys = [0, 1, 2, 12345, 2_147_483_646, 2_147_483_647, 10**12]
-    for a, b in [(48271, 11), (16807, 23), (69621, 37), (40692, 53)]:
+    for a, b in [(1686629717, 11), (1103515245, 23), (1566083941, 37), (1812433253, 53)]:
         for k in keys:
             expected = ((k % sketches.P) * a + b) % sketches.P
             # CAST matches the real queries, where the key column is

@@ -1,0 +1,58 @@
+"""Streaming KMV: bounded state, and stream == batch on any prefix."""
+
+from __future__ import annotations
+
+from ice_spark.streaming.sketch import P, kmv_distinct_stream, kmv_estimate
+
+
+def _batch_kmv(keys, k=64):
+    kmin = sorted({((key % P) * 1686629717 + 11) % P for key in keys})[:k]
+    return kmv_estimate(kmin, k)
+
+
+def test_stream_matches_batch_kmv(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # 200 users across two micro-batches, overlapping membership
+    b1 = [(i % 120, "view") for i in range(300)]
+    b2 = [(60 + (i % 140), "view") for i in range(300)]
+    spark.createDataFrame(b1, "user_id long, event_type string").coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2, "user_id long, event_type string").coalesce(
+        1
+    ).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        kmv_distinct_stream(stream, "user_id", "event_type", k=64)
+        .writeStream.format("memory")
+        .queryName("kmv_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM kmv_stream").collect()
+    # last emitted estimate per group == batch estimate over ALL data
+    final = {}
+    for r in rows:
+        final[r.group_key] = r  # memory sink appends in batch order
+    all_users = [u for u, _ in b1] + [u for u, _ in b2]
+    expected = _batch_kmv(all_users)
+    got = final["view"]
+    assert got.kmv_estimate == expected
+    # bounded state: never more than k hashes retained
+    assert got.n_kept <= 64
+    # 200 true distinct users; k=64 KMV should land within ±60%
+    assert 80 <= got.kmv_estimate <= 320
+
+
+def test_estimate_exact_below_k():
+    assert kmv_estimate([5, 9, 100], 64) == 3
+    assert kmv_estimate([], 64) == 0
