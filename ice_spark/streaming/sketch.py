@@ -100,3 +100,36 @@ def kmv_distinct_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def countmin_stream(stream: DataFrame, key_col: str) -> DataFrame:
+    """Streaming count-min sketch build: counts per (row_i, cell).
+
+    Uses the same (row, multiplier, offset) plan as the batch k02
+    query, so a stream-built sketch and a batch-built sketch over the
+    same data are row-for-row identical (pinned in tests). No custom
+    state operator is needed: a streaming groupBy over the FIXED
+    d*w cell space is bounded state by construction (≤ 2048 rows in
+    the state store regardless of key cardinality or stream length) —
+    the built-in incremental aggregation is exactly the sketch merge.
+    """
+    from ice_spark.queries.sketches import CM_ROWS, CM_WIDTH
+
+    params = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"), F.lit(a).alias("a"), F.lit(b).alias("b")
+            )
+            for i, a, b in CM_ROWS
+        ]
+    )
+    key_mod = F.col(key_col).cast("long") % P
+    return (
+        stream.select(key_mod.alias("k"), F.explode(params).alias("p"))
+        .select(
+            F.col("p.row_i").alias("row_i"),
+            ((F.col("k") * F.col("p.a") + F.col("p.b")) % P % CM_WIDTH).alias("cell"),
+        )
+        .groupBy("row_i", "cell")
+        .count()
+    )

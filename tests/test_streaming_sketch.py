@@ -56,3 +56,47 @@ def test_stream_matches_batch_kmv(spark, tmp_path):
 def test_estimate_exact_below_k():
     assert kmv_estimate([5, 9, 100], 64) == 3
     assert kmv_estimate([], 64) == 0
+
+
+def test_streaming_countmin_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ice_spark.queries.sketches import CM_ROWS, CM_WIDTH
+    from ice_spark.streaming.sketch import countmin_stream
+
+    src = tmp_path / "cm_src"
+    src.mkdir()
+    b1 = [(i % 40,) for i in range(200)]
+    b2 = [(20 + (i % 50),) for i in range(200)]
+    spark.createDataFrame(b1, "key long").coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2, "key long").coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema("key long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        countmin_stream(stream, "key")
+        .writeStream.format("memory")
+        .queryName("cm_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_cells = {
+        (r.row_i, r.cell): r["count"]
+        for r in spark.sql("SELECT * FROM cm_stream").collect()
+    }
+    # batch sketch over the same union must be identical cell-for-cell
+    from ice_spark.streaming.sketch import P
+
+    batch = {}
+    for (k,) in b1 + b2:
+        for i, a, b in CM_ROWS:
+            cell = ((k % P) * a + b) % P % CM_WIDTH
+            batch[(i, cell)] = batch.get((i, cell), 0) + 1
+    assert stream_cells == batch
+    # bounded state: never more than d*w cells
+    assert len(stream_cells) <= len(CM_ROWS) * CM_WIDTH
