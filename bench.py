@@ -191,6 +191,22 @@ def main() -> None:
     except Exception as e:  # ingest bench is additive; never break the line
         ingest["error"] = str(e).splitlines()[0][:200]
 
+    # --- sketch operators (additive; not part of the anchored headline) -
+    sketch: dict = {}
+    try:
+        for name in (
+            "k01_kmv_distinct_users",
+            "k02_countmin_heavy_hitters",
+            "k05_kmv_mergeable_rollup",
+        ):
+            t0 = time.time()
+            specs[name].spark_fn(spark, sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            sketch[name] = round(time.time() - t0, 3)
+    except Exception as e:
+        sketch["error"] = str(e).splitlines()[0][:200]
+
     # --- sf1 scale probe (VERDICT r2 #8) -------------------------------
     # 10x the bench SF via key-shifted replication (tools/
     # scale_testdata.py), then run a representative headline subset.
@@ -249,6 +265,7 @@ def main() -> None:
         **({"drift_vs_r01": drift} if drift else {}),
         "sf": float(sf_label) if sf_label else sf,
         "ingest": ingest,
+        **({"sketch": sketch} if sketch else {}),
         **({"sf1_probe": sf1} if sf1 else {}),
         # A total computed while queries errored is not comparable to a
         # clean run (failed queries "finish" in ~0.2s) — r2 published
