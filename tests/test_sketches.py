@@ -80,3 +80,32 @@ def test_profile_covers_every_column(spark, sf_dir):
     for r in rows:
         assert r.n_nulls >= 0 and r.n_distinct >= 1, r
         assert r.min_value is not None and r.max_value is not None, r
+
+
+def test_kmv_merge_lossless_property():
+    # Mergeability, property-tested: for ANY key multiset and ANY
+    # partitioning into parts, merging per-part k-min sketches yields
+    # exactly the global k-min sketch (the algebra k05 and the
+    # streaming operator rely on).
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    P = sketches.P
+    K = 8  # small k exercises the truncation boundary
+
+    def kmin(keys):
+        return sorted({((k % P) * 1686629717 + 11) % P for k in keys})[:K]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=10**12), max_size=60),
+        st.integers(min_value=1, max_value=5),
+    )
+    def check(keys, n_parts):
+        parts = [keys[i::n_parts] for i in range(n_parts)]
+        merged_pool = set()
+        for p in parts:
+            merged_pool.update(kmin(p))
+        assert sorted(merged_pool)[:K] == kmin(keys)
+
+    check()
