@@ -100,3 +100,54 @@ def test_streaming_countmin_matches_batch(spark, tmp_path):
     assert stream_cells == batch
     # bounded state: never more than d*w cells
     assert len(stream_cells) <= len(CM_ROWS) * CM_WIDTH
+
+
+def test_streaming_kmv_state_survives_restart(spark, tmp_path):
+    # Run over batch 1 with a checkpoint, STOP the query (simulated
+    # process death), add batch 2, start a NEW query on the same
+    # checkpoint: the restored k-min state must make the final
+    # estimate cover batch-1 keys it never re-read.
+    src = tmp_path / "r_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "r_ckpt")
+    b1 = [(i, "t") for i in range(100)]
+    b2 = [(1000 + i, "t") for i in range(100)]
+    spark.createDataFrame(b1, "user_id long, event_type string").coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+
+    def run():
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        emitted: list = []
+        stream = (
+            spark.readStream.schema("user_id long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            kmv_distinct_stream(stream, "user_id", "event_type", k=64)
+            .writeStream.foreachBatch(
+                lambda df, _id: emitted.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    first_rows = run()
+    assert first_rows and first_rows[-1].n_kept == 64  # 100 distinct, k=64 kept
+
+    spark.createDataFrame(b2, "user_id long, event_type string").coalesce(
+        1
+    ).write.parquet(str(src / "b2"))
+    rows = run()
+    assert rows, "restarted query emitted nothing"
+    final = rows[-1]
+    # merged over BOTH batches (200 distinct keys): estimate must match
+    # the batch KMV over the union, which differs from batch-2-only
+    all_keys = [u for u, _ in b1] + [u for u, _ in b2]
+    assert final.kmv_estimate == _batch_kmv(all_keys)
+    assert final.kmv_estimate != _batch_kmv([u for u, _ in b2])
