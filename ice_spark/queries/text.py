@@ -1596,3 +1596,54 @@ def p02(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept_tokens.cast("long").alias("kept_tokens"),
         F.floor(kept_tokens / 512).cast("long").alias("full_sequences_512"),
     )
+
+
+@register(
+    "t12_bpe_merge_pairs",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKS.format(col='lower(text)')}) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok
+    ), pairs AS (
+      SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+                    i -> substr(tok, CAST(i AS INTEGER), 2))) AS pair,
+             freq
+      FROM vocab WHERE length(tok) >= 2
+    )
+    SELECT pair, SUM(freq) AS pair_count
+    FROM pairs
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 20
+    """,
+    doc="First BPE training step: the 20 most frequent adjacent "
+    "character pairs across the corpus, token-frequency weighted — "
+    "the merge candidates a tokenizer trainer would pick from. The "
+    "pair explosion runs on the aggregated VOCABULARY (one row per "
+    "distinct token), not on the corpus: at 100 TB the corpus scan "
+    "contributes only a token-frequency groupBy (map-side combinable, "
+    "vocab-sized shuffle), and the O(token_length) pair expansion "
+    "touches each distinct token once.",
+)
+def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .where(F.length("tok") >= 2)
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(20)
+    )

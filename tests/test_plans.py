@@ -183,6 +183,8 @@ def test_round4b_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
         ("k02_countmin_heavy_hitters", 2),
         # one Expand-based multi-distinct pass over the table
         ("k03_column_profile", 1),
+        # vocab groupBy + pair agg; pair explosion on vocab, not corpus
+        ("t12_bpe_merge_pairs", 2),
     ],
 )
 def test_sketch_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
