@@ -3,9 +3,9 @@
 entry(spark)    — flagship query (TPC-H Q1 pricing summary) at sf0.001.
 queries()       — every implemented query from SURVEY.md §2 +
                   beyond-reference operators (ice_spark.queries).
-oracle_sql()    — DuckDB-equivalent SQL per query (omitted only for
-                  IVF k-means ANN and the multimodal stubs, which get
-                  rows-only checks and are verified in tests/).
+oracle_sql()    — DuckDB-equivalent SQL per query; every registered
+                  query currently carries one (index builds like IVF
+                  k-means and PQ codebooks are replayed in SQL too).
 """
 
 from __future__ import annotations
