@@ -595,3 +595,96 @@ def k05(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+HIST_WIDTH_CENTS = 500_000  # $5,000 buckets over o_totalprice
+
+
+@register(
+    "k06_histogram_median",
+    f"""
+    WITH c AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ), n AS (
+      SELECT COUNT(*) AS n_rows FROM c
+    ), buckets AS (
+      SELECT cents // {HIST_WIDTH_CENTS} AS b, COUNT(*) AS cnt
+      FROM c GROUP BY b
+    ), cum AS (
+      SELECT b, cnt,
+             SUM(cnt) OVER (ORDER BY b) AS cum,
+             SUM(cnt) OVER (ORDER BY b) - cnt AS cum_before
+      FROM buckets
+    ), med_bucket AS (
+      SELECT cum.*, n.n_rows FROM cum, n
+      WHERE cum >= (n.n_rows + 1) // 2
+      ORDER BY b LIMIT 1
+    ), est AS (
+      SELECT n_rows,
+             b * {HIST_WIDTH_CENTS}
+               + ((n_rows + 1) // 2 - cum_before) * {HIST_WIDTH_CENTS} // cnt
+               AS est_median_cents
+      FROM med_bucket
+    ), exact AS (
+      SELECT cents AS exact_median_cents FROM (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM c
+      ) WHERE rn = (SELECT (n_rows + 1) // 2 FROM n)
+    )
+    SELECT est.n_rows, est.est_median_cents, exact.exact_median_cents,
+           ABS(est.est_median_cents - exact.exact_median_cents) * 10000
+             // exact.exact_median_cents AS err_bp
+    FROM est, exact
+    """,
+    doc="Median of order value from a fixed-width histogram sketch "
+    "($5,000 buckets, linear interpolation inside the median bucket), "
+    "audited against the exact lower-median. The histogram is bounded "
+    "state (one counter per occupied bucket, map-side combinable) and "
+    "mergeable across partitions/days; the exact side requires a full "
+    "sort (the window rank over all rows) — precisely the cost the "
+    "sketch avoids at 100 TB. All arithmetic is integer cents so both "
+    "engines agree bit-for-bit.",
+)
+def k06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    n = c.agg(F.count("*").alias("n_rows"))
+    buckets = (
+        c.select(F.expr(f"cents div {HIST_WIDTH_CENTS}").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.withColumn("cum", F.sum("cnt").over(wb)).withColumn(
+        "cum_before", F.col("cum") - F.col("cnt")
+    )
+    med_bucket = (
+        cum.crossJoin(F.broadcast(n))
+        .where(F.col("cum") >= F.expr("(n_rows + 1) div 2"))
+        .orderBy("b")
+        .limit(1)
+    )
+    est = med_bucket.select(
+        "n_rows",
+        F.expr(
+            f"b * {HIST_WIDTH_CENTS} + "
+            f"((n_rows + 1) div 2 - cum_before) * {HIST_WIDTH_CENTS} div cnt"
+        ).alias("est_median_cents"),
+    )
+    wr = Window.orderBy("cents")
+    ranked = c.withColumn("rn", F.row_number().over(wr))
+    exact = (
+        ranked.crossJoin(F.broadcast(n))
+        .where(F.col("rn") == F.expr("(n_rows + 1) div 2"))
+        .select(F.col("cents").alias("exact_median_cents"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_rows",
+        "est_median_cents",
+        "exact_median_cents",
+        F.expr(
+            "abs(est_median_cents - exact_median_cents) * 10000 "
+            "div exact_median_cents"
+        ).alias("err_bp"),
+    )

@@ -185,6 +185,10 @@ def test_round4b_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
         ("k03_column_profile", 1),
         # vocab groupBy + pair agg; pair explosion on vocab, not corpus
         ("t12_bpe_merge_pairs", 2),
+        # bucket-histogram agg is the only keyed shuffle; the exact-
+        # median audit side is a global sort by design (the cost the
+        # sketch avoids); cross joins are broadcast one-row aggregates
+        ("k06_histogram_median", 2),
     ],
 )
 def test_sketch_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
