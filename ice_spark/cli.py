@@ -17,6 +17,42 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
+
+
+def _run_rest(args) -> dict | list:
+    """Run a catalog verb against a REST endpoint (--uri). The subset
+    here is the metadata plane the reference CLI drives through
+    RESTCatalog; data-plane verbs (insert/scan) stay local."""
+    from ice_spark.rest import RestCatalogClient
+
+    c = RestCatalogClient(args.uri, token=args.token)
+    if args.cmd == "check":
+        return {"ok": c.check(), "uri": args.uri}
+    if args.cmd == "create-namespace":
+        c.create_namespace(args.namespace)
+        return {"created": args.namespace}
+    if args.cmd == "delete-namespace":
+        c.delete_namespace(args.namespace)
+        return {"deleted": args.namespace}
+    if args.cmd == "list-namespaces":
+        return c.list_namespaces(args.parent)
+    if args.cmd == "list-tables":
+        return c.list_tables(args.namespace)
+    if args.cmd == "delete-table":
+        c.drop_table(args.table, purge=args.purge)
+        return {"deleted": args.table, "purged": args.purge}
+    if args.cmd == "describe":
+        res = c.load_table(args.target)
+        return {"metadata_location": res["metadata-location"], "metadata": res["metadata"]}
+    if args.cmd == "list-views":
+        return c.list_views(args.namespace)
+    if args.cmd == "create-view":
+        return c.create_view(args.view, args.query, comment=args.comment or "")
+    if args.cmd == "drop-view":
+        c.drop_view(args.view)
+        return {"dropped": args.view}
+    raise SystemExit(f"verb {args.cmd!r} is not available over --uri (local data plane only)")
 
 
 def _json_arg(s: str):
@@ -34,9 +70,31 @@ def _s3_client_if(enabled: bool):
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ice-spark")
     p.add_argument("--warehouse", required=True, help="warehouse directory")
+    p.add_argument(
+        "--uri",
+        help="REST catalog endpoint (http://host:port); catalog verbs "
+        "run as REST calls instead of against the local warehouse "
+        "(the reference CLI's RESTCatalog mode, Main.java:1054-1104)",
+    )
+    p.add_argument("--token", help="bearer token for --uri")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("check")
+
+    sp = sub.add_parser(
+        "serve",
+        help="serve this warehouse over the Iceberg REST protocol "
+        "(ice-rest-catalog analog; SURVEY §2.6)",
+    )
+    sp.add_argument("--port", type=int, default=8181)
+    sp.add_argument(
+        "--serve-token",
+        action="append",
+        default=[],
+        metavar="TOKEN[:ro]",
+        help="accept this bearer token; ':ro' suffix makes it read-only",
+    )
+    sp.add_argument("--anonymous", action="store_true", help="allow unauthenticated access")
 
     sp = sub.add_parser("create-namespace")
     sp.add_argument("namespace")
@@ -414,6 +472,30 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(out, indent=1))
         else:
             print(json.dumps(meta, indent=1))
+        return 0
+
+    if args.cmd == "serve":
+        # metadata-plane only — no SparkSession needed to serve
+        from ice_spark.catalog import Catalog
+        from ice_spark.rest import RestCatalogServer, ServerConfig
+
+        tokens = {}
+        for spec in args.serve_token:
+            tok, _, flag = spec.partition(":")
+            tokens[tok] = {"read_only": flag == "ro"}
+        cfg = ServerConfig(tokens=tokens, anonymous=args.anonymous or not tokens)
+        srv = RestCatalogServer(Catalog(None, args.warehouse), cfg, port=args.port).start()
+        print(json.dumps({"serving": srv.url, "warehouse": args.warehouse}))
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            srv.stop()
+        return 0
+
+    if args.uri:
+        out = _run_rest(args)
+        print(json.dumps(out, indent=1, default=str))
         return 0
 
     from ice_spark.catalog import Catalog

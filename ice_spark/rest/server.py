@@ -1,0 +1,616 @@
+"""Iceberg-REST-protocol catalog server over `ice_spark.catalog`.
+
+Reference parity: `ice-rest-catalog` serves the Iceberg REST route
+surface (Route.java:50-116) from an etcd-backed catalog
+(EtcdCatalog.java), dispatching in RESTCatalogAdapter.handle
+(RESTCatalogAdapter.java:102-380). This module serves the same route
+surface from this engine's snapshot-versioned catalog, on the stdlib
+HTTP server (ThreadingHTTPServer — one thread per request; the
+catalog underneath is safe because every mutation funnels through the
+table-level CAS).
+
+Reproduced server behaviors (SURVEY §2.6):
+
+- **Optimistic CAS commits** — the commit route validates the
+  client's requirements against freshly loaded metadata, applies the
+  updates, and writes through `Table._write_metadata` (the same
+  create-exclusive linearization point in-process writers use; the
+  filesystem analog of etcd `If(version==v).Then(put)`,
+  EtcdCatalog.java:588-640). CAS losers retry up to a budget;
+  requirement-validation failures are NOT retried and return 409
+  CommitFailedException immediately (RESTCatalogAdapter.commit
+  511-567).
+- **Auth** — bearer tokens with a per-token read-only flag, plus an
+  anonymous-access option (ice-rest-catalog Main.java:353-418,
+  Config.java:132-173). Credential *vending* (STS assume-role) is
+  AWS-bound and out of sandbox scope; the config carries the flag so
+  the surface is visible.
+- **Multi-table commit-transaction** — the reference gets atomicity
+  from one etcd transaction; a filesystem catalog cannot, so this
+  route runs the same validate → apply → compensate saga as
+  `catalog/transaction.py` and reports partial failure loudly
+  instead of pretending atomicity.
+- **Views** — Route.java lists the view routes but EtcdCatalog does
+  not implement ViewCatalog, so the reference 400s them. This catalog
+  DOES store views, so the view routes are live here (beyond-ref).
+
+Wire format follows the public Iceberg REST OpenAPI: multi-level
+namespaces are joined with the 0x1F unit separator in paths, errors
+are `{"error": {"message", "type", "code"}}`, table loads return
+`{"metadata-location", "metadata"}`.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import time
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from ice_spark.catalog.catalog import Catalog, NamespaceError
+from ice_spark.catalog.table import CommitConflictError, NoSuchTableError, Table
+
+UNIT_SEP = "\x1f"
+
+
+class ServerConfig:
+    """tokens: {token_string: {"read_only": bool}}; anonymous allows
+    unauthenticated requests (read-write, like the reference's
+    anonymous access option)."""
+
+    def __init__(
+        self,
+        tokens: dict[str, dict] | None = None,
+        anonymous: bool = False,
+        prefix: str = "ice",
+        commit_retries: int = 5,
+    ):
+        self.tokens = tokens or {}
+        self.anonymous = anonymous
+        self.prefix = prefix
+        self.commit_retries = commit_retries
+
+
+class _ApiError(Exception):
+    def __init__(self, code: int, err_type: str, message: str):
+        super().__init__(message)
+        self.code = code
+        self.err_type = err_type
+        self.message = message
+
+
+def _ns_from_path(segment: str) -> str:
+    """Decode a namespace path segment: %1F-separated levels per the
+    Iceberg REST spec; '.' accepted as a convenience."""
+    seg = urllib.parse.unquote(segment)
+    return ".".join(p for p in seg.replace(UNIT_SEP, ".").split(".") if p)
+
+
+def _ns_parts(ns: str) -> list[str]:
+    return [p for p in ns.split(".") if p]
+
+
+def check_requirements(meta: dict, requirements: list[dict]) -> str | None:
+    """Validate Iceberg-REST commit requirements against metadata.
+    Returns an error string (→ 409, no retry) or None."""
+    for req in requirements or []:
+        typ = req.get("type")
+        if typ == "assert-create":
+            # table must not exist — meaningful only pre-create; a
+            # loaded table always fails it
+            return "assert-create failed: table already exists"
+        elif typ == "assert-table-uuid":
+            want = req.get("uuid")
+            have = meta.get("table_uuid")
+            if want != have:
+                return f"assert-table-uuid failed: expected {want}, found {have}"
+        elif typ == "assert-ref-snapshot-id":
+            ref = req.get("ref", "main")
+            want = req.get("snapshot-id")  # None = ref must not exist / no snapshot
+            if ref == "main":
+                have = meta.get("current_snapshot_id")
+            else:
+                have = meta.get("refs", {}).get(ref)
+            if want != have:
+                return (
+                    f"assert-ref-snapshot-id failed for {ref!r}: "
+                    f"expected {want}, found {have}"
+                )
+        else:
+            raise _ApiError(400, "BadRequestException", f"unsupported requirement: {typ}")
+    return None
+
+
+def apply_updates(meta: dict, updates: list[dict]) -> dict:
+    """Apply Iceberg-REST metadata updates to this engine's metadata
+    dict. Unsupported actions 400 loudly rather than silently no-op."""
+    for upd in updates or []:
+        action = upd.get("action")
+        if action == "set-properties":
+            meta.setdefault("properties", {}).update(upd.get("updates", {}))
+        elif action == "remove-properties":
+            props = meta.setdefault("properties", {})
+            for k in upd.get("removals", []):
+                props.pop(k, None)
+        elif action == "add-snapshot":
+            snap = upd.get("snapshot")
+            if not isinstance(snap, dict) or "snapshot_id" not in snap:
+                raise _ApiError(
+                    400, "BadRequestException", "add-snapshot needs a snapshot dict with snapshot_id"
+                )
+            if any(s["snapshot_id"] == snap["snapshot_id"] for s in meta.get("snapshots", [])):
+                raise _ApiError(
+                    400, "BadRequestException", f"duplicate snapshot id {snap['snapshot_id']}"
+                )
+            meta.setdefault("snapshots", []).append(snap)
+        elif action == "set-snapshot-ref" or action == "set-ref":
+            name = upd.get("ref-name") or upd.get("name")
+            sid = upd.get("snapshot-id")
+            if name is None:
+                raise _ApiError(400, "BadRequestException", "set-ref needs ref-name")
+            if sid is not None and not any(
+                s["snapshot_id"] == sid for s in meta.get("snapshots", [])
+            ):
+                raise _ApiError(400, "BadRequestException", f"no snapshot {sid}")
+            if name == "main":
+                meta["current_snapshot_id"] = sid
+            else:
+                meta.setdefault("refs", {})[name] = sid
+        elif action == "remove-snapshot-ref" or action == "remove-ref":
+            name = upd.get("ref-name") or upd.get("name")
+            meta.get("refs", {}).pop(name, None)
+        else:
+            raise _ApiError(400, "BadRequestException", f"unsupported update action: {action}")
+    return meta
+
+
+class RestCatalogServer:
+    """Own a Catalog + HTTP listener. `start()` binds and serves on a
+    daemon thread; `url` is the base endpoint."""
+
+    def __init__(self, catalog: Catalog, config: ServerConfig | None = None, port: int = 0):
+        self.catalog = catalog
+        self.config = config or ServerConfig(anonymous=True)
+        self._port = port
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+        self.metrics_reports: list[dict] = []  # report-metrics sink
+
+    # ---------- lifecycle ----------
+
+    def start(self) -> "RestCatalogServer":
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", self._port), handler)
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    @property
+    def url(self) -> str:
+        assert self._httpd, "server not started"
+        return f"http://127.0.0.1:{self._httpd.server_address[1]}"
+
+    # ---------- auth ----------
+
+    def authorize(self, headers, write: bool) -> None:
+        auth = headers.get("Authorization", "")
+        if auth.startswith("Bearer "):
+            token = auth[len("Bearer "):]
+            info = self.config.tokens.get(token)
+            if info is None:
+                raise _ApiError(401, "NotAuthorizedException", "invalid token")
+            if write and info.get("read_only"):
+                raise _ApiError(403, "ForbiddenException", "token is read-only")
+            return
+        if not self.config.anonymous:
+            raise _ApiError(401, "NotAuthorizedException", "missing bearer token")
+
+    # ---------- route implementations (each returns (code, body|None)) ----------
+
+    def rt_token(self, body: dict):
+        # OAuth client-credentials stub (reference tokens route)
+        return 200, {
+            "access_token": "anonymous" if self.config.anonymous else "",
+            "token_type": "bearer",
+            "expires_in": 3600,
+        }
+
+    def rt_config(self, params: dict):
+        return 200, {
+            "defaults": {},
+            "overrides": {"prefix": self.config.prefix},
+            "endpoints": [],
+        }
+
+    def rt_list_namespaces(self, params: dict):
+        parent = _ns_from_path(params.get("parent", [""])[0]) if "parent" in params else None
+        try:
+            names = self.catalog.list_namespaces(parent or None)
+        except NamespaceError as e:
+            raise _ApiError(404, "NoSuchNamespaceException", str(e))
+        return 200, {"namespaces": [_ns_parts(n) for n in names]}
+
+    def rt_create_namespace(self, body: dict):
+        ns = ".".join(body.get("namespace", []))
+        if not ns:
+            raise _ApiError(400, "BadRequestException", "namespace is required")
+        try:
+            self.catalog.create_namespace(ns)
+        except NamespaceError as e:
+            msg = str(e)
+            if "exists" in msg:
+                raise _ApiError(409, "AlreadyExistsException", msg)
+            raise _ApiError(404, "NoSuchNamespaceException", msg)
+        return 200, {"namespace": _ns_parts(ns), "properties": body.get("properties", {})}
+
+    def _require_ns(self, ns: str) -> str:
+        if not self.catalog._is_namespace(self.catalog._ns_dir(ns)):
+            raise _ApiError(404, "NoSuchNamespaceException", f"no such namespace: {ns}")
+        return ns
+
+    def rt_load_namespace(self, ns: str):
+        self._require_ns(ns)
+        return 200, {"namespace": _ns_parts(ns), "properties": {}}
+
+    def rt_namespace_exists(self, ns: str):
+        self._require_ns(ns)
+        return 204, None
+
+    def rt_drop_namespace(self, ns: str):
+        try:
+            self.catalog.delete_namespace(ns)
+        except NamespaceError as e:
+            msg = str(e)
+            if "not empty" in msg:
+                raise _ApiError(409, "NamespaceNotEmptyException", msg)
+            raise _ApiError(404, "NoSuchNamespaceException", msg)
+        return 204, None
+
+    def rt_list_tables(self, ns: str):
+        try:
+            names = self.catalog.list_tables(ns)
+        except NamespaceError as e:
+            raise _ApiError(404, "NoSuchNamespaceException", str(e))
+        return 200, {
+            "identifiers": [{"namespace": _ns_parts(ns), "name": t} for t in names]
+        }
+
+    def _load_table_result(self, table: Table):
+        return {
+            "metadata-location": table.metadata_path(table.current_version()),
+            "metadata": table.meta,
+            "config": {},
+        }
+
+    def rt_create_table(self, ns: str, body: dict):
+        self._require_ns(ns)
+        name = body.get("name")
+        if not name:
+            raise _ApiError(400, "BadRequestException", "table name is required")
+        schema_json = body.get("schema")
+        if not schema_json:
+            raise _ApiError(400, "BadRequestException", "schema is required")
+        from pyspark.sql.types import StructType
+
+        try:
+            schema = StructType.fromJson(schema_json)
+        except Exception as e:
+            raise _ApiError(400, "BadRequestException", f"bad schema: {e}")
+        ident = f"{ns}.{name}"
+        try:
+            t = self.catalog.create_table(
+                ident,
+                schema=schema,
+                partition_spec=body.get("partition-spec"),
+                sort_order=body.get("write-order"),
+                properties=body.get("properties"),
+                location=body.get("location"),
+            )
+        except ValueError as e:
+            msg = str(e)
+            if "exists" in msg:
+                raise _ApiError(409, "AlreadyExistsException", msg)
+            raise _ApiError(400, "BadRequestException", msg)
+        return 200, self._load_table_result(t)
+
+    def _load(self, ns: str, name: str) -> Table:
+        try:
+            return self.catalog.load_table(f"{ns}.{name}")
+        except (NoSuchTableError, NamespaceError) as e:
+            raise _ApiError(404, "NoSuchTableException", str(e))
+
+    def rt_load_table(self, ns: str, name: str):
+        return 200, self._load_table_result(self._load(ns, name))
+
+    def rt_table_exists(self, ns: str, name: str):
+        self._load(ns, name)
+        return 204, None
+
+    def rt_drop_table(self, ns: str, name: str, params: dict):
+        purge = params.get("purgeRequested", ["false"])[0].lower() == "true"
+        try:
+            self.catalog.drop_table(f"{ns}.{name}", purge=purge)
+        except (NoSuchTableError, NamespaceError) as e:
+            raise _ApiError(404, "NoSuchTableException", str(e))
+        return 204, None
+
+    def rt_rename_table(self, body: dict):
+        src = body.get("source", {})
+        dst = body.get("destination", {})
+        s_ident = ".".join(src.get("namespace", []) + [src.get("name", "")])
+        d_ident = ".".join(dst.get("namespace", []) + [dst.get("name", "")])
+        try:
+            self.catalog.rename_table(s_ident, d_ident)
+        except (NoSuchTableError, NamespaceError) as e:
+            raise _ApiError(404, "NoSuchTableException", str(e))
+        except ValueError as e:
+            raise _ApiError(409, "AlreadyExistsException", str(e))
+        return 204, None
+
+    def rt_register_table(self, ns: str, body: dict):
+        self._require_ns(ns)
+        name = body.get("name")
+        loc = body.get("metadata-location")
+        if not name or not loc:
+            raise _ApiError(400, "BadRequestException", "need name and metadata-location")
+        try:
+            t = self.catalog.register_table(f"{ns}.{name}", loc)
+        except ValueError as e:
+            msg = str(e)
+            if "exists" in msg:
+                raise _ApiError(409, "AlreadyExistsException", msg)
+            raise _ApiError(400, "BadRequestException", msg)
+        return 200, self._load_table_result(t)
+
+    def commit_to_table(self, table: Table, requirements: list[dict], updates: list[dict]) -> Table:
+        """Requirement-checked CAS commit with retry budget. CAS
+        conflicts retry against fresh metadata; requirement failures
+        abort immediately (RESTCatalogAdapter.commit 511-567)."""
+        retries = self.config.commit_retries
+        for attempt in range(retries + 1):
+            table.refresh()
+            meta = json.loads(json.dumps(table.meta))
+            fail = check_requirements(meta, requirements)
+            if fail:
+                raise _ApiError(409, "CommitFailedException", fail)
+            meta = apply_updates(meta, updates)
+            try:
+                table._write_metadata(meta, expected_version=table._version)
+                return table.refresh()
+            except CommitConflictError:
+                if attempt == retries:
+                    raise _ApiError(
+                        409, "CommitFailedException", "CAS retry budget exhausted"
+                    )
+                time.sleep(min(0.02 * (2**attempt), 1.0))
+        raise AssertionError("unreachable")
+
+    def rt_update_table(self, ns: str, name: str, body: dict):
+        table = self._load(ns, name)
+        t = self.commit_to_table(
+            table, body.get("requirements", []), body.get("updates", [])
+        )
+        return 200, {
+            "metadata-location": t.metadata_path(t.current_version()),
+            "metadata": t.meta,
+        }
+
+    def rt_commit_transaction(self, body: dict):
+        """Multi-table commit: validate every table's requirements
+        first, then apply in order, compensating (restoring the
+        pre-commit metadata content as a NEW version) on failure —
+        the saga shape of catalog/transaction.py, surfaced over REST."""
+        changes = body.get("table-changes", [])
+        plan = []
+        for ch in changes:
+            ident_obj = ch.get("identifier", {})
+            ident = ".".join(ident_obj.get("namespace", []) + [ident_obj.get("name", "")])
+            try:
+                t = self.catalog.load_table(ident)
+            except (NoSuchTableError, NamespaceError) as e:
+                raise _ApiError(404, "NoSuchTableException", str(e))
+            fail = check_requirements(t.meta, ch.get("requirements", []))
+            if fail:
+                raise _ApiError(409, "CommitFailedException", f"{ident}: {fail}")
+            plan.append((ident, t, ch))
+
+        committed: list[tuple[str, Table, dict]] = []
+        for ident, t, ch in plan:
+            pre_meta = json.loads(json.dumps(t.meta))
+            try:
+                self.commit_to_table(t, ch.get("requirements", []), ch.get("updates", []))
+                committed.append((ident, t, pre_meta))
+            except _ApiError as e:
+                stuck = []
+                for done_ident, done_t, done_pre in reversed(committed):
+                    try:
+                        done_t.commit(lambda m, p=done_pre: _restore(m, p))
+                    except Exception:
+                        stuck.append(done_ident)
+                detail = {
+                    "failed": ident,
+                    "message": e.message,
+                    "rolled_back": [i for i, _, _ in committed if i not in stuck],
+                    "stuck": stuck,
+                }
+                raise _ApiError(
+                    e.code, "CommitFailedException", json.dumps(detail)
+                )
+        return 204, None
+
+    def rt_report_metrics(self, ns: str, name: str, body: dict):
+        self._load(ns, name)
+        self.metrics_reports.append({"table": f"{ns}.{name}", "report": body})
+        return 204, None
+
+    # ---------- views (beyond-ref: EtcdCatalog lacks ViewCatalog) ----------
+
+    def rt_list_views(self, ns: str):
+        try:
+            names = self.catalog.list_views(ns)
+        except NamespaceError as e:
+            raise _ApiError(404, "NoSuchNamespaceException", str(e))
+        return 200, {
+            "identifiers": [{"namespace": _ns_parts(ns), "name": v} for v in names]
+        }
+
+    def rt_create_view(self, ns: str, body: dict):
+        self._require_ns(ns)
+        name = body.get("name")
+        sql = (body.get("view-version") or {}).get("sql") or body.get("sql")
+        if not name or not sql:
+            raise _ApiError(400, "BadRequestException", "need name and sql")
+        try:
+            view = self.catalog.create_view(f"{ns}.{name}", sql, comment=body.get("comment", ""))
+        except ValueError as e:
+            raise _ApiError(409, "AlreadyExistsException", str(e))
+        return 200, {"view": view}
+
+    def rt_load_view(self, ns: str, name: str):
+        try:
+            return 200, {"view": self.catalog.load_view(f"{ns}.{name}")}
+        except (ValueError, NamespaceError) as e:
+            raise _ApiError(404, "NoSuchViewException", str(e))
+
+    def rt_drop_view(self, ns: str, name: str):
+        try:
+            self.catalog.drop_view(f"{ns}.{name}")
+        except (ValueError, NamespaceError) as e:
+            raise _ApiError(404, "NoSuchViewException", str(e))
+        return 204, None
+
+
+def _restore(meta: dict, pre: dict) -> dict:
+    """Compensation mutate: restore the pre-transaction content while
+    keeping the metadata_log history the commit loop appends."""
+    keep_log = meta.get("metadata_log", [])
+    out = json.loads(json.dumps(pre))
+    out["metadata_log"] = keep_log
+    return out
+
+
+# ---------- HTTP plumbing ----------
+
+# (method, regex on path) → (handler attr, needs_write, arg builder)
+# mirrors the Route enum table (Route.java:50-116)
+_ROUTES: list[tuple[str, re.Pattern, str, bool]] = [
+    ("POST", re.compile(r"^/v1/oauth/tokens$"), "token", False),
+    ("GET", re.compile(r"^/v1/config$"), "config", False),
+    ("GET", re.compile(r"^/v1(?:/[^/]+)?/namespaces$"), "list_namespaces", False),
+    ("POST", re.compile(r"^/v1(?:/[^/]+)?/namespaces$"), "create_namespace", True),
+    ("GET", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)$"), "load_namespace", False),
+    ("HEAD", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)$"), "namespace_exists", False),
+    ("DELETE", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)$"), "drop_namespace", True),
+    ("GET", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)/tables$"), "list_tables", False),
+    ("POST", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)/tables$"), "create_table", True),
+    ("GET", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)/tables/(?P<t>[^/]+)$"), "load_table", False),
+    ("HEAD", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)/tables/(?P<t>[^/]+)$"), "table_exists", False),
+    ("DELETE", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)/tables/(?P<t>[^/]+)$"), "drop_table", True),
+    ("POST", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)/tables/(?P<t>[^/]+)$"), "update_table", True),
+    ("POST", re.compile(r"^/v1(?:/[^/]+)?/tables/rename$"), "rename_table", True),
+    ("POST", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)/register$"), "register_table", True),
+    ("POST", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)/tables/(?P<t>[^/]+)/metrics$"), "report_metrics", False),
+    ("POST", re.compile(r"^/v1(?:/[^/]+)?/transactions/commit$"), "commit_transaction", True),
+    ("GET", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)/views$"), "list_views", False),
+    ("POST", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)/views$"), "create_view", True),
+    ("GET", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)/views/(?P<t>[^/]+)$"), "load_view", False),
+    ("DELETE", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)/views/(?P<t>[^/]+)$"), "drop_view", True),
+]
+
+
+def _make_handler(server: RestCatalogServer):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _dispatch(self, method: str):
+            parsed = urllib.parse.urlsplit(self.path)
+            params = urllib.parse.parse_qs(parsed.query)
+            body = {}
+            length = int(self.headers.get("Content-Length") or 0)
+            if length:
+                raw = self.rfile.read(length)
+                if raw:
+                    try:
+                        body = json.loads(raw)
+                    except json.JSONDecodeError:
+                        return self._send_error(
+                            _ApiError(400, "BadRequestException", "invalid JSON body")
+                        )
+            for m, pat, name, needs_write in _ROUTES:
+                if m != method:
+                    continue
+                match = pat.match(parsed.path)
+                if not match:
+                    continue
+                try:
+                    server.authorize(self.headers, write=needs_write)
+                    groups = match.groupdict()
+                    args = []
+                    if "ns" in groups:
+                        args.append(_ns_from_path(groups["ns"]))
+                    if "t" in groups:
+                        args.append(urllib.parse.unquote(groups["t"]))
+                    fn = getattr(server, f"rt_{name}")
+                    # pass params/body per route arity
+                    if name in ("config", "list_namespaces"):
+                        code, payload = fn(params)
+                    elif name == "drop_table":
+                        code, payload = fn(*args, params)
+                    elif method in ("POST",):
+                        code, payload = fn(*args, body) if args else fn(body)
+                    else:
+                        code, payload = fn(*args)
+                except _ApiError as e:
+                    return self._send_error(e)
+                except Exception as e:  # noqa: BLE001 — server must not crash
+                    return self._send_error(
+                        _ApiError(500, "InternalServerError", f"{type(e).__name__}: {e}")
+                    )
+                return self._send_json(code, payload, head_only=(method == "HEAD"))
+            self._send_error(
+                _ApiError(404, "NotFoundException", f"no route: {method} {parsed.path}")
+            )
+
+        def _send_json(self, code: int, payload, head_only: bool = False):
+            data = b"" if payload is None else json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            if data and not head_only:
+                self.wfile.write(data)
+
+        def _send_error(self, e: _ApiError):
+            payload = {"error": {"message": e.message, "type": e.err_type, "code": e.code}}
+            data = json.dumps(payload).encode()
+            self.send_response(e.code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            if self.command != "HEAD":
+                self.wfile.write(data)
+
+        def do_GET(self):
+            self._dispatch("GET")
+
+        def do_POST(self):
+            self._dispatch("POST")
+
+        def do_DELETE(self):
+            self._dispatch("DELETE")
+
+        def do_HEAD(self):
+            self._dispatch("HEAD")
+
+    return Handler
