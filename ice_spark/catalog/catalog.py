@@ -81,6 +81,36 @@ class Catalog:
         with open(os.path.join(path, ".ns.json"), "w") as f:
             json.dump({"properties": {}}, f)
 
+    def namespace_properties(self, ns: str) -> dict:
+        path = self._ns_dir(ns)
+        if not self._is_namespace(path):
+            raise NamespaceError(f"no such namespace: {ns}")
+        with open(os.path.join(path, ".ns.json")) as f:
+            return json.load(f).get("properties", {})
+
+    def update_namespace_properties(
+        self, ns: str, removals: list[str] | None = None, updates: dict | None = None
+    ) -> dict:
+        """updateProperties parity (EtcdCatalog namespace properties;
+        REST POST /namespaces/{ns}/properties). Returns the REST
+        response shape: which keys were removed / updated / missing."""
+        path = self._ns_dir(ns)
+        if not self._is_namespace(path):
+            raise NamespaceError(f"no such namespace: {ns}")
+        props = self.namespace_properties(ns)
+        removed, missing = [], []
+        for k in removals or []:
+            if k in props:
+                props.pop(k)
+                removed.append(k)
+            else:
+                missing.append(k)
+        updated = sorted((updates or {}).keys())
+        props.update(updates or {})
+        with open(os.path.join(path, ".ns.json"), "w") as f:
+            json.dump({"properties": props}, f)
+        return {"removed": removed, "updated": updated, "missing": missing}
+
     def delete_namespace(self, ns: str) -> None:
         path = self._ns_dir(ns)
         if not self._is_namespace(path):

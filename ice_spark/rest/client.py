@@ -105,6 +105,18 @@ class RestCatalogClient:
     def delete_namespace(self, ns: str) -> None:
         self._req("DELETE", self._p(f"/namespaces/{self._ns_seg(ns)}"))
 
+    def load_namespace(self, ns: str) -> dict:
+        return self._req("GET", self._p(f"/namespaces/{self._ns_seg(ns)}"))
+
+    def update_namespace_properties(
+        self, ns: str, removals: list[str] | None = None, updates: dict | None = None
+    ) -> dict:
+        return self._req(
+            "POST",
+            self._p(f"/namespaces/{self._ns_seg(ns)}/properties"),
+            {"removals": removals or [], "updates": updates or {}},
+        )
+
     def list_tables(self, ns: str) -> list[str]:
         out = self._req("GET", self._p(f"/namespaces/{self._ns_seg(ns)}/tables"))
         return [i["name"] for i in out.get("identifiers", [])]
@@ -224,3 +236,25 @@ class RestCatalogClient:
         self._req(
             "DELETE", self._p(f"/namespaces/{self._ns_seg(ns)}/views/{urllib.parse.quote(name)}")
         )
+
+
+def read_table(spark, client: RestCatalogClient, ident: str, snapshot_id: int | None = None,
+               as_of_ms: int | None = None):
+    """Spark read driven by REST-loaded metadata — the Iceberg
+    deployment model: the catalog serves only the metadata pointer,
+    data/metadata files live on shared storage. The local
+    version-hint file is never consulted; the Table handle is seeded
+    entirely from the server's LoadTableResult, so a stale or absent
+    hint cannot mislead the read (mirrors Spark reading through
+    RESTCatalog in the reference's docker-compose example)."""
+    import re as _re
+
+    from ice_spark.catalog.table import Table
+
+    res = client.load_table(ident)
+    meta = res["metadata"]
+    t = Table(spark, meta["location"], identifier=ident)
+    m = _re.search(r"v(\d+)\.metadata\.json$", res["metadata-location"])
+    t._meta = meta
+    t._version = int(m.group(1)) if m else 0
+    return t.read(snapshot_id=snapshot_id, as_of_ms=as_of_ms)

@@ -258,7 +258,19 @@ class RestCatalogServer:
 
     def rt_load_namespace(self, ns: str):
         self._require_ns(ns)
-        return 200, {"namespace": _ns_parts(ns), "properties": {}}
+        return 200, {
+            "namespace": _ns_parts(ns),
+            "properties": self.catalog.namespace_properties(ns),
+        }
+
+    def rt_update_namespace_properties(self, ns: str, body: dict):
+        try:
+            out = self.catalog.update_namespace_properties(
+                ns, removals=body.get("removals"), updates=body.get("updates")
+            )
+        except NamespaceError as e:
+            raise _ApiError(404, "NoSuchNamespaceException", str(e))
+        return 200, out
 
     def rt_namespace_exists(self, ns: str):
         self._require_ns(ns)
@@ -509,6 +521,7 @@ _ROUTES: list[tuple[str, re.Pattern, str, bool]] = [
     ("GET", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)$"), "load_namespace", False),
     ("HEAD", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)$"), "namespace_exists", False),
     ("DELETE", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)$"), "drop_namespace", True),
+    ("POST", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)/properties$"), "update_namespace_properties", True),
     ("GET", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)/tables$"), "list_tables", False),
     ("POST", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)/tables$"), "create_table", True),
     ("GET", re.compile(r"^/v1(?:/[^/]+)?/namespaces/(?P<ns>[^/]+)/tables/(?P<t>[^/]+)$"), "load_table", False),

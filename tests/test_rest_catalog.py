@@ -77,6 +77,50 @@ class TestNamespaces:
         assert e.value.code == 404
 
 
+class TestNamespaceProperties:
+    def test_update_and_load_roundtrip(self, client):
+        client.create_namespace("a")
+        out = client.update_namespace_properties(
+            "a", updates={"owner": "etl", "tier": "gold"}
+        )
+        assert out["updated"] == ["owner", "tier"]
+        assert client.load_namespace("a")["properties"] == {"owner": "etl", "tier": "gold"}
+        out = client.update_namespace_properties("a", removals=["tier", "ghost"])
+        assert out["removed"] == ["tier"] and out["missing"] == ["ghost"]
+        assert client.load_namespace("a")["properties"] == {"owner": "etl"}
+
+    def test_missing_namespace_404(self, client):
+        with pytest.raises(RestError) as e:
+            client.update_namespace_properties("nope", updates={"a": "b"})
+        assert e.value.code == 404
+
+
+class TestSparkRead:
+    def test_read_table_via_rest_metadata(self, server, client, spark):
+        """Spark read seeded from the server's LoadTableResult only:
+        time travel included, no local version-hint consulted."""
+        from ice_spark.rest.client import read_table
+
+        _mk_table(client, "ns1.t1")
+        t = server.catalog.load_table("ns1.t1")
+        df1 = spark.createDataFrame([(1, "a"), (2, "b")], schema=SCHEMA)
+        path = f"{t.data_dir}/f1.parquet"
+        df1.coalesce(1).write.mode("overwrite").parquet(path)
+        t.append_snapshot(
+            [{"path": "data/f1.parquet", "partition": {}, "records": 2,
+              "size_bytes": 1, "schema_version": 1}]
+        )
+        first_sid = t.meta["current_snapshot_id"]
+        df2 = spark.createDataFrame([(3, "c")], schema=SCHEMA)
+        df2.coalesce(1).write.mode("overwrite").parquet(f"{t.data_dir}/f2.parquet")
+        t.append_snapshot(
+            [{"path": "data/f2.parquet", "partition": {}, "records": 1,
+              "size_bytes": 1, "schema_version": 1}]
+        )
+        assert read_table(spark, client, "ns1.t1").count() == 3
+        assert read_table(spark, client, "ns1.t1", snapshot_id=first_sid).count() == 2
+
+
 class TestTables:
     def test_create_load_list_drop(self, client):
         res = _mk_table(client, "ns1.t1")
