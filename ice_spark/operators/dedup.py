@@ -239,3 +239,82 @@ def simhash_pairs(
         F.col("__id2").alias("doc_b"),
         dist.alias("hamming"),
     )
+
+
+def incremental_lsh_admission(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Admission-control dedup: decide, per incoming batch document,
+    whether it is a near-duplicate of the EXISTING corpus (reference
+    domain: the insert dedup gate, generalized from exact file hashes
+    to near-dup text). Returns (id, n_candidates, best_jaccard,
+    admitted).
+
+    Scale shape: this is the streaming-ingest dedup pattern — corpus
+    band keys are computed once (in production: stored alongside the
+    table and read back, KBs per million docs per band), the batch
+    side is small, and the join is batch-keys ⋈ corpus-keys on
+    (band, key) — shuffle proportional to the BATCH, with the corpus
+    side pruned to colliding keys. No batch-batch or corpus-corpus
+    pairs are ever formed."""
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+
+    def bucketize(df: DataFrame, out_id: str) -> DataFrame:
+        sigs = minhash_signatures(df, id_col, text_col, k=n_hashes, shingle_n=shingle_n)
+        structs = ", ".join(
+            "struct({b} AS band, concat_ws('_', {cols}) AS key)".format(
+                b=b,
+                cols=", ".join(f"cast(mh{b * r + i} AS string)" for i in range(r)),
+            )
+            for b in range(bands)
+        )
+        return sigs.select(
+            F.col(id_col).alias(out_id), F.expr(f"explode(array({structs})) AS bk")
+        ).select(out_id, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    cands = (
+        bucketize(batch, "__id")
+        .join(bucketize(corpus, "__cid"), ["band", "key"])
+        .select("__id", "__cid")
+        .distinct()
+    )
+    shs_b = batch.select(
+        F.col(id_col).alias("__id"), T.shingle_hashes(text_col, n=shingle_n).alias("__sha")
+    )
+    shs_c = corpus.select(
+        F.col(id_col).alias("__cid"), T.shingle_hashes(text_col, n=shingle_n).alias("__shb")
+    )
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.size("__sha") + F.size("__shb") - inter
+    verified = (
+        cands.join(shs_b, "__id")
+        .join(shs_c, "__cid")
+        .select("__id", "__cid", (inter.cast("double") / union).alias("__j"))
+    )
+    per_doc = verified.groupBy("__id").agg(
+        F.countDistinct("__cid").alias("n_candidates"),
+        F.round(F.max("__j"), 6).alias("best_jaccard"),
+    )
+    return (
+        batch.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            "best_jaccard",
+            F.when(
+                F.col("best_jaccard").isNull() | (F.col("best_jaccard") < threshold),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("admitted"),
+        )
+    )

@@ -583,3 +583,58 @@ def f14(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("parsed_sum"),
     )
+
+
+@register(
+    "f15_map_functions",
+    """
+    WITH per_status AS (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    )
+    SELECT o_orderpriority,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses_csv,
+           COALESCE(MAX(CASE WHEN o_orderstatus = 'O' THEN cnt END), 0)
+             AS open_cnt,
+           CAST(COUNT(*) FILTER (WHERE cnt > 100) AS BIGINT) AS n_big_statuses,
+           SUM(cnt * 2) AS doubled_total
+    FROM per_status
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Map-function family over a status->count map per priority: "
+    "map_from_entries(collect set), map_keys + array_sort + "
+    "array_join, element_at lookup, map_filter by value, "
+    "transform_values, and aggregate over map_values. The oracle "
+    "computes the same facts relationally — pinning that Spark's map "
+    "ops preserve the underlying multiset exactly. Map-only plus two "
+    "aggregations; maps stay bounded (statuses per priority), never "
+    "keyed by high-cardinality values.",
+)
+def f15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_status = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = per_status.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "cnt")))
+        ).alias("status_map")
+    )
+    return (
+        m.select(
+            "o_orderpriority",
+            F.array_join(F.array_sort(F.map_keys("status_map")), ",").alias(
+                "statuses_csv"
+            ),
+            F.coalesce(F.element_at("status_map", "O"), F.lit(0)).alias("open_cnt"),
+            F.expr(
+                "CAST(size(map_filter(status_map, (k, v) -> v > 100)) AS BIGINT)"
+            ).alias("n_big_statuses"),
+            F.expr(
+                "aggregate(map_values(transform_values(status_map, (k, v) -> v * 2)),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("doubled_total"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -688,3 +688,123 @@ def k06(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div exact_median_cents"
         ).alias("err_bp"),
     )
+
+
+# ---------------------------------------------------------------- k07
+HLL_M = 64  # registers (2^6)
+HLL_W = 25  # value bit-width: h < 2^31, h div 64 < 2^25
+HLL_A, HLL_B = 1812433253, 101  # fresh large-multiplier pair
+
+
+@register(
+    "k07_hll_distinct_users",
+    f"""
+    WITH hv AS (
+      SELECT event_type,
+             {_hash_sql('user_id', HLL_A, HLL_B)} AS h
+      FROM events
+    ), rr AS (
+      SELECT event_type,
+             h % {HLL_M} AS reg,
+             h // {HLL_M} AS w
+      FROM hv
+    ), rho AS (
+      SELECT event_type, reg,
+             CASE WHEN w = 0 THEN {HLL_W + 1}
+                  ELSE {HLL_W} - (LENGTH(bin(w)) - 1) END AS rho
+      FROM rr
+    ), regs AS (
+      SELECT event_type, reg, MAX(rho) AS m_j
+      FROM rho GROUP BY event_type, reg
+    ), sums AS (
+      SELECT event_type,
+             COUNT(*) AS registers_hit,
+             SUM((CAST(1 AS BIGINT) << ({HLL_W + 1} - m_j))) AS s_present
+      FROM regs GROUP BY event_type
+    ), hll AS (
+      SELECT event_type, registers_hit,
+             s_present + ({HLL_M} - registers_hit)
+               * (CAST(1 AS BIGINT) << {HLL_W + 1}) AS harmonic_sum,
+             CAST(FLOOR(CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M}
+               * (CAST(1 AS BIGINT) << {HLL_W + 1})
+               / (s_present + ({HLL_M} - registers_hit)
+                  * (CAST(1 AS BIGINT) << {HLL_W + 1}))) AS BIGINT)
+               AS hll_estimate
+      FROM sums
+    ), exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT hll.event_type, hll.registers_hit, hll.harmonic_sum,
+           hll.hll_estimate, exact.exact_distinct,
+           ABS(hll.hll_estimate - exact.exact_distinct) * 100
+             // exact.exact_distinct AS err_pct
+    FROM hll JOIN exact ON hll.event_type = exact.event_type
+    ORDER BY hll.event_type
+    """,
+    doc="HyperLogLog distinct-user estimate per event type, audited "
+    "against the exact count. State is 64 one-byte registers per "
+    "group — mergeable by register-wise max, map-side combinable — "
+    "vs an unbounded hash set for COUNT(DISTINCT): at 100 TB the "
+    "sketch shuffles 64 longs per group, the exact side shuffles "
+    "every distinct key. Cross-engine determinism: rho comes from "
+    "LENGTH(bin(w)) (integer-string op, no log2 float), and the "
+    "harmonic sum is computed EXACTLY as a BIGINT by scaling 2^-M_j "
+    "to 2^(26-M_j) — the one division happens once on identical "
+    "integers, so FLOOR agrees bit-for-bit.",
+)
+def k07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hv = ev.select(
+        "event_type",
+        "user_id",
+        _hash_col(F.col("user_id"), HLL_A, HLL_B).alias("h"),
+    )
+    rho = hv.select(
+        "event_type",
+        (F.col("h") % HLL_M).alias("reg"),
+        F.expr(f"h div {HLL_M}").alias("w"),
+    ).select(
+        "event_type",
+        "reg",
+        F.when(F.col("w") == 0, F.lit(HLL_W + 1))
+        .otherwise(F.lit(HLL_W) - (F.length(F.bin("w")) - 1))
+        .alias("rho"),
+    )
+    regs = rho.groupBy("event_type", "reg").agg(F.max("rho").alias("m_j"))
+    sums = regs.groupBy("event_type").agg(
+        F.count("*").alias("registers_hit"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - m_j)")).alias(
+            "s_present"
+        ),
+    )
+    top = 1 << (HLL_W + 1)
+    hll = sums.select(
+        "event_type",
+        "registers_hit",
+        (F.col("s_present") + (HLL_M - F.col("registers_hit")) * F.lit(top)).alias(
+            "harmonic_sum"
+        ),
+    ).withColumn(
+        "hll_estimate",
+        F.floor(F.lit(0.709 * HLL_M * HLL_M * top) / F.col("harmonic_sum")).cast(
+            "long"
+        ),
+    )
+    exact = hv.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        hll.join(exact, "event_type")
+        .select(
+            "event_type",
+            "registers_hit",
+            "harmonic_sum",
+            "hll_estimate",
+            "exact_distinct",
+            F.expr(
+                "abs(hll_estimate - exact_distinct) * 100 div exact_distinct"
+            ).alias("err_pct"),
+        )
+        .orderBy("event_type")
+    )

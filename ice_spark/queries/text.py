@@ -1647,3 +1647,94 @@ def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "pair")
         .limit(20)
     )
+
+
+def _d11_oracle() -> str:
+    # same 16-permutation / 8-band spec as d04, but batch-vs-corpus:
+    # the incoming 10% (doc_id % 10 = 0) is admitted unless it
+    # LSH-collides with, and Jaccard-verifies against, the existing 90%.
+    sig = ", ".join(
+        f"list_min(list_transform(shs, h -> (h * {2 * j + 3} + {7 * j + 1}) "
+        f"% 1000000007))"
+        for j in range(16)
+    )
+    shingled = f"""
+      SELECT doc_id, {_SQL_SHINGLE_HASHES} AS shs
+      FROM (SELECT doc_id, {_SQL_TOKH} AS th
+            FROM (SELECT doc_id, {_SQL_TOKS.format(col='text')} AS toks
+                  FROM documents WHERE doc_id % 10 {{op}} 0))
+    """
+    return f"""
+    WITH corpus AS ({shingled.format(op='<>')}),
+    batch AS ({shingled.format(op='=')}),
+    csig AS (SELECT doc_id, shs, [{sig}] AS mh FROM corpus),
+    bsig AS (SELECT doc_id, shs, [{sig}] AS mh FROM batch),
+    cbk AS (
+      SELECT doc_id, b,
+             CAST(mh[2 * b + 1] AS VARCHAR) || '_' ||
+             CAST(mh[2 * b + 2] AS VARCHAR) AS key
+      FROM csig, generate_series(0, 7) t(b)
+    ),
+    bbk AS (
+      SELECT doc_id, b,
+             CAST(mh[2 * b + 1] AS VARCHAR) || '_' ||
+             CAST(mh[2 * b + 2] AS VARCHAR) AS key
+      FROM bsig, generate_series(0, 7) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id, y.doc_id AS cid
+      FROM bbk x JOIN cbk y ON x.b = y.b AND x.key = y.key
+    ),
+    ver AS (
+      SELECT id, cid,
+             CAST(len(list_intersect(db.shs, dc.shs)) AS DOUBLE) /
+             (len(db.shs) + len(dc.shs) - len(list_intersect(db.shs, dc.shs)))
+               AS j
+      FROM cand
+      JOIN batch db ON db.doc_id = cand.id
+      JOIN corpus dc ON dc.doc_id = cand.cid
+    ),
+    per AS (
+      SELECT id, CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_candidates,
+             ROUND(MAX(j), 6) AS best_jaccard
+      FROM ver GROUP BY id
+    )
+    SELECT b.doc_id,
+           COALESCE(per.n_candidates, 0) AS n_candidates,
+           per.best_jaccard,
+           CAST(CASE WHEN per.best_jaccard IS NULL
+                       OR per.best_jaccard < 0.8 THEN 1 ELSE 0 END AS BIGINT)
+             AS admitted
+    FROM batch b LEFT JOIN per ON b.doc_id = per.id
+    """
+
+
+@register(
+    "d11_incremental_neardup_admission",
+    _d11_oracle(),
+    doc="Streaming-ingest dedup gate: each document of an incoming "
+    "batch (doc_id % 10 = 0, ~10%) is admitted unless it is a "
+    "near-duplicate (LSH collision + Jaccard >= 0.8) of the existing "
+    "corpus (the other 90%). The batch-vs-corpus join touches only "
+    "colliding band keys — shuffle scales with the BATCH, never "
+    "corpus x corpus; in production the corpus band keys are "
+    "precomputed at ingest and stored (KBs/million docs/band). The "
+    "reference's insert dedup (--skip) is this gate with exact file "
+    "hashes; near-dup text admission is its 100 TB generalization.",
+)
+def d11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.dedup import incremental_lsh_admission
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    out = incremental_lsh_admission(
+        corpus, batch, id_col="doc_id", text_col="text", n_hashes=16, bands=8,
+        threshold=0.8,
+    )
+    return out.select(
+        "doc_id",
+        "n_candidates",
+        "best_jaccard",
+        F.col("admitted").cast("long").alias("admitted"),
+    )

@@ -227,3 +227,32 @@ def test_kmv_overlap_plan(spark, sf_dir):
     assert a.sort_merge_joins <= 1
     assert "CartesianProduct" not in a.plan
     assert a.shuffles <= 18, f"{a.shuffles} shuffles\n{a.plan[:2000]}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # (type,reg) max + type sum for the sketch path; the exact
+        # COUNT(DISTINCT) audit adds an Expand 2-phase pass + join
+        ("k07_hll_distinct_users", 5),
+        # map agg over per-status agg + output sort
+        ("f15_map_functions", 3),
+    ],
+)
+def test_round5_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
+    a = _audit(spark, sf_dir, name)
+    assert a.shuffles <= max_exchanges, f"{name}: {a.shuffles} shuffles\n{a.plan[:2000]}"
+    assert a.sort_merge_joins == 0
+    assert "CartesianProduct" not in a.plan
+
+
+def test_d11_admission_no_corpus_self_join(spark, sf_dir):
+    """Batch-vs-corpus admission: candidate generation joins batch
+    band keys against corpus band keys only — no corpus x corpus or
+    batch x batch pair formation, no cartesian. The shingle-set
+    verification join is big x big on doc id, where a sort-merge
+    join IS the right plan at scale (neither side is bounded), so
+    SMJ is allowed here — unlike the bounded-dim star joins."""
+    a = _audit(spark, sf_dir, "d11_incremental_neardup_admission")
+    assert a.shuffles <= 4, a.plan[:2000]
+    assert "CartesianProduct" not in a.plan
