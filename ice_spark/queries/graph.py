@@ -1,0 +1,121 @@
+"""Graph queries over the order network.
+
+Iterative distributed algorithms are the one query class where
+"loop over a DataFrame plan" replaces the reference's imperative
+loops: each PageRank iteration is a join + groupBy (contribution
+scatter + gather), unrolled statically so Catalyst sees one plan.
+At 100 TB each iteration shuffles (node, contribution) pairs — never
+adjacency lists — and the damping constant re-seeds map-side.
+
+Determinism: ranks are integer micro-units (start 1_000_000); each
+contribution is an integer floor division by out-degree, the damped
+update is `150_000 + 850 * (sum // 1000)` — integers end to end, so
+Spark and DuckDB agree bit-for-bit regardless of aggregation order
+(bigint sums are associative-exact, unlike doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ice_spark.queries.registry import register
+from ice_spark.tables import load_table
+
+PR_ITERS = 2
+PR_INIT = 1_000_000
+
+
+def _pr_oracle() -> str:
+    edges = """
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """
+    it = """
+    pr{n} AS (
+      SELECT e.dst AS node,
+             150000 + 850 * (SUM(p.rank // d.outdeg) // 1000) AS rank
+      FROM pr{p} p
+      JOIN deg d ON d.node = p.node
+      JOIN bidir e ON e.src = p.node
+      GROUP BY e.dst
+    )"""
+    iters = ",".join(it.format(n=i + 1, p=i) for i in range(PR_ITERS))
+    return f"""
+    WITH e0 AS ({edges}),
+    bidir AS (
+      SELECT src, dst FROM e0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM e0
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM bidir GROUP BY src),
+    pr0 AS (SELECT node, CAST({PR_INIT} AS BIGINT) AS rank FROM deg),
+    {iters}
+    SELECT node,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+           node // 2 AS entity_key,
+           rank AS rank_micro
+    FROM pr{PR_ITERS}
+    ORDER BY rank DESC, node
+    LIMIT 20
+    """
+
+
+@register(
+    "g01_pagerank_order_network",
+    _pr_oracle(),
+    doc="PageRank (2 unrolled iterations, damping 0.85) over the "
+    "bipartite customer-supplier graph induced by order lineitems. "
+    "Each iteration is scatter (rank//outdeg along edges) + gather "
+    "(sum per destination) — one keyed shuffle per iteration, "
+    "map-side combinable; adjacency is re-joined per iteration "
+    "rather than materialized per node, so skewed hub nodes cost a "
+    "skewed-join (salt-able) rather than an OOM row. Integer "
+    "micro-unit arithmetic end to end: floor-div contributions and "
+    "the damped update `150000 + 850*(sum//1000)` make both engines "
+    "agree bit-for-bit independent of aggregation order.",
+)
+def g01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    bidir = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = bidir.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
+    # Edge list annotated with source out-degree, cached: every
+    # iteration re-reads this relation, and without the cache the
+    # unrolled plan replays the edge-build subtree once per iteration
+    # (N iterations -> N scans of lineitem). This is the standard
+    # Spark iterative-algorithm shape (GraphX/MLlib persist exactly
+    # this way); at 100 TB persist(DISK_ONLY) instead of memory.
+    ed = (
+        bidir.join(deg, bidir.src == deg.node)
+        .select("src", "dst", "outdeg")
+        .cache()
+    )
+    pr = deg.select("node", F.lit(PR_INIT).cast("long").alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = pr.join(ed, pr.node == ed.src).select(
+            "dst", F.expr("rank div outdeg").alias("c")
+        )
+        pr = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(150_000) + F.lit(850) * F.expr("sum(c) div 1000")).alias("rank")
+        )
+    return (
+        pr.select(
+            "node",
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+            F.expr("node div 2").alias("entity_key"),
+            F.col("rank").alias("rank_micro"),
+        )
+        .orderBy(F.desc("rank_micro"), "node")
+        .limit(20)
+    )

@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
     from ice_spark.queries import analytics  # noqa: F401
     from ice_spark.queries import events  # noqa: F401
     from ice_spark.queries import functions_lib  # noqa: F401
+    from ice_spark.queries import graph  # noqa: F401
     from ice_spark.queries import joins  # noqa: F401
     from ice_spark.queries import multimodal  # noqa: F401
     from ice_spark.queries import sketches  # noqa: F401

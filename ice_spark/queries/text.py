@@ -1738,3 +1738,53 @@ def d11(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_jaccard",
         F.col("admitted").cast("long").alias("admitted"),
     )
+
+
+@register(
+    "d12_fuzzy_name_matches",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_size, p_name FROM part
+    )
+    SELECT a.p_brand,
+           a.p_partkey AS part_a, b.p_partkey AS part_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand
+     AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 20
+    ORDER BY a.p_brand, part_a, part_b
+    """,
+    doc="Blocked fuzzy entity matching: candidate part pairs form "
+    "only WITHIN a (brand, size) block — the classic "
+    "entity-resolution blocking that turns O(n^2) edit-distance "
+    "comparison into sum of O(block^2); the quadratic work is bounded "
+    "by the largest block, never the table. Levenshtein is an "
+    "integer metric both engines implement identically, so the "
+    "oracle is exact. At 100 TB: shuffle on the block key, skewed "
+    "blocks get the salting treatment (operators/skew.py), and the "
+    "threshold predicate prunes pairs before any wide row is built.",
+)
+def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    p = part.select("p_partkey", "p_brand", "p_size", "p_name")
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(dist <= 20)
+        .select(
+            F.col("a.p_brand").alias("p_brand"),
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            dist.alias("edit_dist"),
+        )
+        .orderBy("p_brand", "part_a", "part_b")
+    )

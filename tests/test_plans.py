@@ -256,3 +256,18 @@ def test_d11_admission_no_corpus_self_join(spark, sf_dir):
     a = _audit(spark, sf_dir, "d11_incremental_neardup_admission")
     assert a.shuffles <= 4, a.plan[:2000]
     assert "CartesianProduct" not in a.plan
+
+
+def test_g01_pagerank_iteration_shuffles(spark, sf_dir):
+    """2 unrolled PageRank iterations over a CACHED degree-annotated
+    edge list. The cache is the load-bearing invariant: without it the
+    unrolled plan replays the edge-build subtree (lineitem scan +
+    distinct + degree agg) once per iteration. The static explain
+    still PRINTS the cached subtree's exchanges under every
+    InMemoryRelation reference, so the shuffle count here is an
+    explain-string artifact; at runtime the subtree executes once and
+    each iteration costs one scatter/gather shuffle pair. We pin the
+    cache's presence and the absence of cartesians."""
+    a = _audit(spark, sf_dir, "g01_pagerank_order_network")
+    assert "InMemoryTableScan" in a.plan or "InMemoryRelation" in a.plan, a.plan[:1500]
+    assert "CartesianProduct" not in a.plan
