@@ -81,10 +81,27 @@ class RestCatalogClient:
         self.list_namespaces()
         return True
 
-    def list_namespaces(self, parent: str | None = None) -> list[str]:
+    def _paged(self, path: str, key: str, query: dict | None, page_size: int | None):
+        """Drain a paginated list endpoint (Iceberg REST pageToken
+        protocol). page_size=None → one unpaginated request."""
+        base = dict(query or {})
+        if page_size is None:
+            return self._req("GET", path, query=base or None).get(key, [])
+        items, token = [], None
+        while True:
+            q = {**base, "pageSize": str(page_size)}
+            if token:
+                q["pageToken"] = token
+            out = self._req("GET", path, query=q)
+            items.extend(out.get(key, []))
+            token = out.get("next-page-token")
+            if not token:
+                return items
+
+    def list_namespaces(self, parent: str | None = None, page_size: int | None = None) -> list[str]:
         q = {"parent": UNIT_SEP.join(parent.split("."))} if parent else None
-        out = self._req("GET", self._p("/namespaces"), query=q)
-        return [".".join(ns) for ns in out.get("namespaces", [])]
+        out = self._paged(self._p("/namespaces"), "namespaces", q, page_size)
+        return [".".join(ns) for ns in out]
 
     def create_namespace(self, ns: str, properties: dict | None = None) -> None:
         self._req(
@@ -117,9 +134,11 @@ class RestCatalogClient:
             {"removals": removals or [], "updates": updates or {}},
         )
 
-    def list_tables(self, ns: str) -> list[str]:
-        out = self._req("GET", self._p(f"/namespaces/{self._ns_seg(ns)}/tables"))
-        return [i["name"] for i in out.get("identifiers", [])]
+    def list_tables(self, ns: str, page_size: int | None = None) -> list[str]:
+        out = self._paged(
+            self._p(f"/namespaces/{self._ns_seg(ns)}/tables"), "identifiers", None, page_size
+        )
+        return [i["name"] for i in out]
 
     def create_table(
         self,
@@ -213,9 +232,11 @@ class RestCatalogClient:
 
     # ---------- views ----------
 
-    def list_views(self, ns: str) -> list[str]:
-        out = self._req("GET", self._p(f"/namespaces/{self._ns_seg(ns)}/views"))
-        return [i["name"] for i in out.get("identifiers", [])]
+    def list_views(self, ns: str, page_size: int | None = None) -> list[str]:
+        out = self._paged(
+            self._p(f"/namespaces/{self._ns_seg(ns)}/views"), "identifiers", None, page_size
+        )
+        return [i["name"] for i in out]
 
     def create_view(self, ident: str, sql: str, comment: str = "") -> dict:
         ns, name = self._split(ident)

@@ -230,13 +230,35 @@ class RestCatalogServer:
             "endpoints": [],
         }
 
+    @staticmethod
+    def _paginate(items: list, params: dict, key: str) -> dict:
+        """Iceberg REST list pagination: opaque pageToken (an index
+        here), pageSize caps the page, next-page-token present iff
+        more remain. No pageSize → whole list, no token."""
+        out = {key: items}
+        size = params.get("pageSize", [None])[0]
+        token = params.get("pageToken", ["0"])[0]
+        if size is None:
+            return out
+        try:
+            start, n = int(token), int(size)
+        except ValueError:
+            raise _ApiError(400, "BadRequestException", "bad pageToken/pageSize")
+        if n <= 0:
+            raise _ApiError(400, "BadRequestException", "pageSize must be positive")
+        page = items[start : start + n]
+        out[key] = page
+        if start + n < len(items):
+            out["next-page-token"] = str(start + n)
+        return out
+
     def rt_list_namespaces(self, params: dict):
         parent = _ns_from_path(params.get("parent", [""])[0]) if "parent" in params else None
         try:
             names = self.catalog.list_namespaces(parent or None)
         except NamespaceError as e:
             raise _ApiError(404, "NoSuchNamespaceException", str(e))
-        return 200, {"namespaces": [_ns_parts(n) for n in names]}
+        return 200, self._paginate([_ns_parts(n) for n in names], params, "namespaces")
 
     def rt_create_namespace(self, body: dict):
         ns = ".".join(body.get("namespace", []))
@@ -286,14 +308,13 @@ class RestCatalogServer:
             raise _ApiError(404, "NoSuchNamespaceException", msg)
         return 204, None
 
-    def rt_list_tables(self, ns: str):
+    def rt_list_tables(self, ns: str, params: dict):
         try:
             names = self.catalog.list_tables(ns)
         except NamespaceError as e:
             raise _ApiError(404, "NoSuchNamespaceException", str(e))
-        return 200, {
-            "identifiers": [{"namespace": _ns_parts(ns), "name": t} for t in names]
-        }
+        idents = [{"namespace": _ns_parts(ns), "name": t} for t in names]
+        return 200, self._paginate(idents, params, "identifiers")
 
     def _load_table_result(self, table: Table):
         return {
@@ -465,14 +486,13 @@ class RestCatalogServer:
 
     # ---------- views (beyond-ref: EtcdCatalog lacks ViewCatalog) ----------
 
-    def rt_list_views(self, ns: str):
+    def rt_list_views(self, ns: str, params: dict):
         try:
             names = self.catalog.list_views(ns)
         except NamespaceError as e:
             raise _ApiError(404, "NoSuchNamespaceException", str(e))
-        return 200, {
-            "identifiers": [{"namespace": _ns_parts(ns), "name": v} for v in names]
-        }
+        idents = [{"namespace": _ns_parts(ns), "name": v} for v in names]
+        return 200, self._paginate(idents, params, "identifiers")
 
     def rt_create_view(self, ns: str, body: dict):
         self._require_ns(ns)
@@ -578,7 +598,7 @@ def _make_handler(server: RestCatalogServer):
                     # pass params/body per route arity
                     if name in ("config", "list_namespaces"):
                         code, payload = fn(params)
-                    elif name == "drop_table":
+                    elif name in ("drop_table", "list_tables", "list_views"):
                         code, payload = fn(*args, params)
                     elif method in ("POST",):
                         code, payload = fn(*args, body) if args else fn(body)

@@ -133,3 +133,60 @@ def countmin_stream(stream: DataFrame, key_col: str) -> DataFrame:
         .groupBy("row_i", "cell")
         .count()
     )
+
+
+def hll_stream(stream: DataFrame, key_col: str, group_col: str) -> DataFrame:
+    """Streaming HyperLogLog register build: per (group, register) max
+    rho — the same spec as the batch k07 query, so a stream-built
+    sketch equals a batch-built one over the same data (register max
+    is the HLL merge, and max is order-insensitive).
+
+    Like countmin_stream, no custom state operator is needed: the
+    register space is FIXED (64 registers per group), so a streaming
+    groupBy + MAX is bounded state by construction (≤ 64 rows per
+    group in the state store regardless of stream length) and the
+    built-in incremental aggregation IS the sketch merge. Finalize
+    with hll_finalize at read time."""
+    from ice_spark.queries.sketches import HLL_A, HLL_B, HLL_M, HLL_W
+
+    h = ((F.col(key_col).cast("long") % P) * HLL_A + HLL_B) % P
+    prepared = stream.select(
+        F.col(group_col).cast("string").alias("group_key"), h.alias("h")
+    ).select(
+        "group_key",
+        (F.col("h") % HLL_M).alias("reg"),
+        F.expr(f"h div {HLL_M}").alias("w"),
+    ).select(
+        "group_key",
+        "reg",
+        F.when(F.col("w") == 0, F.lit(HLL_W + 1))
+        .otherwise(F.lit(HLL_W) - (F.length(F.bin("w")) - 1))
+        .alias("rho"),
+    )
+    return prepared.groupBy("group_key", "reg").agg(F.max("rho").alias("m_j"))
+
+
+def hll_finalize(registers: DataFrame) -> DataFrame:
+    """Distinct-count estimate per group from (group_key, reg, m_j)
+    register rows — identical integer arithmetic to the batch k07
+    query (exact bigint harmonic sum, one double division)."""
+    from ice_spark.queries.sketches import HLL_M, HLL_W
+
+    top = 1 << (HLL_W + 1)
+    sums = registers.groupBy("group_key").agg(
+        F.count("*").alias("registers_hit"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - m_j)")).alias(
+            "s_present"
+        ),
+    )
+    return sums.select(
+        "group_key",
+        (F.col("s_present") + (HLL_M - F.col("registers_hit")) * F.lit(top)).alias(
+            "harmonic_sum"
+        ),
+    ).withColumn(
+        "hll_estimate",
+        F.floor(F.lit(0.709 * HLL_M * HLL_M * top) / F.col("harmonic_sum")).cast(
+            "long"
+        ),
+    )

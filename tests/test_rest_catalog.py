@@ -401,6 +401,50 @@ class TestViews:
         assert e.value.code == 404
 
 
+class TestPagination:
+    def test_paged_table_listing_drains_all(self, client):
+        client.create_namespace("big")
+        for i in range(7):
+            _mk_table(client, f"big.t{i}")
+        # page size 3 → 3 requests, same total as unpaginated
+        assert client.list_tables("big", page_size=3) == client.list_tables("big")
+        assert len(client.list_tables("big", page_size=3)) == 7
+
+    def test_page_token_shape(self, client):
+        client.create_namespace("big")
+        for i in range(5):
+            _mk_table(client, f"big.t{i}")
+        out = client._req(
+            "GET",
+            client._p(f"/namespaces/big/tables"),
+            query={"pageSize": "2"},
+        )
+        assert len(out["identifiers"]) == 2
+        assert out["next-page-token"] == "2"
+        out2 = client._req(
+            "GET",
+            client._p(f"/namespaces/big/tables"),
+            query={"pageSize": "4", "pageToken": out["next-page-token"]},
+        )
+        assert len(out2["identifiers"]) == 3
+        assert "next-page-token" not in out2
+
+    def test_bad_page_size_400(self, client):
+        client.create_namespace("big")
+        with pytest.raises(RestError) as e:
+            client._req(
+                "GET",
+                client._p("/namespaces/big/tables"),
+                query={"pageSize": "0"},
+            )
+        assert e.value.code == 400
+
+    def test_namespace_paging(self, client):
+        for n in ("a", "b", "c"):
+            client.create_namespace(n)
+        assert client.list_namespaces(page_size=2) == ["a", "b", "c"]
+
+
 class TestProtocol:
     def test_oauth_token_stub(self, server):
         import urllib.request

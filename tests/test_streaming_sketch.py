@@ -151,3 +151,73 @@ def test_streaming_kmv_state_survives_restart(spark, tmp_path):
     all_keys = [u for u, _ in b1] + [u for u, _ in b2]
     assert final.kmv_estimate == _batch_kmv(all_keys)
     assert final.kmv_estimate != _batch_kmv([u for u, _ in b2])
+
+
+def test_stream_matches_batch_hll(spark, tmp_path):
+    """Stream-built HLL registers == batch k07 registers over the
+    same data, and the finalized estimate matches the batch estimate
+    exactly (register max is the lossless HLL merge)."""
+    from ice_spark.streaming.sketch import hll_finalize, hll_stream
+
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    b1 = [(i % 150, "click") for i in range(400)]
+    b2 = [(100 + (i % 200), "click") for i in range(400)]
+    for name, rows in (("b1", b1), ("b2", b2)):
+        spark.createDataFrame(rows, "user_id long, event_type string").coalesce(
+            1
+        ).write.parquet(str(src / name))
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        hll_stream(stream, "user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    regs = spark.sql(
+        "SELECT group_key, reg, m_j FROM hll_stream"
+    )
+    est = hll_finalize(regs).collect()[0]
+
+    # batch reference over the union of both files
+    batch = spark.createDataFrame(
+        b1 + b2, "user_id long, event_type string"
+    )
+    from ice_spark.streaming.sketch import hll_stream as _  # noqa: F401
+    from ice_spark.queries.sketches import HLL_A, HLL_B, HLL_M, HLL_W
+    from pyspark.sql import functions as F
+
+    P_ = 2_147_483_647
+    h = ((F.col("user_id").cast("long") % P_) * HLL_A + HLL_B) % P_
+    batch_regs = (
+        batch.select(F.lit("click").alias("group_key"), h.alias("h"))
+        .select(
+            "group_key",
+            (F.col("h") % HLL_M).alias("reg"),
+            F.expr(f"h div {HLL_M}").alias("w"),
+        )
+        .select(
+            "group_key",
+            "reg",
+            F.when(F.col("w") == 0, F.lit(HLL_W + 1))
+            .otherwise(F.lit(HLL_W) - (F.length(F.bin("w")) - 1))
+            .alias("rho"),
+        )
+        .groupBy("group_key", "reg")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    batch_est = hll_finalize(batch_regs).collect()[0]
+    assert est.harmonic_sum == batch_est.harmonic_sum
+    assert est.hll_estimate == batch_est.hll_estimate
+    # 250 true distinct; m=64 HLL should land within ±40%
+    assert 150 <= est.hll_estimate <= 350
+    # bounded state: at most 64 register rows
+    assert regs.count() <= 64
