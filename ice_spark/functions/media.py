@@ -311,3 +311,32 @@ def parse_image_header(data: bytes) -> tuple[int, int, str] | None:
         if meta is not None:
             return meta
     return None
+
+
+def synth_wav_pcm(sample_rate: int, samples: list[int]) -> bytes:
+    """Valid 16-bit mono PCM WAV carrying the given samples."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_samples(data: bytes) -> list[int] | None:
+    """16-bit mono PCM samples from a RIFF/WAVE byte string, or None
+    if the container or format doesn't match."""
+    hdr = parse_wav_header(data)
+    if hdr is None or hdr["channels"] != 1 or hdr["bits"] != 16:
+        return None
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if tag == b"data":
+            body = data[pos + 8 : pos + 8 + ln]
+            return list(struct.unpack(f"<{ln // 2}h", body[: ln - ln % 2]))
+        pos += 8 + ln + (ln & 1)
+    return None

@@ -339,3 +339,84 @@ def patch_grid(
         F.least(p, w - F.col("t.px") * p).alias("patch_w"),
         F.least(p, h - F.col("t.py") * p).alias("patch_h"),
     ).drop("t")
+
+
+def synthesize_audio(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """Materialize REAL 16-bit mono PCM WAV per row: sample count and
+    the waveform itself are pure functions of the id (sample i =
+    ((id*31 + i*17) % 2003) - 1001), so an analytic oracle can
+    recompute every windowed statistic while the pipeline must parse
+    them back out of actual RIFF bytes. Audio twin of
+    synthesize_media."""
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(binary_col, T.BinaryType())]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ice_spark.functions import media
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                n = 64 + i % 128
+                samples = [((i * 31 + j * 17) % 2003) - 1001 for j in range(n)]
+                ids.append(i)
+                blobs.append(media.synth_wav_pcm(8000, samples))
+            yield pd.DataFrame({id_col: ids, binary_col: blobs})
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def audio_window_energy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "content",
+    window: int = 32,
+) -> DataFrame:
+    """Windowed audio energy over real WAV bytes: decode 16-bit PCM
+    samples (functions/media.decode_wav_samples), split into
+    fixed-size sample windows, emit one row per window with the
+    integer sum of squares. Bytes stay in the Arrow batch; windows of
+    a long file are yielded incrementally so a 1 GB track never
+    becomes one Python list of rows. At 100 TB the decode is
+    embarrassingly parallel map-only work — no shuffle until the
+    caller aggregates."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("window_idx", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("energy", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ice_spark.functions import media
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                i = int(r[id_col])
+                samples = media.decode_wav_samples(bytes(r[binary_col]))
+                if samples is None:
+                    continue
+                for w0 in range(0, len(samples), window):
+                    chunk = samples[w0 : w0 + window]
+                    rows.append(
+                        {
+                            id_col: i,
+                            "window_idx": w0 // window,
+                            "n_samples": len(chunk),
+                            "energy": sum(s * s for s in chunk),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[id_col, "window_idx", "n_samples", "energy"])
+
+    return df.mapInPandas(run, schema=out_schema)

