@@ -694,20 +694,50 @@ def k06(spark: SparkSession, sf_dir: str) -> DataFrame:
 HLL_M = 64  # registers (2^6)
 HLL_W = 25  # value bit-width: h < 2^31, h div 64 < 2^25
 HLL_A, HLL_B = 1812433253, 101  # fresh large-multiplier pair
+# HLL needs more than the affine hash: its statistic is the leading-
+# zero count of the HIGH bits, and an affine-mod-P map of structured
+# keys (sequential ids) is equidistributed, not independent — maxima
+# per register bias high (measured 1.7x at n=500). Two xor-shift +
+# multiply rounds give avalanche while every product stays < 2^62
+# (Spark wraps, DuckDB overflow-checks — both must stay exact).
+HLL_A2, HLL_B2 = 1103515245, 12345
+HLL_A3 = 1566083941
+
+
+def _hll_mix_col(df, key_col: str):
+    """Append portable avalanche hash column `h` of an integral key."""
+    return (
+        df.withColumn("__h1", _hash_col(F.col(key_col).cast("long"), HLL_A, HLL_B))
+        .withColumn("__h2", F.expr("__h1 ^ shiftright(__h1, 15)"))
+        .withColumn("__h3", (F.col("__h2") * HLL_A2 + HLL_B2) % P)
+        .withColumn("__h4", F.expr("__h3 ^ shiftright(__h3, 13)"))
+        .withColumn("h", (F.col("__h4") * HLL_A3) % P)
+        .drop("__h1", "__h2", "__h3", "__h4")
+    )
+
+
+def _hll_mix_sql(key_sql: str, source: str, extra_cols: str = "") -> str:
+    """DuckDB CTE chain computing the same avalanche hash as
+    _hll_mix_col; yields a relation (named `hmix`) with `h` plus
+    extra_cols."""
+    ec = (extra_cols + ", ") if extra_cols else ""
+    return f"""
+    __m1 AS (SELECT {ec}{_hash_sql(key_sql, HLL_A, HLL_B)} AS h FROM {source}),
+    __m2 AS (SELECT {ec}xor(h, h >> 15) AS h FROM __m1),
+    __m3 AS (SELECT {ec}(h * {HLL_A2} + {HLL_B2}) % {P} AS h FROM __m2),
+    __m4 AS (SELECT {ec}xor(h, h >> 13) AS h FROM __m3),
+    hmix AS (SELECT {ec}(h * {HLL_A3}) % {P} AS h FROM __m4)"""
 
 
 @register(
     "k07_hll_distinct_users",
     f"""
-    WITH hv AS (
-      SELECT event_type,
-             {_hash_sql('user_id', HLL_A, HLL_B)} AS h
-      FROM events
-    ), rr AS (
+    WITH {_hll_mix_sql('user_id', 'events', 'event_type')},
+    rr AS (
       SELECT event_type,
              h % {HLL_M} AS reg,
              h // {HLL_M} AS w
-      FROM hv
+      FROM hmix
     ), rho AS (
       SELECT event_type, reg,
              CASE WHEN w = 0 THEN {HLL_W + 1}
@@ -755,11 +785,7 @@ HLL_A, HLL_B = 1812433253, 101  # fresh large-multiplier pair
 )
 def k07(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    hv = ev.select(
-        "event_type",
-        "user_id",
-        _hash_col(F.col("user_id"), HLL_A, HLL_B).alias("h"),
-    )
+    hv = _hll_mix_col(ev.select("event_type", "user_id"), "user_id")
     rho = hv.select(
         "event_type",
         (F.col("h") % HLL_M).alias("reg"),

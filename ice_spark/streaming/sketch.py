@@ -147,11 +147,14 @@ def hll_stream(stream: DataFrame, key_col: str, group_col: str) -> DataFrame:
     group in the state store regardless of stream length) and the
     built-in incremental aggregation IS the sketch merge. Finalize
     with hll_finalize at read time."""
-    from ice_spark.queries.sketches import HLL_A, HLL_B, HLL_M, HLL_W
+    from ice_spark.queries.sketches import HLL_M, HLL_W, _hll_mix_col
 
-    h = ((F.col(key_col).cast("long") % P) * HLL_A + HLL_B) % P
-    prepared = stream.select(
-        F.col(group_col).cast("string").alias("group_key"), h.alias("h")
+    prepared = _hll_mix_col(
+        stream.select(
+            F.col(group_col).cast("string").alias("group_key"),
+            F.col(key_col).cast("long").alias("__k"),
+        ),
+        "__k",
     ).select(
         "group_key",
         (F.col("h") % HLL_M).alias("reg"),

@@ -109,3 +109,83 @@ def test_kmv_merge_lossless_property():
         assert sorted(merged_pool)[:K] == kmin(keys)
 
     check()
+
+
+def test_hll_register_merge_is_lossless(spark):
+    """HLL merge = register-wise max: the sketch of a union equals the
+    merge of per-part sketches under ANY partitioning of the data —
+    the property that makes daily partial sketches roll up exactly."""
+    from ice_spark.streaming.sketch import hll_finalize
+    from ice_spark.queries.sketches import HLL_M, HLL_W
+    from pyspark.sql import functions as F
+
+    P = 2_147_483_647
+
+    def regs(df):
+        from ice_spark.queries.sketches import _hll_mix_col
+
+        return (
+            _hll_mix_col(df.select(F.lit("g").alias("group_key"), "user_id"), "user_id")
+            .select(
+                "group_key",
+                (F.col("h") % HLL_M).alias("reg"),
+                F.expr(f"h div {HLL_M}").alias("w"),
+            )
+            .select(
+                "group_key",
+                "reg",
+                F.when(F.col("w") == 0, F.lit(HLL_W + 1))
+                .otherwise(F.lit(HLL_W) - (F.length(F.bin("w")) - 1))
+                .alias("rho"),
+            )
+            .groupBy("group_key", "reg")
+            .agg(F.max("rho").alias("m_j"))
+        )
+
+    full = spark.range(0, 3000).selectExpr("id * 7 AS user_id")
+    part_a = full.where(F.col("user_id") % 3 == 0)
+    part_b = full.where(F.col("user_id") % 3 != 0)
+    merged = (
+        regs(part_a)
+        .unionByName(regs(part_b))
+        .groupBy("group_key", "reg")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    est_full = hll_finalize(regs(full)).collect()[0]
+    est_merged = hll_finalize(merged).collect()[0]
+    assert est_full.harmonic_sum == est_merged.harmonic_sum
+    assert est_full.hll_estimate == est_merged.hll_estimate
+
+
+def test_hll_estimate_error_bound(spark):
+    """m=64 HLL has ~13% relative standard error; pin a generous 3-
+    sigma envelope at a few cardinalities so estimator regressions
+    (hash clustering, register addressing bugs) fail loudly."""
+    from ice_spark.streaming.sketch import hll_finalize
+    from ice_spark.queries.sketches import HLL_M, HLL_W
+    from pyspark.sql import functions as F
+
+    P = 2_147_483_647
+    for n in (500, 5000, 20000):
+        from ice_spark.queries.sketches import _hll_mix_col
+
+        df = spark.range(0, n).selectExpr("id * 13 + 5 AS user_id")
+        regs = (
+            _hll_mix_col(df.select(F.lit("g").alias("group_key"), "user_id"), "user_id")
+            .select(
+                "group_key",
+                (F.col("h") % HLL_M).alias("reg"),
+                F.expr(f"h div {HLL_M}").alias("w"),
+            )
+            .select(
+                "group_key",
+                "reg",
+                F.when(F.col("w") == 0, F.lit(HLL_W + 1))
+                .otherwise(F.lit(HLL_W) - (F.length(F.bin("w")) - 1))
+                .alias("rho"),
+            )
+            .groupBy("group_key", "reg")
+            .agg(F.max("rho").alias("m_j"))
+        )
+        est = hll_finalize(regs).collect()[0].hll_estimate
+        assert abs(est - n) / n < 0.40, f"n={n}: estimate {est}"

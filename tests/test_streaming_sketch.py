@@ -191,14 +191,11 @@ def test_stream_matches_batch_hll(spark, tmp_path):
     batch = spark.createDataFrame(
         b1 + b2, "user_id long, event_type string"
     )
-    from ice_spark.streaming.sketch import hll_stream as _  # noqa: F401
-    from ice_spark.queries.sketches import HLL_A, HLL_B, HLL_M, HLL_W
+    from ice_spark.queries.sketches import HLL_M, HLL_W, _hll_mix_col
     from pyspark.sql import functions as F
 
-    P_ = 2_147_483_647
-    h = ((F.col("user_id").cast("long") % P_) * HLL_A + HLL_B) % P_
     batch_regs = (
-        batch.select(F.lit("click").alias("group_key"), h.alias("h"))
+        _hll_mix_col(batch.select(F.lit("click").alias("group_key"), "user_id"), "user_id")
         .select(
             "group_key",
             (F.col("h") % HLL_M).alias("reg"),
