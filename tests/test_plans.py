@@ -271,3 +271,19 @@ def test_g01_pagerank_iteration_shuffles(spark, sf_dir):
     a = _audit(spark, sf_dir, "g01_pagerank_order_network")
     assert "InMemoryTableScan" in a.plan or "InMemoryRelation" in a.plan, a.plan[:1500]
     assert "CartesianProduct" not in a.plan
+
+
+def test_no_cartesian_in_any_registered_query(spark, sf_dir):
+    """Blanket invariant over the ENTIRE query library: no plan may
+    contain a CartesianProduct. One-row broadcast cross joins compile
+    to BroadcastNestedLoopJoin (bounded, fine); a true cartesian at
+    100 TB is always a bug. Sweeping all plans (~35s at sf0.001)
+    means a new query can't slip one in unpinned."""
+    from ice_spark.queries.registry import load_all
+
+    offenders = []
+    for name, spec in load_all().items():
+        a = audit(spec.spark_fn(spark, sf_dir))
+        if "CartesianProduct" in a.plan:
+            offenders.append(name)
+    assert not offenders, offenders
