@@ -476,3 +476,103 @@ class TestProtocol:
         _mk_table(client, "a.b.t")
         assert client.list_tables("a.b") == ["t"]
         assert client.table_exists("a.b.t")
+
+
+class TestTransactionRaces:
+    def test_racing_transactions_serialize_via_cas(self, client):
+        """Two multi-table transactions racing on the same tables:
+        with no requirements both must land (CAS retry), and the
+        final state contains BOTH property sets — no lost update."""
+        import threading
+
+        _mk_table(client, "ns1.a")
+        _mk_table(client, "ns1.b")
+        errs = []
+
+        def tx(tag):
+            try:
+                client.commit_transaction(
+                    [
+                        {
+                            "identifier": {"namespace": ["ns1"], "name": n},
+                            "requirements": [],
+                            "updates": [
+                                {"action": "set-properties", "updates": {tag: "1"}}
+                            ],
+                        }
+                        for n in ("a", "b")
+                    ]
+                )
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=tx, args=(f"tx{i}",)) for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        for n in ("a", "b"):
+            props = client.load_table(f"ns1.{n}")["metadata"]["properties"]
+            assert all(props.get(f"tx{i}") == "1" for i in range(4)), props
+
+    def test_requirement_guarded_race_admits_exactly_one(self, client):
+        """Compare-and-swap at the transaction level: each racer
+        requires main to still be at None and then tags it; exactly
+        one wins, the rest fail their requirement with 409."""
+        import threading
+
+        _mk_table(client, "ns1.t")
+        snap = {
+            "snapshot_id": 1,
+            "parent_snapshot_id": None,
+            "timestamp_ms": 1,
+            "operation": "append",
+            "manifest_list": None,
+            "manifests": [],
+            "summary": {},
+        }
+        client.commit_table("ns1.t", [], [{"action": "add-snapshot", "snapshot": snap}])
+        wins, losses = [], []
+
+        def racer(i):
+            try:
+                client.commit_transaction(
+                    [
+                        {
+                            "identifier": {"namespace": ["ns1"], "name": "t"},
+                            "requirements": [
+                                {
+                                    "type": "assert-ref-snapshot-id",
+                                    "ref": "main",
+                                    "snapshot-id": None,
+                                }
+                            ],
+                            "updates": [
+                                {
+                                    "action": "set-snapshot-ref",
+                                    "ref-name": "main",
+                                    "snapshot-id": 1,
+                                },
+                                {
+                                    "action": "set-properties",
+                                    "updates": {"winner": str(i)},
+                                },
+                            ],
+                        }
+                    ]
+                )
+                wins.append(i)
+            except RestError as e:
+                assert e.code == 409
+                losses.append(i)
+
+        ts = [threading.Thread(target=racer, args=(i,)) for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(wins) == 1, (wins, losses)
+        meta = client.load_table("ns1.t")["metadata"]
+        assert meta["current_snapshot_id"] == 1
+        assert meta["properties"]["winner"] == str(wins[0])
