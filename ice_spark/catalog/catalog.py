@@ -42,6 +42,11 @@ class Catalog:
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
         os.makedirs(self.warehouse, exist_ok=True)
+        # serializes namespace-property read-modify-writes within this
+        # process (see update_namespace_properties)
+        import threading
+
+        self._ns_props_lock = threading.Lock()
 
     # ---------- namespaces ----------
 
@@ -93,22 +98,34 @@ class Catalog:
     ) -> dict:
         """updateProperties parity (EtcdCatalog namespace properties;
         REST POST /namespaces/{ns}/properties). Returns the REST
-        response shape: which keys were removed / updated / missing."""
+        response shape: which keys were removed / updated / missing.
+
+        Concurrency: the read-modify-write is serialized by a
+        per-Catalog lock (covers the threaded REST server, which owns
+        one Catalog) and made torn-read-free by writing a temp file +
+        os.replace (readers see old or new, never a partial file).
+        Cross-PROCESS writers are not serialized — namespace
+        properties are not CAS-versioned like table metadata; the
+        reference gets this from etcd transactions."""
         path = self._ns_dir(ns)
         if not self._is_namespace(path):
             raise NamespaceError(f"no such namespace: {ns}")
-        props = self.namespace_properties(ns)
-        removed, missing = [], []
-        for k in removals or []:
-            if k in props:
-                props.pop(k)
-                removed.append(k)
-            else:
-                missing.append(k)
-        updated = sorted((updates or {}).keys())
-        props.update(updates or {})
-        with open(os.path.join(path, ".ns.json"), "w") as f:
-            json.dump({"properties": props}, f)
+        with self._ns_props_lock:
+            props = self.namespace_properties(ns)
+            removed, missing = [], []
+            for k in removals or []:
+                if k in props:
+                    props.pop(k)
+                    removed.append(k)
+                else:
+                    missing.append(k)
+            updated = sorted((updates or {}).keys())
+            props.update(updates or {})
+            target = os.path.join(path, ".ns.json")
+            tmp = target + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"properties": props}, f)
+            os.replace(tmp, target)
         return {"removed": removed, "updated": updated, "missing": missing}
 
     def delete_namespace(self, ns: str) -> None:

@@ -337,6 +337,8 @@ def decode_wav_samples(data: bytes) -> list[int] | None:
         (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         if tag == b"data":
             body = data[pos + 8 : pos + 8 + ln]
+            if len(body) < ln:  # truncated container → reject, don't crash
+                return None
             return list(struct.unpack(f"<{ln // 2}h", body[: ln - ln % 2]))
         pos += 8 + ln + (ln & 1)
     return None

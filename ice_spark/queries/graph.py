@@ -94,6 +94,11 @@ def g01(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (N iterations -> N scans of lineitem). This is the standard
     # Spark iterative-algorithm shape (GraphX/MLlib persist exactly
     # this way); at 100 TB persist(DISK_ONLY) instead of memory.
+    # Lifecycle: no explicit unpersist is possible here (the returned
+    # plan hasn't executed yet); once the caller drops the result,
+    # Spark's ContextCleaner reclaims the unreferenced cached RDD
+    # (spark.cleaner.referenceTracking, on by default), so repeated
+    # invocations don't accumulate storage.
     ed = (
         bidir.join(deg, bidir.src == deg.node)
         .select("src", "dst", "outdeg")

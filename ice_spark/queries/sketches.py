@@ -716,6 +716,29 @@ def _hll_mix_col(df, key_col: str):
     )
 
 
+def hll_registers(df: DataFrame, key_col: str, group_cols: list[str]) -> DataFrame:
+    """(group..., reg, m_j) HLL register rows — THE shared definition
+    of the sketch (mixer → register addressing → rho → per-register
+    max), used by the batch k07 query, the streaming sketch
+    (streaming/sketch.hll_stream — a streaming groupBy+MAX over the
+    same expression), and the estimator-contract tests. Keeping one
+    copy is what makes the stream == batch equality a property of the
+    code rather than of five transcriptions staying in sync."""
+    d = _hll_mix_col(df, key_col)
+    d = d.select(
+        *group_cols,
+        (F.col("h") % HLL_M).alias("reg"),
+        F.expr(f"h div {HLL_M}").alias("w"),
+    ).select(
+        *group_cols,
+        "reg",
+        F.when(F.col("w") == 0, F.lit(HLL_W + 1))
+        .otherwise(F.lit(HLL_W) - (F.length(F.bin("w")) - 1))
+        .alias("rho"),
+    )
+    return d.groupBy(*group_cols, "reg").agg(F.max("rho").alias("m_j"))
+
+
 def _hll_mix_sql(key_sql: str, source: str, extra_cols: str = "") -> str:
     """DuckDB CTE chain computing the same avalanche hash as
     _hll_mix_col; yields a relation (named `hmix`) with `h` plus
@@ -785,19 +808,9 @@ def _hll_mix_sql(key_sql: str, source: str, extra_cols: str = "") -> str:
 )
 def k07(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    hv = _hll_mix_col(ev.select("event_type", "user_id"), "user_id")
-    rho = hv.select(
-        "event_type",
-        (F.col("h") % HLL_M).alias("reg"),
-        F.expr(f"h div {HLL_M}").alias("w"),
-    ).select(
-        "event_type",
-        "reg",
-        F.when(F.col("w") == 0, F.lit(HLL_W + 1))
-        .otherwise(F.lit(HLL_W) - (F.length(F.bin("w")) - 1))
-        .alias("rho"),
+    regs = hll_registers(
+        ev.select("event_type", "user_id"), "user_id", ["event_type"]
     )
-    regs = rho.groupBy("event_type", "reg").agg(F.max("rho").alias("m_j"))
     sums = regs.groupBy("event_type").agg(
         F.count("*").alias("registers_hit"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - m_j)")).alias(
@@ -817,7 +830,7 @@ def k07(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ),
     )
-    exact = hv.groupBy("event_type").agg(
+    exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
     return (

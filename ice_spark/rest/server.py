@@ -5,9 +5,11 @@ surface (Route.java:50-116) from an etcd-backed catalog
 (EtcdCatalog.java), dispatching in RESTCatalogAdapter.handle
 (RESTCatalogAdapter.java:102-380). This module serves the same route
 surface from this engine's snapshot-versioned catalog, on the stdlib
-HTTP server (ThreadingHTTPServer — one thread per request; the
-catalog underneath is safe because every mutation funnels through the
-table-level CAS).
+HTTP server (ThreadingHTTPServer — one thread per request; table
+mutations funnel through the table-level CAS, namespace-property
+updates through a per-Catalog lock + atomic replace, and directory-
+level namespace/table create/drop rely on the filesystem's own
+atomicity).
 
 Reproduced server behaviors (SURVEY §2.6):
 
@@ -176,7 +178,11 @@ class RestCatalogServer:
         self._port = port
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
-        self.metrics_reports: list[dict] = []  # report-metrics sink
+        # report-metrics sink, bounded so a chatty (or hostile) client
+        # can't grow server memory without limit
+        from collections import deque
+
+        self.metrics_reports: deque = deque(maxlen=1000)
 
     # ---------- lifecycle ----------
 
@@ -244,8 +250,10 @@ class RestCatalogServer:
             start, n = int(token), int(size)
         except ValueError:
             raise _ApiError(400, "BadRequestException", "bad pageToken/pageSize")
-        if n <= 0:
-            raise _ApiError(400, "BadRequestException", "pageSize must be positive")
+        if n <= 0 or start < 0:
+            raise _ApiError(
+                400, "BadRequestException", "pageSize must be positive, pageToken non-negative"
+            )
         page = items[start : start + n]
         out[key] = page
         if start + n < len(items):
@@ -317,8 +325,12 @@ class RestCatalogServer:
         return 200, self._paginate(idents, params, "identifiers")
 
     def _load_table_result(self, table: Table):
+        # pair location and body from the SAME refreshed in-memory
+        # state (table._version/_meta) — re-scanning the filesystem
+        # here could pair a newer location with an older body under a
+        # concurrent commit
         return {
-            "metadata-location": table.metadata_path(table.current_version()),
+            "metadata-location": table.metadata_path(table._version),
             "metadata": table.meta,
             "config": {},
         }
@@ -432,7 +444,7 @@ class RestCatalogServer:
             table, body.get("requirements", []), body.get("updates", [])
         )
         return 200, {
-            "metadata-location": t.metadata_path(t.current_version()),
+            "metadata-location": t.metadata_path(t._version),
             "metadata": t.meta,
         }
 
@@ -455,23 +467,34 @@ class RestCatalogServer:
                 raise _ApiError(409, "CommitFailedException", f"{ident}: {fail}")
             plan.append((ident, t, ch))
 
-        committed: list[tuple[str, Table, dict]] = []
+        committed: list[tuple[str, Table, dict, int]] = []
         for ident, t, ch in plan:
             pre_meta = json.loads(json.dumps(t.meta))
             try:
                 self.commit_to_table(t, ch.get("requirements", []), ch.get("updates", []))
-                committed.append((ident, t, pre_meta))
+                committed.append((ident, t, pre_meta, t._version))
             except _ApiError as e:
                 stuck = []
-                for done_ident, done_t, done_pre in reversed(committed):
+                for done_ident, done_t, done_pre, done_ver in reversed(committed):
+                    # Compensation must not clobber a writer that
+                    # landed AFTER our member commit: CAS directly
+                    # against the exact version our commit produced.
+                    # A conflict means someone built on our state —
+                    # rolling back would be a lost update for them,
+                    # so that table is honestly reported 'stuck'
+                    # (same contract as catalog/transaction.py).
                     try:
-                        done_t.commit(lambda m, p=done_pre: _restore(m, p))
+                        done_t.refresh()
+                        meta = json.loads(json.dumps(done_t.meta))
+                        done_t._write_metadata(
+                            _restore(meta, done_pre), expected_version=done_ver
+                        )
                     except Exception:
                         stuck.append(done_ident)
                 detail = {
                     "failed": ident,
                     "message": e.message,
-                    "rolled_back": [i for i, _, _ in committed if i not in stuck],
+                    "rolled_back": [i for i, _, _, _ in committed if i not in stuck],
                     "stuck": stuck,
                 }
                 raise _ApiError(
@@ -587,7 +610,10 @@ def _make_handler(server: RestCatalogServer):
                 if not match:
                     continue
                 try:
-                    server.authorize(self.headers, write=needs_write)
+                    # the oauth token endpoint is pre-auth by nature:
+                    # it's how a client WOULD obtain credentials
+                    if name != "token":
+                        server.authorize(self.headers, write=needs_write)
                     groups = match.groupdict()
                     args = []
                     if "ns" in groups:

@@ -147,26 +147,16 @@ def hll_stream(stream: DataFrame, key_col: str, group_col: str) -> DataFrame:
     group in the state store regardless of stream length) and the
     built-in incremental aggregation IS the sketch merge. Finalize
     with hll_finalize at read time."""
-    from ice_spark.queries.sketches import HLL_M, HLL_W, _hll_mix_col
+    from ice_spark.queries.sketches import hll_registers
 
-    prepared = _hll_mix_col(
+    return hll_registers(
         stream.select(
             F.col(group_col).cast("string").alias("group_key"),
             F.col(key_col).cast("long").alias("__k"),
         ),
         "__k",
-    ).select(
-        "group_key",
-        (F.col("h") % HLL_M).alias("reg"),
-        F.expr(f"h div {HLL_M}").alias("w"),
-    ).select(
-        "group_key",
-        "reg",
-        F.when(F.col("w") == 0, F.lit(HLL_W + 1))
-        .otherwise(F.lit(HLL_W) - (F.length(F.bin("w")) - 1))
-        .alias("rho"),
+        ["group_key"],
     )
-    return prepared.groupBy("group_key", "reg").agg(F.max("rho").alias("m_j"))
 
 
 def hll_finalize(registers: DataFrame) -> DataFrame:

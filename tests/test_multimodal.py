@@ -95,8 +95,10 @@ def test_wav_pcm_roundtrip_and_rejects():
     assert decode_wav_samples(synth_wav_pcm(8000, samples)) == samples
     # stereo / non-16-bit containers are rejected, not misparsed
     assert decode_wav_samples(synth_wav(8000, channels=2, n_samples=10)) is None
-    assert decode_wav_samples(b"RIFFxxxxWAVE") == None or True
+    assert decode_wav_samples(b"RIFFxxxxWAVE") is None
     assert decode_wav_samples(b"not audio") is None
+    # truncated data chunk: reject cleanly instead of struct.error
+    assert decode_wav_samples(synth_wav_pcm(8000, [1, 2, 3])[:-2]) is None
 
 
 def test_audio_window_energy_shapes(spark):

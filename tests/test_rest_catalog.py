@@ -576,3 +576,102 @@ class TestTransactionRaces:
         meta = client.load_table("ns1.t")["metadata"]
         assert meta["current_snapshot_id"] == 1
         assert meta["properties"]["winner"] == str(wins[0])
+
+
+class TestCompensationSafety:
+    def test_compensation_respects_interleaved_writer(self, server, client):
+        """A writer that lands on table A AFTER the transaction's
+        A-commit but BEFORE compensation must NOT be rolled over:
+        compensation CASes against the exact version the transaction
+        produced, conflicts, and reports A as 'stuck' — the writer's
+        acknowledged commit survives."""
+        _mk_table(client, "ns1.a")
+        _mk_table(client, "ns1.b")
+        orig = server.commit_to_table
+
+        def hooked(table, reqs, updates):
+            if table.identifier.endswith(".b"):
+                # interleaved writer on a, then the member fails
+                client.commit_table(
+                    "ns1.a", [], [{"action": "set-properties", "updates": {"w": "1"}}]
+                )
+                from ice_spark.rest.server import _ApiError
+
+                raise _ApiError(409, "CommitFailedException", "boom")
+            return orig(table, reqs, updates)
+
+        server.commit_to_table = hooked
+        try:
+            with pytest.raises(RestError) as e:
+                client.commit_transaction(
+                    [
+                        {
+                            "identifier": {"namespace": ["ns1"], "name": n},
+                            "requirements": [],
+                            "updates": [
+                                {"action": "set-properties", "updates": {"tx": "1"}}
+                            ],
+                        }
+                        for n in ("a", "b")
+                    ]
+                )
+        finally:
+            server.commit_to_table = orig
+        detail = json.loads(e.value.message)
+        assert detail["stuck"] == ["ns1.a"]
+        assert detail["rolled_back"] == []
+        props = client.load_table("ns1.a")["metadata"]["properties"]
+        # the interleaved writer's acknowledged commit survives, and
+        # the transaction's A-write remains too (stuck, not reverted)
+        assert props["w"] == "1"
+        assert props["tx"] == "1"
+
+    def test_compensation_still_rolls_back_when_unobstructed(self, client):
+        """Sanity: with no interleaved writer the compensation path
+        still reverts committed members (same as before the CAS fix)."""
+        _mk_table(client, "ns1.a")
+        _mk_table(client, "ns1.b")
+        with pytest.raises(RestError) as e:
+            client.commit_transaction(
+                [
+                    {
+                        "identifier": {"namespace": ["ns1"], "name": "a"},
+                        "requirements": [],
+                        "updates": [{"action": "set-properties", "updates": {"tx": "1"}}],
+                    },
+                    {
+                        "identifier": {"namespace": ["ns1"], "name": "b"},
+                        "requirements": [],
+                        "updates": [
+                            {"action": "set-snapshot-ref", "ref-name": "x", "snapshot-id": 99}
+                        ],
+                    },
+                ]
+            )
+        detail = json.loads(e.value.message)
+        assert detail["rolled_back"] == ["ns1.a"]
+        assert "tx" not in client.load_table("ns1.a")["metadata"]["properties"]
+
+
+class TestAuthBootstrap:
+    def test_token_endpoint_is_pre_auth(self, tmp_path):
+        """POST /v1/oauth/tokens must work WITHOUT credentials even on
+        a token-gated server — it's how a client would obtain them."""
+        import urllib.request
+
+        cat = Catalog(None, str(tmp_path / "wh"))
+        srv = RestCatalogServer(
+            cat, ServerConfig(tokens={"s": {"read_only": False}}, anonymous=False)
+        ).start()
+        try:
+            req = urllib.request.Request(
+                srv.url + "/v1/oauth/tokens", data=b"{}", method="POST"
+            )
+            with urllib.request.urlopen(req) as r:
+                assert json.loads(r.read())["token_type"] == "bearer"
+            # everything else still requires auth
+            with pytest.raises(RestError) as e:
+                RestCatalogClient(srv.url).check()
+            assert e.value.code == 401
+        finally:
+            srv.stop()

@@ -122,24 +122,10 @@ def test_hll_register_merge_is_lossless(spark):
     P = 2_147_483_647
 
     def regs(df):
-        from ice_spark.queries.sketches import _hll_mix_col
+        from ice_spark.queries.sketches import hll_registers
 
-        return (
-            _hll_mix_col(df.select(F.lit("g").alias("group_key"), "user_id"), "user_id")
-            .select(
-                "group_key",
-                (F.col("h") % HLL_M).alias("reg"),
-                F.expr(f"h div {HLL_M}").alias("w"),
-            )
-            .select(
-                "group_key",
-                "reg",
-                F.when(F.col("w") == 0, F.lit(HLL_W + 1))
-                .otherwise(F.lit(HLL_W) - (F.length(F.bin("w")) - 1))
-                .alias("rho"),
-            )
-            .groupBy("group_key", "reg")
-            .agg(F.max("rho").alias("m_j"))
+        return hll_registers(
+            df.select(F.lit("g").alias("group_key"), "user_id"), "user_id", ["group_key"]
         )
 
     full = spark.range(0, 3000).selectExpr("id * 7 AS user_id")
@@ -167,25 +153,11 @@ def test_hll_estimate_error_bound(spark):
 
     P = 2_147_483_647
     for n in (500, 5000, 20000):
-        from ice_spark.queries.sketches import _hll_mix_col
+        from ice_spark.queries.sketches import hll_registers
 
         df = spark.range(0, n).selectExpr("id * 13 + 5 AS user_id")
-        regs = (
-            _hll_mix_col(df.select(F.lit("g").alias("group_key"), "user_id"), "user_id")
-            .select(
-                "group_key",
-                (F.col("h") % HLL_M).alias("reg"),
-                F.expr(f"h div {HLL_M}").alias("w"),
-            )
-            .select(
-                "group_key",
-                "reg",
-                F.when(F.col("w") == 0, F.lit(HLL_W + 1))
-                .otherwise(F.lit(HLL_W) - (F.length(F.bin("w")) - 1))
-                .alias("rho"),
-            )
-            .groupBy("group_key", "reg")
-            .agg(F.max("rho").alias("m_j"))
+        regs = hll_registers(
+            df.select(F.lit("g").alias("group_key"), "user_id"), "user_id", ["group_key"]
         )
         est = hll_finalize(regs).collect()[0].hll_estimate
         assert abs(est - n) / n < 0.40, f"n={n}: estimate {est}"

@@ -191,25 +191,11 @@ def test_stream_matches_batch_hll(spark, tmp_path):
     batch = spark.createDataFrame(
         b1 + b2, "user_id long, event_type string"
     )
-    from ice_spark.queries.sketches import HLL_M, HLL_W, _hll_mix_col
+    from ice_spark.queries.sketches import hll_registers
     from pyspark.sql import functions as F
 
-    batch_regs = (
-        _hll_mix_col(batch.select(F.lit("click").alias("group_key"), "user_id"), "user_id")
-        .select(
-            "group_key",
-            (F.col("h") % HLL_M).alias("reg"),
-            F.expr(f"h div {HLL_M}").alias("w"),
-        )
-        .select(
-            "group_key",
-            "reg",
-            F.when(F.col("w") == 0, F.lit(HLL_W + 1))
-            .otherwise(F.lit(HLL_W) - (F.length(F.bin("w")) - 1))
-            .alias("rho"),
-        )
-        .groupBy("group_key", "reg")
-        .agg(F.max("rho").alias("m_j"))
+    batch_regs = hll_registers(
+        batch.select(F.lit("click").alias("group_key"), "user_id"), "user_id", ["group_key"]
     )
     batch_est = hll_finalize(batch_regs).collect()[0]
     assert est.harmonic_sum == batch_est.harmonic_sum
