@@ -207,6 +207,24 @@ def main() -> None:
     except Exception as e:
         sketch["error"] = str(e).splitlines()[0][:200]
 
+    # --- round-5 operators (additive; headline stays anchor-comparable) -
+    r5_ops: dict = {}
+    try:
+        for name in (
+            "k07_hll_distinct_users",
+            "g01_pagerank_order_network",
+            "d11_incremental_neardup_admission",
+            "m04_audio_window_energy",
+            "d12_fuzzy_name_matches",
+        ):
+            t0 = time.time()
+            specs[name].spark_fn(spark, sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            r5_ops[name] = round(time.time() - t0, 3)
+    except Exception as e:
+        r5_ops["error"] = str(e).splitlines()[0][:200]
+
     # --- sf1 scale probe (VERDICT r2 #8) -------------------------------
     # 10x the bench SF via key-shifted replication (tools/
     # scale_testdata.py), then run a representative headline subset.
@@ -266,6 +284,7 @@ def main() -> None:
         "sf": float(sf_label) if sf_label else sf,
         "ingest": ingest,
         **({"sketch": sketch} if sketch else {}),
+        **({"r5_ops": r5_ops} if r5_ops else {}),
         **({"sf1_probe": sf1} if sf1 else {}),
         # A total computed while queries errored is not comparable to a
         # clean run (failed queries "finish" in ~0.2s) — r2 published
