@@ -250,6 +250,10 @@ def main() -> None:
                 "d04_minhash_lsh_pairs",
                 "v01_knn_bruteforce",
                 "t02_quality_scores",
+                # round-5 ops: bounded-state sketch + batch-scaled
+                # admission dedup, probed at 10x for cliff detection
+                "k07_hll_distinct_users",
+                "d11_incremental_neardup_admission",
             ]
             q1: dict[str, float] = {}
             for name in probe:
