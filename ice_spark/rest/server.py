@@ -55,6 +55,7 @@ from ice_spark.catalog.catalog import Catalog, NamespaceError
 from ice_spark.catalog.table import CommitConflictError, NoSuchTableError, Table
 
 UNIT_SEP = "\x1f"
+MAX_BODY_BYTES = 8 * 1024 * 1024  # metadata plane: 8 MB is generous
 
 
 class ServerConfig:
@@ -594,6 +595,23 @@ def _make_handler(server: RestCatalogServer):
             params = urllib.parse.parse_qs(parsed.query)
             body = {}
             length = int(self.headers.get("Content-Length") or 0)
+            if length > MAX_BODY_BYTES:
+                # drain in bounded chunks (never buffering the whole
+                # body) so the client can finish writing and read the
+                # 413 instead of hitting a broken pipe
+                remaining = length
+                while remaining > 0:
+                    chunk = self.rfile.read(min(65536, remaining))
+                    if not chunk:
+                        break
+                    remaining -= len(chunk)
+                return self._send_error(
+                    _ApiError(
+                        413,
+                        "PayloadTooLargeException",
+                        f"body {length} bytes exceeds {MAX_BODY_BYTES}",
+                    )
+                )
             if length:
                 raw = self.rfile.read(length)
                 if raw:

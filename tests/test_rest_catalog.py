@@ -675,3 +675,16 @@ class TestAuthBootstrap:
             assert e.value.code == 401
         finally:
             srv.stop()
+
+
+def test_oversize_body_413(server):
+    import urllib.error
+    import urllib.request
+
+    big = b"{" + b" " * (9 * 1024 * 1024) + b"}"
+    req = urllib.request.Request(
+        server.url + "/v1/ice/namespaces", data=big, method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 413
