@@ -159,21 +159,24 @@ def hll_stream(stream: DataFrame, key_col: str, group_col: str) -> DataFrame:
     )
 
 
-def hll_finalize(registers: DataFrame) -> DataFrame:
-    """Distinct-count estimate per group from (group_key, reg, m_j)
+def hll_finalize(
+    registers: DataFrame, group_cols: tuple[str, ...] = ("group_key",)
+) -> DataFrame:
+    """Distinct-count estimate per group from (group..., reg, m_j)
     register rows — identical integer arithmetic to the batch k07
-    query (exact bigint harmonic sum, one double division)."""
+    query (exact bigint harmonic sum, one double division). For
+    windowed registers pass group_cols=("win", "group_key")."""
     from ice_spark.queries.sketches import HLL_M, HLL_W
 
     top = 1 << (HLL_W + 1)
-    sums = registers.groupBy("group_key").agg(
+    sums = registers.groupBy(*group_cols).agg(
         F.count("*").alias("registers_hit"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - m_j)")).alias(
             "s_present"
         ),
     )
     return sums.select(
-        "group_key",
+        *group_cols,
         (F.col("s_present") + (HLL_M - F.col("registers_hit")) * F.lit(top)).alias(
             "harmonic_sum"
         ),
@@ -182,4 +185,48 @@ def hll_finalize(registers: DataFrame) -> DataFrame:
         F.floor(F.lit(0.709 * HLL_M * HLL_M * top) / F.col("harmonic_sum")).cast(
             "long"
         ),
+    )
+
+
+def hll_windowed_stream(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    group_col: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked event-time HLL: distinct-count registers per
+    (tumbling window, group). State per open window is still ≤ 64
+    register rows per group, and the watermark bounds HOW MANY
+    windows stay open — the two dimensions of streaming state,
+    both bounded. Late events inside the watermark update their
+    window's registers (max is idempotent and order-free, the
+    friendliest possible late-data semantics); events later than the
+    watermark are dropped with the state already finalized.
+    Finalize with hll_finalize grouped by (window, group)."""
+    from ice_spark.queries.sketches import HLL_M, HLL_W, _hll_mix_col
+
+    prepared = _hll_mix_col(
+        stream.withWatermark(ts_col, watermark).select(
+            F.col(ts_col).alias("__ts"),
+            F.col(group_col).cast("string").alias("group_key"),
+            F.col(key_col).cast("long").alias("__k"),
+        ),
+        "__k",
+    ).select(
+        F.window("__ts", window).alias("win"),
+        "group_key",
+        (F.col("h") % HLL_M).alias("reg"),
+        F.expr(f"h div {HLL_M}").alias("w"),
+    ).select(
+        "win",
+        "group_key",
+        "reg",
+        F.when(F.col("w") == 0, F.lit(HLL_W + 1))
+        .otherwise(F.lit(HLL_W) - (F.length(F.bin("w")) - 1))
+        .alias("rho"),
+    )
+    return prepared.groupBy("win", "group_key", "reg").agg(
+        F.max("rho").alias("m_j")
     )

@@ -204,3 +204,55 @@ def test_stream_matches_batch_hll(spark, tmp_path):
     assert 150 <= est.hll_estimate <= 350
     # bounded state: at most 64 register rows
     assert regs.count() <= 64
+
+
+def test_windowed_hll_with_watermark(spark, tmp_path):
+    """Watermarked tumbling-window HLL: per-window registers finalize
+    to per-window estimates; an event belonging to an old window that
+    arrives within the watermark still lands in ITS window (register
+    max is idempotent/order-free)."""
+    from ice_spark.streaming.sketch import hll_finalize, hll_windowed_stream
+
+    src = tmp_path / "whll_src"
+    src.mkdir()
+    # window = 1 hour; batch 1 fills hour 0 and hour 1, batch 2 adds
+    # LATE hour-0 events (new users) + more hour-1 events
+    from datetime import datetime
+
+    def rows(pairs):
+        return [(datetime(2024, 1, 1, h, 10, 0), u, "view") for h, u in pairs]
+
+    b1 = rows([(0, u) for u in range(100)] + [(1, u) for u in range(50)])
+    b2 = rows([(0, u) for u in range(100, 140)] + [(1, u) for u in range(50, 80)])
+    schema = "ts timestamp, user_id long, event_type string"
+    for name, rws in (("b1", b1), ("b2", b2)):
+        spark.createDataFrame(rws, schema).coalesce(1).write.parquet(str(src / name))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        hll_windowed_stream(
+            stream, "ts", "user_id", "event_type", window="1 hour", watermark="2 hours"
+        )
+        .writeStream.format("memory")
+        .queryName("whll")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    regs = spark.sql("SELECT win, group_key, reg, m_j FROM whll")
+    est = {
+        (r.win.start.hour, r.group_key): r.hll_estimate
+        for r in hll_finalize(regs, group_cols=("win", "group_key")).collect()
+    }
+    # hour 0 saw 140 distinct users (100 on time + 40 late-but-inside-
+    # watermark), hour 1 saw 80
+    assert 84 <= est[(0, "view")] <= 196  # 140 ± 40%
+    assert 48 <= est[(1, "view")] <= 112  # 80 ± 40%
+    # bounded state: ≤ 64 registers per (window, group)
+    counts = regs.groupBy("win", "group_key").count().collect()
+    assert all(r["count"] <= 64 for r in counts)
