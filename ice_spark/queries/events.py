@@ -423,3 +423,59 @@ def e14(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n") - F.count(F.lit(1))).alias("n_dropped"),
         F.min("keeper").alias("min_keeper_id"),
     )
+
+
+@register(
+    "e15_anomalous_hours",
+    """
+    WITH hourly AS (
+      SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             event_type,
+             COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT hour, event_type, n_events,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_hours,
+             CAST(SUM(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS type_total,
+             CAST(SUM(n_events * n_events) OVER (PARTITION BY event_type) AS BIGINT) AS type_sumsq
+      FROM hourly
+    )
+    SELECT event_type, hour, n_events, n_hours, type_total
+    FROM st
+    WHERE (n_hours * n_events - type_total) * (n_hours * n_events - type_total)
+          > 9 * (n_hours * type_sumsq - type_total * type_total)
+    """,
+    doc="Anomaly detection on hourly event volume: flag hours whose "
+    "count deviates more than 3 sigma from the type's mean. The "
+    "3-sigma test is done entirely in integers — (n*x - s)^2 > "
+    "9*(n*q - s^2) is the z-score condition cleared of divisions — "
+    "so both engines agree bit-for-bit with no float epsilon. "
+    "Plan: one keyed aggregation (hour, type) with map-side "
+    "partials, then a per-type window over the tiny hourly rollup; "
+    "the window input is |types| x |hours| rows regardless of raw "
+    "volume, so the second shuffle is negligible at any scale. "
+    "BIGINT squares hold while a type's total event count < ~3e9 "
+    "per stats partition; past that, widen to DECIMAL(38,0).",
+)
+def e15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type")
+    st = hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("n_hours"),
+        F.sum("n_events").over(w).alias("type_total"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("type_sumsq"),
+    )
+    dev = F.col("n_hours") * F.col("n_events") - F.col("type_total")
+    var_n2 = F.col("n_hours") * F.col("type_sumsq") - F.col("type_total") * F.col("type_total")
+    return st.where(dev * dev > F.lit(9) * var_n2).select(
+        "event_type", "hour", "n_events", "n_hours", "type_total"
+    )

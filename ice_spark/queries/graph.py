@@ -124,3 +124,104 @@ def g01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_micro"), "node")
         .limit(20)
     )
+
+
+_G02_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN dv.d ELSE du.d END AS dst_d
+  FROM e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+wedges AS (
+  SELECT o1.dst AS v, o2.dst AS w
+  FROM oriented o1 JOIN oriented o2
+    ON o1.src = o2.src
+   AND ((o1.dst_d < o2.dst_d) OR (o1.dst_d = o2.dst_d AND o1.dst < o2.dst))
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM wedges wg JOIN oriented t ON wg.v = t.src AND wg.w = t.dst
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM wedges) AS n_wedges,
+       (SELECT n_triangles FROM tri) AS n_triangles
+"""
+
+
+@register(
+    "g02_copurchase_triangles",
+    _G02_ORACLE,
+    doc="Triangle count over the part co-purchase graph (parts sharing "
+    "an order). Uses the degree-ordered orientation: each undirected "
+    "edge points from its lower-(degree, id) endpoint to the higher, "
+    "so every wedge is enumerated exactly once from its lowest-degree "
+    "corner and each out-degree is O(sqrt(m)) — the arboricity bound "
+    "that makes distributed triangle counting feasible on skewed "
+    "graphs (a hub of degree 1M contributes ZERO wedges from itself; "
+    "its triangles are found from their low-degree corners). Plan: "
+    "edge dedup (one shuffle), degree agg (one), two self-joins on "
+    "src/(v,w) — all keyed shuffles, no global ordering or "
+    "driver-side structure; counts only cross the final exchange.",
+)
+def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    ann = e.join(du, F.col("u") == F.col("du.node")).join(dv, F.col("v") == F.col("dv.node"))
+    u_first = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ann.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv.d")).otherwise(F.col("du.d")).alias("dst_d"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            (F.col("o1.dst_d") < F.col("o2.dst_d"))
+            | ((F.col("o1.dst_d") == F.col("o2.dst_d")) & (F.col("o1.dst") < F.col("o2.dst")))
+        ),
+    ).select(F.col("o1.dst").alias("v"), F.col("o2.dst").alias("w"))
+    t = oriented.alias("t")
+    tri = wedges.join(t, (F.col("v") == F.col("t.src")) & (F.col("w") == F.col("t.dst")))
+
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_wedges).crossJoin(n_tri)

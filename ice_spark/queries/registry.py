@@ -63,6 +63,7 @@ def load_all() -> dict[str, QuerySpec]:
     from ice_spark.queries import graph  # noqa: F401
     from ice_spark.queries import joins  # noqa: F401
     from ice_spark.queries import multimodal  # noqa: F401
+    from ice_spark.queries import quality  # noqa: F401
     from ice_spark.queries import sketches  # noqa: F401
     from ice_spark.queries import text  # noqa: F401
     from ice_spark.queries import tpch  # noqa: F401

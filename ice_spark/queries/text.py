@@ -1788,3 +1788,93 @@ def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand", "part_a", "part_b")
     )
+
+
+@register(
+    "s11_cluster_disjoint_split",
+    f"""
+    WITH RECURSIVE
+    {_SQL_NEARDUP_EDGES},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u
+    ),
+    allc AS (
+      SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    sp AS (
+      SELECT doc_id, rep,
+             CASE WHEN list_reduce(list_prepend(CAST(7 AS BIGINT),
+                    list_transform(string_split(CAST(rep AS VARCHAR), ''),
+                                   ch -> CAST(ascii(ch) AS BIGINT))),
+                    (a, x) -> (a * 131 + x) % 1000000007) % 10000 < 1000
+                  THEN 'heldout' ELSE 'train' END AS split
+      FROM allc
+    ),
+    leaky AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_clusters
+      FROM (SELECT rep FROM sp GROUP BY rep HAVING COUNT(DISTINCT split) > 1)
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+           (SELECT n_leaky_clusters FROM leaky) AS n_leaky_clusters
+    FROM sp
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="Leakage-safe train/heldout split: near-dup clusters (connected "
+    "components over the J>=0.8 pair graph, large-star/small-star on "
+    "the Spark side) are assigned to a split ATOMICALLY by hashing the "
+    "cluster representative — a doc and its near-duplicates can never "
+    "straddle train and heldout, the contamination mode a plain "
+    "per-doc hash split leaves open. Emits per-split doc/cluster "
+    "counts plus an in-query audit that zero clusters span splits. "
+    "Scale: the split adds one hash + one broadcast-size join over "
+    "the component map to the d06 clustering cost; singleton docs "
+    "never enter the pair graph at all.",
+)
+def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.cluster import alternating_star_components
+    from ice_spark.operators.sampling import hash_bucket
+    from ice_spark.queries.registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = QUERIES["d02_ngram_jaccard_pairs"].spark_fn(spark, sf_dir)
+    comp = alternating_star_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("c_doc"), F.col("component").alias("rep0")
+    )
+    allc = docs.select("doc_id").join(comp, F.col("doc_id") == F.col("c_doc"), "left").select(
+        "doc_id", F.coalesce(F.col("rep0"), F.col("doc_id")).alias("rep")
+    )
+    sp = allc.select(
+        "doc_id",
+        "rep",
+        F.when(hash_bucket(F.col("rep")) < 1000, F.lit("heldout"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    leaky = (
+        sp.groupBy("rep")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)).cast("long").alias("n_leaky_clusters"))
+    )
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("rep").alias("n_clusters"),
+        )
+        .crossJoin(leaky)
+        .select("split", "n_docs", "n_clusters", "n_leaky_clusters")
+        .orderBy("split")
+    )
