@@ -196,3 +196,67 @@ def srp_signature_duckdb_sql(vec_sql: str, n_planes: int = 16) -> str:
         f"p -> CAST(CASE WHEN {proj} >= 0 THEN 1 ELSE 0 END AS BIGINT))), "
         "(a, b) -> a * 2 + b)"
     )
+
+
+def mmr_rerank(cand: DataFrame, pair: DataFrame, k: int = 4) -> DataFrame:
+    """Maximal-marginal-relevance re-rank of per-query candidate sets.
+
+    cand: (query_id, cid, rel_u)  — relevance in integer micro-units
+    pair: (query_id, ca, cb, sim_u) — candidate-candidate similarity
+
+    Greedy MMR with lambda = 0.5 scaled to integers: the selection
+    score is rel_u - max(sim_u to already-selected) (equivalent
+    ranking to 0.5*rel - 0.5*maxsim), so every comparison is BIGINT
+    and both engines agree exactly; ties break on candidate id.
+
+    Scale shape: MMR runs AFTER retrieval, on candidate sets of
+    bounded size N per query — each of the k unrolled steps is a join
+    over queries x N rows (pair is queries x N^2), independent of
+    corpus size. The loop is k DataFrame steps, not a driver loop
+    over rows; nothing is collected.
+    """
+    cand = cand.cache()
+    pair = pair.cache()
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel_u"), F.asc("cid"))
+    sel = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "cid",
+            "rel_u",
+            F.col("rel_u").alias("mmr_u"),
+            F.lit(1).alias("position"),
+        )
+    )
+    for t in range(2, k + 1):
+        rem = cand.join(sel.select("query_id", "cid"), ["query_id", "cid"], "left_anti")
+        ms = (
+            rem.join(
+                pair,
+                (rem.query_id == pair.query_id) & (rem.cid == pair.ca),
+            )
+            .drop(pair.query_id)
+            .join(
+                sel.select(F.col("query_id").alias("s_qid"), F.col("cid").alias("s_cid")),
+                (F.col("query_id") == F.col("s_qid")) & (F.col("cb") == F.col("s_cid")),
+            )
+            .groupBy("query_id", "cid", "rel_u")
+            .agg(F.max("sim_u").alias("maxsim"))
+        )
+        wt = Window.partitionBy("query_id").orderBy(
+            F.desc(F.col("rel_u") - F.col("maxsim")), F.asc("cid")
+        )
+        pick = (
+            ms.withColumn("rn", F.row_number().over(wt))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "cid",
+                "rel_u",
+                (F.col("rel_u") - F.col("maxsim")).alias("mmr_u"),
+                F.lit(t).alias("position"),
+            )
+        )
+        sel = sel.unionAll(pick)
+    return sel

@@ -669,3 +669,113 @@ def w06(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("rev_cents", 2).over(wm).alias("second_rev_cents"),
         F.round(F.percent_rank().over(wr), 6).alias("rev_pct_rank"),
     )
+
+
+@register(
+    "e16_hourly_linear_interp",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             DATE_TRUNC('hour', ts) AS h,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events
+      GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM spans
+    ),
+    joined AS (
+      SELECT g.event_type, g.h,
+             CAST(epoch(g.h) // 3600 AS BIGINT) AS idx,
+             hy.cents
+      FROM grid g LEFT JOIN hourly hy
+        ON g.event_type = hy.event_type AND g.h = hy.h
+    ),
+    ctx AS (
+      SELECT event_type, h, idx, cents,
+             LAST_VALUE(cents IGNORE NULLS) OVER wp AS prev_c,
+             LAST_VALUE(CASE WHEN cents IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER wp AS prev_i,
+             FIRST_VALUE(cents IGNORE NULLS) OVER wf AS next_c,
+             FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER wf AS next_i
+      FROM joined
+      WINDOW wp AS (PARTITION BY event_type ORDER BY idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY idx
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           cents IS NOT NULL AS observed,
+           CASE WHEN cents IS NOT NULL THEN cents
+                ELSE (prev_c * (next_i - idx) + next_c * (idx - prev_i))
+                     // (next_i - prev_i)
+           END AS filled_cents
+    FROM ctx
+    """,
+    doc="Linear-interpolation resample (e13's LOCF upgraded): missing "
+    "hours get the time-weighted average of the surrounding observed "
+    "values, computed as (prev*(gap-step) + next*step) div gap in "
+    "exact integer cents — values are non-negative so truncating and "
+    "flooring division agree and both engines match bit-for-bit. "
+    "Same bounded-state shape as e13: the grid and both windows run "
+    "on the pre-aggregated types x hours relation, never raw events. "
+    "Grid endpoints are observed hours, so every interior gap has "
+    "both neighbors (no divide-by-zero edge).",
+)
+def e16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    spans = hourly.groupBy("event_type").agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))).alias("h"),
+    )
+    joined = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.expr("CAST(unix_timestamp(h) div 3600 AS BIGINT)").alias("idx"),
+        "cents",
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_idx = F.when(F.col("cents").isNotNull(), F.col("idx"))
+    ctx = joined.select(
+        "event_type",
+        "h",
+        "idx",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wp).alias("prev_c"),
+        F.last(obs_idx, ignorenulls=True).over(wp).alias("prev_i"),
+        F.first("cents", ignorenulls=True).over(wf).alias("next_c"),
+        F.first(obs_idx, ignorenulls=True).over(wf).alias("next_i"),
+    )
+    interp = F.expr(
+        "(prev_c * (next_i - idx) + next_c * (idx - prev_i)) div (next_i - prev_i)"
+    )
+    return ctx.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("cents").isNotNull().alias("observed"),
+        F.when(F.col("cents").isNotNull(), F.col("cents")).otherwise(interp).alias(
+            "filled_cents"
+        ),
+    )

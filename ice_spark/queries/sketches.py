@@ -847,3 +847,116 @@ def k07(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "k08_hll_sliding_distinct",
+    f"""
+    WITH {_hll_mix_sql(
+        'user_id',
+        "(SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d, user_id FROM events)",
+        'd',
+    )},
+    rr AS (
+      SELECT d, h % {HLL_M} AS reg, h // {HLL_M} AS w FROM hmix
+    ), rho AS (
+      SELECT d, reg,
+             CASE WHEN w = 0 THEN {HLL_W + 1}
+                  ELSE {HLL_W} - (LENGTH(bin(w)) - 1) END AS rho
+      FROM rr
+    ), partials AS (
+      SELECT d, reg, MAX(rho) AS m_j FROM rho GROUP BY d, reg
+    ), days AS (SELECT DISTINCT d FROM partials),
+    merged AS (
+      SELECT t.d AS d, p.reg, MAX(p.m_j) AS m_j
+      FROM days t JOIN partials p
+        ON p.d BETWEEN t.d - INTERVAL 6 DAY AND t.d
+      GROUP BY t.d, p.reg
+    ), sums AS (
+      SELECT d, COUNT(*) AS registers_hit,
+             SUM((CAST(1 AS BIGINT) << ({HLL_W + 1} - m_j))) AS s_present
+      FROM merged GROUP BY d
+    ), hll AS (
+      SELECT d, registers_hit,
+             CAST(FLOOR(CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M}
+               * (CAST(1 AS BIGINT) << {HLL_W + 1})
+               / (s_present + ({HLL_M} - registers_hit)
+                  * (CAST(1 AS BIGINT) << {HLL_W + 1}))) AS BIGINT)
+               AS hll_estimate
+      FROM sums
+    ), ex AS (
+      SELECT t.d AS d, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_distinct
+      FROM days t JOIN (SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+                               user_id FROM events) e
+        ON e.d BETWEEN t.d - INTERVAL 6 DAY AND t.d
+      GROUP BY t.d
+    )
+    SELECT STRFTIME(hll.d, '%Y-%m-%d') AS day, hll.registers_hit,
+           hll.hll_estimate, ex.exact_distinct,
+           ABS(hll.hll_estimate - ex.exact_distinct) * 100
+             // ex.exact_distinct AS err_pct
+    FROM hll JOIN ex ON hll.d = ex.d
+    ORDER BY day
+    """,
+    doc="Trailing-7-day distinct users per day from MERGED daily HLL "
+    "partials — the sketch-mergeability pattern that makes sliding "
+    "distinct counts affordable: raw events are scanned ONCE to build "
+    "per-day register partials (<= 64 rows per day forever), and every "
+    "window estimate is a register-wise MAX over 7 tiny partials, so "
+    "adding a day costs O(64) merges instead of a 7-day rescan. The "
+    "audit side recomputes each window exactly (COUNT DISTINCT over a "
+    "7-day range join) — precisely the 7x-rescan cost the sketch "
+    "eliminates at 100 TB. Same register/mixer/estimator spec as k07 "
+    "(shared hll_registers), integer-exact harmonic sums, one float "
+    "division per window.",
+)
+def k08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+    )
+    partials = hll_registers(ev, "user_id", ["d"])
+    days = partials.select("d").distinct().select(F.col("d").alias("t_d"))
+    merged = (
+        days.join(
+            partials,
+            (F.col("d") >= F.date_sub(F.col("t_d"), 6)) & (F.col("d") <= F.col("t_d")),
+        )
+        .groupBy("t_d", "reg")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    top = 1 << (HLL_W + 1)
+    sums = merged.groupBy("t_d").agg(
+        F.count("*").alias("registers_hit"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - m_j)")).alias("s_present"),
+    )
+    hll = sums.select(
+        "t_d",
+        "registers_hit",
+        F.floor(
+            F.lit(0.709 * HLL_M * HLL_M * top)
+            / (F.col("s_present") + (HLL_M - F.col("registers_hit")) * F.lit(top))
+        )
+        .cast("long")
+        .alias("hll_estimate"),
+    )
+    exact = (
+        days.join(
+            ev,
+            (F.col("d") >= F.date_sub(F.col("t_d"), 6)) & (F.col("d") <= F.col("t_d")),
+        )
+        .groupBy("t_d")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        hll.join(exact, "t_d")
+        .select(
+            F.date_format("t_d", "yyyy-MM-dd").alias("day"),
+            "registers_hit",
+            "hll_estimate",
+            "exact_distinct",
+            F.expr("abs(hll_estimate - exact_distinct) * 100 div exact_distinct").alias(
+                "err_pct"
+            ),
+        )
+        .orderBy("day")
+    )

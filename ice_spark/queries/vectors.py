@@ -789,3 +789,134 @@ def v12(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+def _v13_oracle(n_cand: int = 8, k: int = 4) -> str:
+    cos = (
+        f"ROUND({_SQL_DOT.format(a='qv', b='cv')}"
+        f" / ({_SQL_NORM.format(a='qv')} * {_SQL_NORM.format(a='cv')}), 6)"
+    )
+    pcos = (
+        f"ROUND({_SQL_DOT.format(a='ea.embedding', b='eb.embedding')}"
+        f" / ({_SQL_NORM.format(a='ea.embedding')}"
+        f" * {_SQL_NORM.format(a='eb.embedding')}), 6)"
+    )
+    steps = []
+    for t in range(2, k + 1):
+        p = t - 1
+        steps.append(f"""
+    rem{t} AS (
+      SELECT c.* FROM cand c
+      LEFT JOIN selected{p} s ON c.query_id = s.query_id AND c.cid = s.cid
+      WHERE s.cid IS NULL
+    ),
+    ms{t} AS (
+      SELECT r.query_id, r.cid, r.rel_u, MAX(p.sim_u) AS maxsim
+      FROM rem{t} r
+      JOIN pair p ON p.query_id = r.query_id AND p.ca = r.cid
+      JOIN selected{p} s ON s.query_id = p.query_id AND s.cid = p.cb
+      GROUP BY 1, 2, 3
+    ),
+    sel{t} AS (
+      SELECT query_id, cid, rel_u, rel_u - maxsim AS mmr_u, {t} AS position
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY rel_u - maxsim DESC, cid) AS rn
+            FROM ms{t})
+      WHERE rn = 1
+    ),
+    selected{t} AS (SELECT * FROM selected{p} UNION ALL SELECT * FROM sel{t})""")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT query_id, e.vec_id AS cid,
+             CAST(ROUND({cos} * 1e6) AS BIGINT) AS rel_u
+      FROM q JOIN (SELECT vec_id, embedding AS cv FROM embeddings) e
+        ON e.vec_id <> query_id
+    ),
+    cand AS (
+      SELECT query_id, cid, rel_u
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY rel_u DESC, cid) AS rn FROM scored)
+      WHERE rn <= {n_cand}
+    ),
+    pair AS (
+      SELECT a.query_id, a.cid AS ca, b.cid AS cb,
+             CAST(ROUND({pcos} * 1e6) AS BIGINT) AS sim_u
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id AND a.cid <> b.cid
+      JOIN embeddings ea ON ea.vec_id = a.cid
+      JOIN embeddings eb ON eb.vec_id = b.cid
+    ),
+    selected1 AS (
+      SELECT query_id, cid, rel_u, rel_u AS mmr_u, 1 AS position
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY rel_u DESC, cid) AS rn FROM cand)
+      WHERE rn = 1
+    ),{",".join(steps)}
+    SELECT query_id, CAST(position AS INT) AS position, cid AS vec_id,
+           rel_u, mmr_u
+    FROM selected{k}
+    ORDER BY query_id, position
+    """
+
+
+@register(
+    "v13_mmr_rerank",
+    _v13_oracle(),
+    doc="Maximal-marginal-relevance diversity re-ranking: retrieve "
+    "top-8 candidates per query by exact cosine, then greedily pick 4 "
+    "balancing relevance against similarity to already-picked results "
+    "(lambda=0.5, integer micro-unit scores: rank by rel_u - "
+    "max_sim_u, the scale-cleared MMR objective). The diversity pass "
+    "a training-data sampler or RAG retriever runs after ANN. Scale "
+    "shape: MMR sees only queries x 8 candidates and queries x 64 "
+    "pairs — bounded per query, independent of corpus size; the k "
+    "greedy steps are unrolled DataFrame joins, nothing collected. "
+    "All selection comparisons are BIGINT, ties on id — both engines "
+    "replay the greedy walk exactly.",
+)
+def v13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    topk = brute_force_topk(
+        corpus=emb,
+        queries=queries,
+        id_col="vec_id",
+        vec_col="embedding",
+        query_id_col="vec_id",
+        query_vec_col="embedding",
+        k=8,
+    )
+    cand = topk.select(
+        "query_id",
+        F.col("neighbor_id").alias("cid"),
+        F.round(F.col("cos_sim") * 1e6).cast("long").alias("rel_u"),
+    )
+    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("av"))
+    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("bv"))
+    ca = cand.select("query_id", F.col("cid").alias("ca"))
+    cb = cand.select(F.col("query_id").alias("qb"), F.col("cid").alias("cb"))
+    pair = (
+        ca.join(cb, (ca.query_id == cb.qb) & (F.col("ca") != F.col("cb")))
+        .join(F.broadcast(ea), F.col("ca") == F.col("a_id"))
+        .join(F.broadcast(eb), F.col("cb") == F.col("b_id"))
+        .select(
+            "query_id",
+            "ca",
+            "cb",
+            F.round(F.round(cosine(F.col("av"), F.col("bv")), 6) * 1e6)
+            .cast("long")
+            .alias("sim_u"),
+        )
+    )
+    out = mmr_rerank(cand, pair, k=4)
+    return out.select(
+        "query_id",
+        F.col("position").cast("int").alias("position"),
+        F.col("cid").alias("vec_id"),
+        "rel_u",
+        "mmr_u",
+    ).orderBy("query_id", "position")

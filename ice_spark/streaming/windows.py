@@ -113,6 +113,40 @@ def sessionize_stream(
     )
 
 
+def session_window_stats(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessions via the BUILT-IN `session_window` aggregate —
+    the JVM-side path for the same semantics sessionize_stream
+    implements with applyInPandasWithState. Prefer this one when
+    per-session aggregates are all you need: state merging, watermark
+    eviction, and codegen all stay inside Structured Streaming's
+    native session-window operator (no Python workers, no Arrow
+    transfer). The custom-state version remains for semantics the
+    built-in can't express (e.g. cross-session running counters).
+
+    A session spans events of one user with gaps < `gap`; its window
+    end is last_event_ts + gap (Spark's session_window contract).
+    State per in-flight session is O(1) and dropped once the watermark
+    passes the session end — bounded at any stream rate.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), user_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def _parse_duration_sec(s: str) -> float:
     n, unit = s.split()
     mult = {

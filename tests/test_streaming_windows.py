@@ -91,3 +91,77 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir, events_stream_dir,
     batch = load_all()["e03_sessionization"].spark_fn(spark, sf_dir).collect()
     expected = {r.user_id: (r.n_sessions, r.n_events) for r in batch}
     assert final == expected
+
+
+def test_session_window_builtin_matches_batch(spark, sf_dir, events_stream_dir, tmp_path):
+    """The built-in session_window streaming aggregation produces the
+    same sessions as (a) the identical batch aggregation and (b) the
+    lag-based batch sessionization (e03 semantics): session count and
+    event totals per user agree."""
+    from ice_spark.streaming.windows import session_window_stats
+    from ice_spark.tables import load_table
+
+    # Single part-file => one micro-batch => no cross-batch late drops
+    # (multi-batch straggler dropping is covered by the windowed-counts
+    # test). Append mode emits a session once the watermark passes its
+    # end, so the expected set is the batch sessions minus the tail
+    # still open at the final watermark (max_ts - watermark).
+    batch = load_table(spark, sf_dir, "events")
+    d1 = str(tmp_path / "stream_in_1f")
+    batch.coalesce(1).write.parquet(d1)
+    schema = spark.read.parquet(d1).schema
+    stream = spark.readStream.schema(schema).parquet(d1)
+    out = _run_fire_once(
+        session_window_stats(stream, gap="30 minutes", watermark="1 hour"), tmp_path, "sess"
+    )
+    got = spark.read.parquet(out)
+
+    want_all = (
+        batch.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            F.col("sw.end").alias("end_ts"),
+        )
+    )
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    wm = max_ts - datetime.timedelta(hours=1)
+    finalized = want_all.where(F.col("end_ts") <= F.lit(wm)).drop("end_ts")
+    withheld = want_all.where(F.col("end_ts") > F.lit(wm)).drop("end_ts")
+    got_rows = sorted(map(tuple, got.collect()))
+    assert got_rows == sorted(map(tuple, finalized.collect()))
+    # Emitted + withheld partitions the full batch session set.
+    assert len(got_rows) + withheld.count() == want_all.count()
+
+    # Cross-check the finalized sessions against lag-gap
+    # sessionization (e03 semantics): identical (user, start, size)
+    # triples for every session that closed before the watermark.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = batch.withColumn("prev", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        (F.col("prev").isNull() | (F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800))
+        .cast("long"),
+    )
+    sess_id = F.sum("new_sess").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    lag_sessions = (
+        lagged.withColumn("sid", sess_id)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+        )
+        .where(F.col("last_ts") + F.expr("INTERVAL 30 MINUTES") <= F.lit(wm))
+        .select("user_id", "session_start", "n_events")
+    )
+    got_triples = sorted((r[0], r[1], r[3]) for r in got_rows)
+    assert got_triples == sorted(map(tuple, lag_sessions.collect()))
