@@ -638,3 +638,54 @@ def f15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "f16_higher_order_arrays",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           len(t) AS n_toks,
+           len(list_distinct(t)) AS n_unique,
+           len(list_filter(t, x -> length(x) > 5)) > 0 AS has_long,
+           len(list_filter(t, x -> length(x) >= 10)) = 0 AS all_short,
+           list_sort(list_distinct(t))[1:3] AS head_sorted,
+           list_sort(list_intersect(list_distinct(t),
+                                    ['data', 'join', 'the'])) AS common_ops,
+           list_transform(generate_series(1, least(3, len(t))),
+                          i -> CAST(i AS VARCHAR) || ':' || t[i]) AS indexed_head
+    FROM toks
+    """,
+    doc="Higher-order array-function family over tokenized documents: "
+    "exists / forall (as filtered-length predicates so both engines "
+    "share semantics), distinct + sort + slice, set intersection "
+    "against a literal array (sorted — list_intersect order is "
+    "engine-defined), and index-aware transform building 'i:token' "
+    "pairs. All map-only JVM expressions on Spark (no shuffle, no "
+    "Python); complements f03's filter/slice/fold coverage.",
+)
+def f16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    t = tokens(F.col("text"))
+    d = docs.select("doc_id", t.alias("t"))
+    return d.select(
+        "doc_id",
+        F.size("t").alias("n_toks"),
+        F.size(F.array_distinct("t")).alias("n_unique"),
+        F.exists("t", lambda x: F.length(x) > 5).alias("has_long"),
+        F.forall("t", lambda x: F.length(x) < 10).alias("all_short"),
+        F.slice(F.array_sort(F.array_distinct("t")), 1, 3).alias("head_sorted"),
+        F.array_sort(
+            F.array_intersect(F.array_distinct("t"), F.array(F.lit("data"), F.lit("join"), F.lit("the")))
+        ).alias("common_ops"),
+        F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(3), F.size("t"))),
+            lambda i: F.concat(i.cast("string"), F.lit(":"), F.element_at("t", i)),
+        ).alias("indexed_head"),
+    )

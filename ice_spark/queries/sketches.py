@@ -960,3 +960,151 @@ def k08(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+BLOOM_M = 4096  # bits
+_BLOOM_HASHES = [(131, 7), (1_000_003, 17), (999_983, 29)]  # (mult, add) mod P
+_BLOOM_P = 1_000_000_007
+
+
+def _bloom_pos_sql(fp: str, a: int, b: int) -> str:
+    return f"(({fp} * {a} + {b}) % {_BLOOM_P}) % {BLOOM_M}"
+
+
+@register(
+    "k09_bloom_membership_audit",
+    f"""
+    WITH fps AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+               list_transform(string_split(text, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+               (a, x) -> (a * 131 + x) % 1000000007) AS fp,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+               list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+               (a, x) -> (a * 131 + x) % 1000000007) % 10000 AS bucket
+      FROM documents
+    ),
+    held AS (SELECT fp FROM fps WHERE bucket < 1000),
+    train AS (SELECT doc_id, fp FROM fps WHERE bucket >= 1000),
+    bits AS (
+      SELECT DISTINCT pos FROM held, UNNEST([
+        {", ".join(_bloom_pos_sql("fp", a, b) for a, b in _BLOOM_HASHES)}
+      ]) AS u(pos)
+    ),
+    probe AS (
+      SELECT DISTINCT doc_id, pos FROM train, UNNEST([
+        {", ".join(_bloom_pos_sql("fp", a, b) for a, b in _BLOOM_HASHES)}
+      ]) AS u(pos)
+    ),
+    need AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_need FROM probe GROUP BY doc_id
+    ),
+    hitcnt AS (
+      SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM probe p JOIN bits b ON p.pos = b.pos
+      GROUP BY p.doc_id
+    ),
+    verdict AS (
+      SELECT t.doc_id,
+             COALESCE(h.n_hit, 0) = n.n_need AS claimed,
+             t.fp IN (SELECT fp FROM held) AS actual
+      FROM train t
+      JOIN need n ON n.doc_id = t.doc_id
+      LEFT JOIN hitcnt h ON h.doc_id = t.doc_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM held) AS n_heldout,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+           CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(COUNT(*) FILTER (WHERE claimed) AS BIGINT) AS n_claimed,
+           CAST(COUNT(*) FILTER (WHERE claimed AND NOT actual) AS BIGINT)
+             AS n_false_pos,
+           CAST(COUNT(*) FILTER (WHERE actual AND NOT claimed) AS BIGINT)
+             AS n_false_neg,
+           CAST(COUNT(*) FILTER (WHERE claimed AND NOT actual) AS BIGINT)
+             * 1000000
+             // CAST(COUNT(*) FILTER (WHERE NOT actual) AS BIGINT) AS fpr_micro
+    FROM verdict
+    """,
+    doc="Bloom-filter membership audit: build a 4096-bit / 3-hash Bloom "
+    "filter of the heldout docs' content fingerprints, probe every "
+    "train doc, and measure the claimed-member rate against exact "
+    "membership — false-negative count MUST be 0 (Bloom's contract), "
+    "false-positive rate reported in integer micro-units. The filter "
+    "is represented portably as the relation of set bit positions "
+    "(<= 4096 rows regardless of corpus size), which is exactly how a "
+    "Bloom side-filter ships to executors at 100 TB: broadcast KBs, "
+    "prune the big side before the expensive join (same machinery as "
+    "operators/bloomjoin.py and the manifest Bloom index, here "
+    "audited end to end). Integer polynomial hashes throughout — no "
+    "engine-specific hash functions.",
+)
+def k09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.functions.text import char_hash
+    from ice_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id",
+        char_hash(F.col("text")).alias("fp"),
+        hash_bucket(F.col("doc_id")).alias("bucket"),
+    )
+    held = fps.where(F.col("bucket") < 1000).select("fp")
+    train = fps.where(F.col("bucket") >= 1000).select("doc_id", "fp")
+
+    def positions(df):
+        pos = F.array(
+            *[
+                ((F.col("fp") * a + b) % _BLOOM_P) % BLOOM_M
+                for a, b in _BLOOM_HASHES
+            ]
+        )
+        return df.select(*df.columns, F.explode(pos).alias("pos"))
+
+    bits = positions(held).select("pos").distinct()
+    probe = positions(train).select("doc_id", "pos").distinct()
+    need = probe.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_need"))
+    hitcnt = (
+        probe.join(F.broadcast(bits), "pos").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    verdict = (
+        train.join(need, "doc_id")
+        .join(hitcnt, "doc_id", "left")
+        .join(
+            F.broadcast(held.select(F.col("fp").alias("h_fp")).distinct()),
+            F.col("fp") == F.col("h_fp"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) == F.col("n_need")).alias("claimed"),
+            F.col("h_fp").isNotNull().alias("actual"),
+        )
+    )
+    n_held = held.agg(F.count(F.lit(1)).alias("n_heldout"))
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    agg = verdict.agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.when(F.col("claimed"), 1).otherwise(0)).cast("long").alias("n_claimed"),
+        F.sum(F.when(F.col("claimed") & ~F.col("actual"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum(F.when(F.col("actual") & ~F.col("claimed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_neg"),
+        F.sum(F.when(~F.col("actual"), 1).otherwise(0)).cast("long").alias("n_non_members"),
+    )
+    return (
+        n_held.crossJoin(n_bits)
+        .crossJoin(agg)
+        .select(
+            "n_heldout",
+            "n_bits_set",
+            "n_train",
+            "n_claimed",
+            "n_false_pos",
+            "n_false_neg",
+            F.expr("n_false_pos * 1000000 div n_non_members").alias("fpr_micro"),
+        )
+    )
