@@ -231,12 +231,15 @@ def mmr_rerank(cand: DataFrame, pair: DataFrame, k: int = 4) -> DataFrame:
     )
     for t in range(2, k + 1):
         rem = cand.join(sel.select("query_id", "cid"), ["query_id", "cid"], "left_anti")
+        p = pair.select(
+            F.col("query_id").alias("p_qid"), "ca", "cb", "sim_u"
+        )
         ms = (
             rem.join(
-                pair,
-                (rem.query_id == pair.query_id) & (rem.cid == pair.ca),
+                p,
+                (F.col("query_id") == F.col("p_qid")) & (F.col("cid") == F.col("ca")),
             )
-            .drop(pair.query_id)
+            .drop("p_qid")
             .join(
                 sel.select(F.col("query_id").alias("s_qid"), F.col("cid").alias("s_cid")),
                 (F.col("query_id") == F.col("s_qid")) & (F.col("cb") == F.col("s_cid")),

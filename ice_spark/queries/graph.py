@@ -191,14 +191,27 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+        # e / deg / oriented are each consumed by several downstream
+        # operators; without caching, Catalyst replays the whole edge
+        # build (a lineitem self-join) once per consumer — measured 56
+        # lineitem scans in the uncached plan. Caching the edge list is
+        # the standard triangle-counting working set (O(m) rows of two
+        # longs); at 100 TB use persist(DISK_ONLY), same as g01.
+        .cache()
     )
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .cache()
     )
-    du, dv = deg.alias("du"), deg.alias("dv")
+    # Every relation in this query grows with the graph (edges, degrees,
+    # oriented edges), so no side is safely broadcastable — pin shuffle
+    # joins instead of letting AQE's pre-execution estimates attempt a
+    # driver-memory broadcast of a million-row build side (observed to
+    # OOM the broadcast at sf0.1 without the hints).
+    du, dv = deg.hint("shuffle_hash").alias("du"), deg.hint("shuffle_hash").alias("dv")
     ann = e.join(du, F.col("u") == F.col("du.node")).join(dv, F.col("v") == F.col("dv.node"))
     u_first = (F.col("du.d") < F.col("dv.d")) | (
         (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
@@ -208,6 +221,7 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv.d")).otherwise(F.col("du.d")).alias("dst_d"),
     )
+    oriented = oriented.cache().hint("shuffle_hash")
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,
@@ -217,11 +231,19 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("o1.dst_d") == F.col("o2.dst_d")) & (F.col("o1.dst") < F.col("o2.dst")))
         ),
     ).select(F.col("o1.dst").alias("v"), F.col("o2.dst").alias("w"))
+    # One traversal of the wedge stream yields both counts: a wedge is
+    # a triangle iff its (v, w) closure edge exists in oriented. The
+    # left join keeps every wedge; COUNT of the matched side counts
+    # the closed ones — wedges (the biggest relation here) is never
+    # materialized twice.
     t = oriented.alias("t")
-    tri = wedges.join(t, (F.col("v") == F.col("t.src")) & (F.col("w") == F.col("t.dst")))
-
+    closed = wedges.join(
+        t, (F.col("v") == F.col("t.src")) & (F.col("w") == F.col("t.dst")), "left"
+    )
+    wt = closed.agg(
+        F.count(F.lit(1)).alias("n_wedges"),
+        F.count(F.col("t.src")).alias("n_triangles"),
+    )
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_wedges = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
-    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
-    return n_nodes.crossJoin(n_edges).crossJoin(n_wedges).crossJoin(n_tri)
+    return n_nodes.crossJoin(n_edges).crossJoin(wt)

@@ -118,6 +118,7 @@ def dq01(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_viol"
         ),
     )
+    li_m = li_m.cache()  # 1-row metric tuples, each consumed twice
     ord_m = orders.agg(
         F.count(F.lit(1)).alias("total"),
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_viol"),
@@ -126,7 +127,7 @@ def dq01(spark: SparkSession, sf_dir: str) -> DataFrame:
             ~F.col("o_orderstatus").isin("F", "O", "P") | F.col("o_orderstatus").isNull()
         ).alias("status_viol"),
         _viol(F.col("o_orderdate").isNull()).alias("null_date_viol"),
-    )
+    ).cache()
     ri_li = (
         li.select("l_orderkey")
         .join(orders.select("o_orderkey"), li.l_orderkey == orders.o_orderkey, "left_anti")

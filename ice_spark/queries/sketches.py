@@ -914,7 +914,10 @@ def k08(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
     )
-    partials = hll_registers(ev, "user_id", ["d"])
+    # partials is bounded (days x 64 rows) and consumed by the day
+    # grid, the window merge, and nothing else — cache it so the raw
+    # event scan happens once for the sketch side.
+    partials = hll_registers(ev, "user_id", ["d"]).cache()
     days = partials.select("d").distinct().select(F.col("d").alias("t_d"))
     merged = (
         days.join(

@@ -1878,3 +1878,83 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("split", "n_docs", "n_clusters", "n_leaky_clusters")
         .orderBy("split")
     )
+
+
+@register(
+    "p03_dataset_card",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source, lang,
+             len({_SQL_TOKS.format(col='text')}) AS n_toks,
+             {_SQL_CHAR_HASH.format(s='text')} AS fp
+      FROM documents
+    ),
+    fpg AS (
+      SELECT fp, MIN(doc_id) AS keeper, COUNT(*) AS n FROM base GROUP BY fp
+    ),
+    flagged AS (
+      SELECT b.source, b.lang, b.n_toks,
+             b.doc_id <> g.keeper AS is_dup,
+             b.n_toks < 20 AS is_short
+      FROM base b JOIN fpg g ON b.fp = g.fp
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_toks) AS BIGINT) // COUNT(*) AS avg_tokens,
+           CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT) AS n_exact_dups,
+           CAST(COUNT(*) FILTER (WHERE is_short) AS BIGINT) AS n_short_docs,
+           CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT) * 10000
+             // COUNT(*) AS dup_bp,
+           CAST(COUNT(*) FILTER (WHERE is_short) AS BIGINT) * 10000
+             // COUNT(*) AS short_bp
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Dataset card: the per-source datasheet a corpus release ships "
+    "with — doc/language counts, token totals, exact-duplicate rate "
+    "and short-doc rate in integer basis points. One scan computes "
+    "tokens+fingerprints map-side; the dup flag is a fingerprint "
+    "groupBy joined back (key-only shuffle); the report is "
+    "O(#sources) rows at any corpus size. Composes the same portable "
+    "fingerprint spec as t04/d01, so the card's dup rate is exactly "
+    "the rate d01 would deduplicate.",
+)
+def p03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.functions.text import char_hash, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        token_count(F.col("text")).alias("n_toks"),
+        char_hash(F.col("text")).alias("fp"),
+    )
+    fpg = base.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    flagged = base.join(fpg, "fp").select(
+        "source",
+        "lang",
+        "n_toks",
+        (F.col("doc_id") != F.col("keeper")).alias("is_dup"),
+        (F.col("n_toks") < 20).alias("is_short"),
+    )
+    cnt = F.count(F.lit(1))
+    n_dup = F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long")
+    n_short = F.sum(F.when(F.col("is_short"), 1).otherwise(0)).cast("long")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            cnt.alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.expr("CAST(sum(n_toks) AS BIGINT) div count(*)").alias("avg_tokens"),
+            n_dup.alias("n_exact_dups"),
+            n_short.alias("n_short_docs"),
+        )
+        .withColumn("dup_bp", F.expr("n_exact_dups * 10000 div n_docs"))
+        .withColumn("short_bp", F.expr("n_short_docs * 10000 div n_docs"))
+        .orderBy("source")
+    )

@@ -287,3 +287,48 @@ def test_no_cartesian_in_any_registered_query(spark, sf_dir):
         if "CartesianProduct" in a.plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_e15_two_shuffle_anomaly_plan(spark, sf_dir):
+    """e15: hourly agg (one shuffle) + per-type window (one) — the
+    window input is the tiny rollup, never raw events."""
+    a = _audit(spark, sf_dir, "e15_anomalous_hours")
+    assert a.shuffles <= 2, a.plan[:1500]
+    assert a.sort_merge_joins == 0
+
+
+def test_g02_triangle_joins_never_broadcast_graph_relations(spark, sf_dir):
+    """g02: edges/degrees/oriented all grow with the graph, so the
+    self-joins must be shuffle joins — a broadcast of the oriented
+    relation OOMs the driver at scale (observed at sf0.1 pre-hint)."""
+    a = _audit(spark, sf_dir, "g02_copurchase_triangles")
+    assert a.sort_merge_joins == 0, a.plan[:1500]
+    assert a.plan.count("ShuffledHashJoin") >= 3, a.plan[:1500]
+    # The static (pre-AQE) plan may still broadcast the lineitem
+    # self-join side — AQE re-plans that from runtime sizes. What must
+    # never be broadcast are the hinted graph relations; the hints are
+    # load-bearing (removing them OOMs the sf0.1 broadcast), and the
+    # ShuffledHashJoin count above is the observable they produce.
+
+
+def test_dq01_single_pass_per_table(spark, sf_dir):
+    """dq01: all per-table constraints share ONE conditional-aggregate
+    scan; only the FK anti-joins rescan. Adding a constraint must not
+    add a scan."""
+    a = _audit(spark, sf_dir, "dq01_constraint_suite")
+    assert a.plan.count("lineitem.parquet") <= 3, "constraint checks rescan lineitem"
+    assert a.plan.count("orders.parquet") <= 4, "constraint checks rescan orders"
+
+
+def test_k08_partials_merge_without_raw_rescan(spark, sf_dir):
+    """k08: the sketch side scans raw events once (cached partials feed
+    both the day grid and the window merge); the exact audit adds one
+    more. The static explain prints the cached subtree per reference,
+    so the bound is 3 textual scans; at runtime the cache collapses
+    the partials replays to one."""
+    a = _audit(spark, sf_dir, "k08_hll_sliding_distinct")
+    # Every partials consumer must read the cache (the explain prints
+    # the cached build subtree under each InMemoryTableScan, so the
+    # textual parquet count over-states the runtime scans).
+    assert a.plan.count("InMemoryTableScan") >= 2, a.plan[:1500]
+    assert a.plan.count("events.parquet") <= 4, a.plan[:1500]
