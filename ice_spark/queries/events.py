@@ -479,3 +479,125 @@ def e15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.where(dev * dev > F.lit(9) * var_n2).select(
         "event_type", "hour", "n_events", "n_hours", "type_total"
     )
+
+
+@register(
+    "e17_multitouch_attribution",
+    """
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cl AS (
+      SELECT event_id AS cid, user_id, ts AS cts,
+             'ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 4
+                          AS VARCHAR) AS channel
+      FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+      SELECT p.pid, p.v, cl.cid, cl.channel,
+             ROW_NUMBER() OVER (PARTITION BY p.pid
+                                ORDER BY cl.cts, cl.cid) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY p.pid) AS BIGINT) AS n
+      FROM p JOIN cl
+        ON p.user_id = cl.user_id
+       AND cl.cts < p.pts
+       AND cl.cts >= p.pts - INTERVAL 72 HOUR
+    ),
+    attr AS (
+      SELECT channel, pid,
+             v // n + CASE WHEN rn <= v % n THEN 1 ELSE 0 END AS cents
+      FROM m
+    ),
+    un AS (
+      SELECT 'unattributed' AS channel,
+             CAST(0 AS BIGINT) AS n_touches,
+             CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             CAST(COALESCE(SUM(p.v), 0) AS BIGINT) AS attributed_cents
+      FROM p LEFT JOIN (SELECT DISTINCT pid FROM m) t ON p.pid = t.pid
+      WHERE t.pid IS NULL
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS attributed_cents
+    FROM attr GROUP BY channel
+    UNION ALL
+    SELECT * FROM un
+    ORDER BY channel
+    """,
+    doc="Multi-touch revenue attribution: each purchase's value is "
+    "split EQUALLY across the user's clicks in the prior 72 hours, in "
+    "exact integer cents — every click gets v div n and the v mod n "
+    "remainder cents go to the earliest touches, so per-purchase "
+    "attribution sums to the purchase value EXACTLY (no float drift, "
+    "auditable conservation: sum of attributed_cents over all rows "
+    "equals total purchase cents). Touchless purchases land in an "
+    "explicit 'unattributed' row rather than vanishing. Plan: one "
+    "user-keyed join with a time-range predicate (bucketize via "
+    "operators/rangejoin.py when user histories are long), per-"
+    "purchase windows over the matched touches only.",
+)
+def e17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    cl = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("cts"),
+        F.concat(
+            F.lit("ch"),
+            (F.get_json_object("props", "$.k").cast("long") % 4).cast("string"),
+        ).alias("channel"),
+    )
+    m = (
+        p.join(
+            cl,
+            (F.col("p_uid") == F.col("c_uid"))
+            & (F.col("cts") < F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 72 HOURS")),
+        )
+        .select(
+            "pid",
+            "v",
+            "cid",
+            "channel",
+            F.row_number()
+            .over(Window.partitionBy("pid").orderBy("cts", "cid"))
+            .alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("pid")).alias("n"),
+        )
+    )
+    attr = m.select(
+        "channel",
+        "pid",
+        (
+            F.expr("v div n")
+            + F.when(F.col("rn") <= F.col("v") % F.col("n"), 1).otherwise(0)
+        ).alias("cents"),
+    )
+    by_channel = attr.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("pid").alias("n_purchases"),
+        F.sum("cents").cast("long").alias("attributed_cents"),
+    )
+    un = (
+        p.join(m.select("pid").distinct(), "pid", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.coalesce(F.sum("v"), F.lit(0)).cast("long").alias("attributed_cents"),
+        )
+        .select(
+            F.lit("unattributed").alias("channel"),
+            F.lit(0).cast("long").alias("n_touches"),
+            "n_purchases",
+            "attributed_cents",
+        )
+    )
+    return by_channel.unionAll(un).orderBy("channel")

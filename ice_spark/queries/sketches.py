@@ -1111,3 +1111,138 @@ def k09(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_false_pos * 1000000 div n_non_members").alias("fpr_micro"),
         )
     )
+
+
+MEDIAN_BUCKET_W = 65536  # cents per pass-1 bucket
+
+
+@register(
+    "k10_exact_median_two_pass",
+    f"""
+    WITH c AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             (COUNT(*) + 1) // 2 AS k
+      FROM c
+    ),
+    b AS (
+      SELECT cents // {MEDIAN_BUCKET_W} AS bkt, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM c GROUP BY 1
+    ),
+    cum AS (
+      SELECT bkt, cnt,
+             SUM(cnt) OVER (ORDER BY bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM b
+    ),
+    sel AS (
+      SELECT bkt, CAST(cum - cnt AS BIGINT) AS below, cnt AS bucket_count
+      FROM cum, st WHERE cum >= k ORDER BY bkt LIMIT 1
+    ),
+    within AS (
+      SELECT c.cents, CAST(COUNT(*) AS BIGINT) AS vcnt
+      FROM c, sel WHERE c.cents // {MEDIAN_BUCKET_W} = sel.bkt
+      GROUP BY c.cents
+    ),
+    wcum AS (
+      SELECT cents,
+             SUM(vcnt) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wc
+      FROM within
+    ),
+    med AS (
+      SELECT cents AS median_cents
+      FROM wcum, st, sel WHERE wc >= k - sel.below ORDER BY cents LIMIT 1
+    ),
+    audit AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE c.cents <= m.median_cents) AS BIGINT)
+               AS n_le,
+             CAST(COUNT(*) FILTER (WHERE c.cents < m.median_cents) AS BIGINT)
+               AS n_lt
+      FROM c, med m
+    )
+    SELECT st.n, st.k AS target_rank, sel.bkt AS median_bucket,
+           sel.bucket_count, med.median_cents, audit.n_le, audit.n_lt,
+           audit.n_le >= st.k AND audit.n_lt < st.k AS rank_certified
+    FROM st, sel, med, audit
+    """,
+    doc="EXACT distributed median without a global sort: pass 1 "
+    "histograms order values into fixed 65536-cent buckets (bounded "
+    "relation, one keyed shuffle, map-side combinable) and locates "
+    "the bucket containing the target rank; pass 2 re-scans ONLY that "
+    "bucket's rows (a selective predicate a sorted/partitioned layout "
+    "prunes at the file level) and walks the exact value. A third "
+    "conditional aggregate certifies the rank inequalities in-query "
+    "(n_le >= k > n_lt), so the output carries its own proof. The "
+    "running-sum windows order the BUCKET relation (<= domain/65536 "
+    "rows), never data rows — this is the iterative-narrowing median "
+    "every shared-nothing engine uses where a total order would be a "
+    "single-node sort.",
+)
+def k10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    ).cache()
+    st = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("(count(*) + 1) div 2").alias("k"),
+    )
+    b = c.groupBy(F.expr(f"cents div {MEDIAN_BUCKET_W}").alias("bkt")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = b.select("bkt", "cnt", F.sum("cnt").over(wb).alias("cum"))
+    sel = (
+        cum.crossJoin(F.broadcast(st))
+        .where(F.col("cum") >= F.col("k"))
+        .orderBy("bkt")
+        .limit(1)
+        .select(
+            "bkt",
+            (F.col("cum") - F.col("cnt")).alias("below"),
+            F.col("cnt").alias("bucket_count"),
+        )
+    )
+    within = (
+        c.join(F.broadcast(sel), F.expr(f"cents div {MEDIAN_BUCKET_W}") == F.col("bkt"))
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("vcnt"))
+    )
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wcum = within.select("cents", F.sum("vcnt").over(wc).alias("wc"))
+    med = (
+        wcum.crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(sel.select(F.col("below").alias("s_below"))))
+        .where(F.col("wc") >= F.col("k") - F.col("s_below"))
+        .orderBy("cents")
+        .limit(1)
+        .select(F.col("cents").alias("median_cents"))
+    )
+    audit = c.crossJoin(F.broadcast(med)).agg(
+        F.sum(F.when(F.col("cents") <= F.col("median_cents"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_le"),
+        F.sum(F.when(F.col("cents") < F.col("median_cents"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lt"),
+    )
+    return (
+        st.crossJoin(sel)
+        .crossJoin(med)
+        .crossJoin(audit)
+        .select(
+            "n",
+            F.col("k").alias("target_rank"),
+            F.col("bkt").alias("median_bucket"),
+            "bucket_count",
+            "median_cents",
+            "n_le",
+            "n_lt",
+            ((F.col("n_le") >= F.col("k")) & (F.col("n_lt") < F.col("k"))).alias(
+                "rank_certified"
+            ),
+        )
+    )
