@@ -225,6 +225,27 @@ def main() -> None:
     except Exception as e:
         r5_ops["error"] = str(e).splitlines()[0][:200]
 
+    # --- round-5 continuation operators (additive) ---------------------
+    r5b_ops: dict = {}
+    try:
+        for name in (
+            "dq01_constraint_suite",
+            "g02_copurchase_triangles",
+            "k08_hll_sliding_distinct",
+            "k10_exact_median_two_pass",
+            "e17_multitouch_attribution",
+            "p03_dataset_card",
+            "s11_cluster_disjoint_split",
+            "v13_mmr_rerank",
+        ):
+            t0 = time.time()
+            specs[name].spark_fn(spark, sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            r5b_ops[name] = round(time.time() - t0, 3)
+    except Exception as e:
+        r5b_ops["error"] = str(e).splitlines()[0][:200]
+
     # --- sf1 scale probe (VERDICT r2 #8) -------------------------------
     # 10x the bench SF via key-shifted replication (tools/
     # scale_testdata.py), then run a representative headline subset.
@@ -254,6 +275,11 @@ def main() -> None:
                 # admission dedup, probed at 10x for cliff detection
                 "k07_hll_distinct_users",
                 "d11_incremental_neardup_admission",
+                # round-5 continuation: bounded-partials sliding sketch
+                # and two-pass exact median, both should stay flat-ish
+                # at 10x (state is bounded; scans scale linearly)
+                "k08_hll_sliding_distinct",
+                "k10_exact_median_two_pass",
             ]
             q1: dict[str, float] = {}
             for name in probe:
@@ -289,6 +315,7 @@ def main() -> None:
         "ingest": ingest,
         **({"sketch": sketch} if sketch else {}),
         **({"r5_ops": r5_ops} if r5_ops else {}),
+        **({"r5b_ops": r5b_ops} if r5b_ops else {}),
         **({"sf1_probe": sf1} if sf1 else {}),
         # A total computed while queries errored is not comparable to a
         # clean run (failed queries "finish" in ~0.2s) — r2 published

@@ -1,0 +1,95 @@
+"""Exact distributed median via two-pass bucket narrowing.
+
+The scale problem with an exact median is the global sort: a total
+order of 100 TB funnels through a single range-partitioned sort. The
+classic shared-nothing answer (used here) narrows instead:
+
+1. histogram the values into fixed-width buckets — a keyed, map-side-
+   combinable aggregation whose output is bounded by domain/width
+   rows, not data rows;
+2. locate the bucket containing the target rank from the running sum
+   of the (tiny) bucket relation;
+3. re-scan only that bucket's rows (a selective range predicate that
+   file-level min/max stats prune when the layout is sorted or
+   z-ordered on the column) and walk the exact value.
+
+The returned row also certifies itself: conditional aggregates prove
+count(<= median) >= k and count(< median) < k in the same query.
+
+Non-negative integer inputs only (integer `div` and `//` agree there;
+quantize doubles to cents/micro-units first — see queries/helpers.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKET_W = 65536
+
+
+def exact_median(df: DataFrame, col: str, bucket_w: int = DEFAULT_BUCKET_W) -> DataFrame:
+    """One-row DataFrame: (n, target_rank, median_bucket, bucket_count,
+    median_cents, n_le, n_lt, rank_certified) for the lower median of
+    the non-negative integer column `col`."""
+    c = df.select(F.col(col).cast("long").alias("cents")).cache()
+    st = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("(count(*) + 1) div 2").alias("k"),
+    )
+    b = c.groupBy(F.expr(f"cents div {bucket_w}").alias("bkt")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = b.select("bkt", "cnt", F.sum("cnt").over(wb).alias("cum"))
+    sel = (
+        cum.crossJoin(F.broadcast(st))
+        .where(F.col("cum") >= F.col("k"))
+        .orderBy("bkt")
+        .limit(1)
+        .select(
+            "bkt",
+            (F.col("cum") - F.col("cnt")).alias("below"),
+            F.col("cnt").alias("bucket_count"),
+        )
+    )
+    within = (
+        c.join(F.broadcast(sel), F.expr(f"cents div {bucket_w}") == F.col("bkt"))
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("vcnt"))
+    )
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wcum = within.select("cents", F.sum("vcnt").over(wc).alias("wc"))
+    med = (
+        wcum.crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(sel.select(F.col("below").alias("s_below"))))
+        .where(F.col("wc") >= F.col("k") - F.col("s_below"))
+        .orderBy("cents")
+        .limit(1)
+        .select(F.col("cents").alias("median_cents"))
+    )
+    audit = c.crossJoin(F.broadcast(med)).agg(
+        F.sum(F.when(F.col("cents") <= F.col("median_cents"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_le"),
+        F.sum(F.when(F.col("cents") < F.col("median_cents"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lt"),
+    )
+    return (
+        st.crossJoin(sel)
+        .crossJoin(med)
+        .crossJoin(audit)
+        .select(
+            "n",
+            F.col("k").alias("target_rank"),
+            F.col("bkt").alias("median_bucket"),
+            "bucket_count",
+            "median_cents",
+            "n_le",
+            "n_lt",
+            ((F.col("n_le") >= F.col("k")) & (F.col("n_lt") < F.col("k"))).alias(
+                "rank_certified"
+            ),
+        )
+    )

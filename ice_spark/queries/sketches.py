@@ -1182,67 +1182,10 @@ MEDIAN_BUCKET_W = 65536  # cents per pass-1 bucket
     "single-node sort.",
 )
 def k10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.median import exact_median
+
     orders = load_table(spark, sf_dir, "orders")
     c = orders.select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
-    ).cache()
-    st = c.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr("(count(*) + 1) div 2").alias("k"),
     )
-    b = c.groupBy(F.expr(f"cents div {MEDIAN_BUCKET_W}").alias("bkt")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = b.select("bkt", "cnt", F.sum("cnt").over(wb).alias("cum"))
-    sel = (
-        cum.crossJoin(F.broadcast(st))
-        .where(F.col("cum") >= F.col("k"))
-        .orderBy("bkt")
-        .limit(1)
-        .select(
-            "bkt",
-            (F.col("cum") - F.col("cnt")).alias("below"),
-            F.col("cnt").alias("bucket_count"),
-        )
-    )
-    within = (
-        c.join(F.broadcast(sel), F.expr(f"cents div {MEDIAN_BUCKET_W}") == F.col("bkt"))
-        .groupBy("cents")
-        .agg(F.count(F.lit(1)).alias("vcnt"))
-    )
-    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wcum = within.select("cents", F.sum("vcnt").over(wc).alias("wc"))
-    med = (
-        wcum.crossJoin(F.broadcast(st))
-        .crossJoin(F.broadcast(sel.select(F.col("below").alias("s_below"))))
-        .where(F.col("wc") >= F.col("k") - F.col("s_below"))
-        .orderBy("cents")
-        .limit(1)
-        .select(F.col("cents").alias("median_cents"))
-    )
-    audit = c.crossJoin(F.broadcast(med)).agg(
-        F.sum(F.when(F.col("cents") <= F.col("median_cents"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_le"),
-        F.sum(F.when(F.col("cents") < F.col("median_cents"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_lt"),
-    )
-    return (
-        st.crossJoin(sel)
-        .crossJoin(med)
-        .crossJoin(audit)
-        .select(
-            "n",
-            F.col("k").alias("target_rank"),
-            F.col("bkt").alias("median_bucket"),
-            "bucket_count",
-            "median_cents",
-            "n_le",
-            "n_lt",
-            ((F.col("n_le") >= F.col("k")) & (F.col("n_lt") < F.col("k"))).alias(
-                "rank_certified"
-            ),
-        )
-    )
+    return exact_median(c, "cents", bucket_w=MEDIAN_BUCKET_W)

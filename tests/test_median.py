@@ -1,0 +1,49 @@
+"""exact_median property tests: the two-pass narrowing must produce
+the true lower median on adversarial shapes — duplicates piled on a
+bucket boundary, single element, all-equal, even/odd counts, values
+spanning many buckets and values inside one bucket."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ice_spark.operators.median import exact_median
+
+CASES = {
+    "single": [7],
+    "two": [10, 20],  # lower median = 10
+    "all_equal": [5] * 100,
+    "boundary_pile": [65536] * 50 + [65535] * 50 + [0, 1, 2],
+    "one_bucket": list(range(100, 200)),
+    "wide": [i * 100_000 for i in range(1, 202)],
+    "dups_even": [1, 1, 2, 2],
+    "skewed": [0] * 999 + [10_000_000],
+}
+
+
+def _lower_median(vals: list[int]) -> int:
+    s = sorted(vals)
+    return s[(len(s) + 1) // 2 - 1]
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_exact_median_cases(spark, name):
+    vals = CASES[name]
+    df = spark.createDataFrame([(v,) for v in vals], ["cents"])
+    row = exact_median(df, "cents").collect()[0]
+    assert row.median_cents == _lower_median(vals), name
+    assert row.rank_certified, name
+    assert row.n == len(vals)
+
+
+def test_exact_median_random(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = rng.randint(1, 500)
+        vals = [rng.randint(0, 3_000_000) for _ in range(n)]
+        df = spark.createDataFrame([(v,) for v in vals], ["cents"])
+        row = exact_median(df, "cents").collect()[0]
+        assert row.median_cents == _lower_median(vals), f"trial {trial}"
+        assert row.rank_certified
