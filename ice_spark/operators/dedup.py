@@ -113,6 +113,42 @@ def minhash_signatures(
     return ex.groupBy(id_col).agg(*aggs)
 
 
+def band_candidates(
+    sigs: DataFrame, n_hashes: int, bands: int, max_bucket_size: int = DEFAULT_MAX_BUCKET
+) -> DataFrame:
+    """(__id, __id2) candidate pairs whose signatures collide in at
+    least one band. Shared by the LSH dedup pipeline and the estimate
+    audit so both replay the identical banding spec."""
+    r = n_hashes // bands
+    structs = ", ".join(
+        "struct({b} AS band, concat_ws('_', {cols}) AS key)".format(
+            b=b,
+            cols=", ".join(f"cast(mh{b * r + i} AS string)" for i in range(r)),
+        )
+        for b in range(bands)
+    )
+    buckets = sigs.select(
+        "__id", F.expr(f"explode(array({structs})) AS bk")
+    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = _cap_buckets(buckets, ["band", "key"], max_bucket_size)
+    # Same band + same key → candidate pair. The distinct() collapses
+    # pairs that collide in multiple bands before the (expensive)
+    # exact verification join.
+    b2 = buckets.select(
+        F.col("__id").alias("__id2"), F.col("band").alias("band2"), F.col("key").alias("key2")
+    )
+    return (
+        buckets.join(
+            b2,
+            (F.col("band") == F.col("band2"))
+            & (F.col("key") == F.col("key2"))
+            & (F.col("__id") < F.col("__id2")),
+        )
+        .select("__id", "__id2")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -141,33 +177,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, id_col, text_col, k=n_hashes, shingle_n=shingle_n)
     sigs = sigs.select(F.col(id_col).alias("__id"), *[f"mh{j}" for j in range(n_hashes)])
 
-    structs = ", ".join(
-        "struct({b} AS band, concat_ws('_', {cols}) AS key)".format(
-            b=b,
-            cols=", ".join(f"cast(mh{b * r + i} AS string)" for i in range(r)),
-        )
-        for b in range(bands)
-    )
-    buckets = sigs.select(
-        "__id", F.expr(f"explode(array({structs})) AS bk")
-    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    buckets = _cap_buckets(buckets, ["band", "key"], max_bucket_size)
-    # Same band + same key → candidate pair. The distinct() collapses
-    # pairs that collide in multiple bands before the (expensive)
-    # exact verification join.
-    b2 = buckets.select(
-        F.col("__id").alias("__id2"), F.col("band").alias("band2"), F.col("key").alias("key2")
-    )
-    cands = (
-        buckets.join(
-            b2,
-            (F.col("band") == F.col("band2"))
-            & (F.col("key") == F.col("key2"))
-            & (F.col("__id") < F.col("__id2")),
-        )
-        .select("__id", "__id2")
-        .distinct()
-    )
+    cands = band_candidates(sigs, n_hashes=n_hashes, bands=bands, max_bucket_size=max_bucket_size)
     # Join shingle sets back by id (keeps the band join narrow).
     sa = base.select(F.col("__id").alias("__id"), F.col("__shs").alias("__sha"))
     sb = base.select(F.col("__id").alias("__id2"), F.col("__shs").alias("__shb"))

@@ -601,3 +601,77 @@ def e17(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return by_channel.unionAll(un).orderBy("channel")
+
+
+@register(
+    "e18_active_day_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch(DATE_TRUNC('day', ts)) // 86400 AS BIGINT) AS day_num
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, day_num,
+             day_num - ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY day_num) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM isl GROUP BY user_id, grp
+    ),
+    best AS (
+      SELECT user_id, MAX(len) AS longest_streak,
+             CAST(COUNT(*) AS BIGINT) AS n_streaks,
+             CAST(SUM(len) AS BIGINT) AS active_days
+      FROM streaks GROUP BY user_id
+    )
+    SELECT longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(active_days) AS BIGINT) AS total_active_days,
+           CAST(SUM(n_streaks) AS BIGINT) AS total_streaks
+    FROM best
+    GROUP BY longest_streak
+    ORDER BY longest_streak
+    """,
+    doc="Longest consecutive-active-day streak per user, rolled up into "
+    "a streak-length histogram — the gaps-and-islands pattern: "
+    "day_num minus the per-user ROW_NUMBER is constant within a "
+    "consecutive run, so one window + one groupBy finds every island "
+    "without self-joins or iteration. All windows run on the "
+    "deduplicated (user, day) relation — bounded by users x days, "
+    "not raw events — and day arithmetic is integer epoch-days, "
+    "identical in both engines.",
+)
+def e18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.expr("CAST(unix_timestamp(date_trunc('day', ts)) div 86400 AS BIGINT)").alias(
+            "day_num"
+        ),
+    ).distinct()
+    isl = days.select(
+        "user_id",
+        "day_num",
+        (
+            F.col("day_num")
+            - F.row_number().over(Window.partitionBy("user_id").orderBy("day_num"))
+        ).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    best = streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
+    return (
+        best.groupBy("longest_streak")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("active_days").cast("long").alias("total_active_days"),
+            F.sum("n_streaks").cast("long").alias("total_streaks"),
+        )
+        .orderBy("longest_streak")
+    )

@@ -1958,3 +1958,165 @@ def p03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("short_bp", F.expr("n_short_docs * 10000 div n_docs"))
         .orderBy("source")
     )
+
+
+@register(
+    "s12_balanced_eval_set",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+               list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+                              ch -> CAST(ascii(ch) AS BIGINT))),
+               (a, x) -> (a * 131 + x) % 1000000007) AS hv
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+      FROM h
+    ),
+    pick AS (SELECT * FROM ranked WHERE rn <= 40)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_picked,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM pick
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Balanced evaluation-set construction: exactly 40 docs per "
+    "language, selected as the 40 smallest portable-hash values — a "
+    "deterministic uniform draw that every engine, partitioning, and "
+    "retry reproduces bit-for-bit (the same property s05's split "
+    "relies on, here with a fixed per-stratum quota instead of a "
+    "rate). The per-lang ROW_NUMBER compiles to Spark's "
+    "WindowGroupLimit: each partition forwards at most 40 rows per "
+    "language to the shuffle, so the selection cost is bounded by "
+    "quota x strata, not corpus size.",
+)
+def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ice_spark.functions.text import char_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "lang", "n_chars", char_hash(F.col("doc_id").cast("string")).alias("hv")
+    )
+    w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    pick = h.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 40)
+    return (
+        pick.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_picked"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _d13_oracle() -> str:
+    sig = ", ".join(
+        f"list_min(list_transform(shs, h -> (h * {2 * j + 3} + {7 * j + 1}) "
+        f"% 1000000007))"
+        for j in range(16)
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {_SQL_SHINGLE_HASHES} AS shs
+      FROM (SELECT doc_id, {_SQL_TOKH} AS th
+            FROM (SELECT doc_id, {_SQL_TOKS.format(col='text')} AS toks
+                  FROM documents))
+    ),
+    sig AS (SELECT doc_id, shs, [{sig}] AS mh FROM docs),
+    bk AS (
+      SELECT doc_id, b,
+             CAST(mh[2 * b + 1] AS VARCHAR) || '_' ||
+             CAST(mh[2 * b + 2] AS VARCHAR) AS key
+      FROM sig, generate_series(0, 7) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bk x JOIN bk y
+        ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+    ),
+    audit AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_filter(generate_series(1, 16),
+                                  i -> sa.mh[i] = sb.mh[i])) AS BIGINT)
+               AS n_sig_matches,
+             CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS inter,
+             CAST(len(sa.shs) + len(sb.shs)
+                  - len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS un
+      FROM cand
+      JOIN sig sa ON sa.doc_id = cand.doc_a
+      JOIN sig sb ON sb.doc_id = cand.doc_b
+    )
+    SELECT doc_a, doc_b, n_sig_matches,
+           n_sig_matches * 1000000 // 16 AS est_u,
+           inter * 1000000 // un AS exact_u,
+           ABS(n_sig_matches * 1000000 // 16 - inter * 1000000 // un) AS err_u
+    FROM audit
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "d13_minhash_estimate_audit",
+    _d13_oracle(),
+    doc="MinHash accuracy audit: for every LSH band-collision candidate "
+    "pair (same 16-permutation / 8-band spec as d04, via the shared "
+    "band_candidates helper), compare the signature-match estimate of "
+    "Jaccard (matches/16) against the exact shingle Jaccard, both in "
+    "integer micro-units. This is the measurement that justifies the "
+    "sketch: it quantifies, on real candidates, how much the 16-hash "
+    "signature's error could mis-rank a dedup decision — the same "
+    "audit-the-sketch discipline as k01/k07/v12. Costs one extra "
+    "16-term comparison per candidate pair on top of the d04 "
+    "pipeline; candidates, not the corpus, bound the work.",
+)
+def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.functions.text import shingle_hashes
+    from ice_spark.operators.dedup import band_candidates, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", k=16).select(
+        F.col("doc_id").alias("__id"), *[f"mh{j}" for j in range(16)]
+    )
+    cands = band_candidates(sigs, n_hashes=16, bands=8)
+    base = docs.select(F.col("doc_id").alias("__id"), shingle_hashes("text").alias("shs"))
+    sa = sigs.select(
+        F.col("__id"), F.array(*[F.col(f"mh{j}") for j in range(16)]).alias("ma")
+    ).join(base.select("__id", F.col("shs").alias("sha")), "__id")
+    sb = sa.select(
+        F.col("__id").alias("__id2"), F.col("ma").alias("mb"), F.col("sha").alias("shb")
+    )
+    j = cands.join(sa, "__id").join(sb, "__id2")
+    matches = F.size(
+        F.filter(
+            F.zip_with("ma", "mb", lambda x, y: x == y), lambda m: m
+        )
+    ).cast("long")
+    inter = F.size(F.array_intersect("sha", "shb")).cast("long")
+    un = (F.size("sha") + F.size("shb")).cast("long") - inter
+    return (
+        j.select(
+            F.col("__id").alias("doc_a"),
+            F.col("__id2").alias("doc_b"),
+            matches.alias("n_sig_matches"),
+            F.expr("n_sig_matches * 1000000 div 16").alias("est_u"),
+            inter.alias("__inter"),
+            un.alias("__un"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_sig_matches",
+            "est_u",
+            F.expr("__inter * 1000000 div __un").alias("exact_u"),
+            F.expr("abs(est_u - __inter * 1000000 div __un)").alias("err_u"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
