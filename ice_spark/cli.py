@@ -234,6 +234,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("query", help="SQL over catalog tables (registered as ns_table views)")
     sp.add_argument("--limit", type=int, default=100)
 
+    sp = sub.add_parser("audit-plan")
+    sp.add_argument("query", help="SQL over catalog tables, or a registered query name")
+    sp.add_argument("--sf-dir", default=None,
+                    help="run a registered library query against this parquet dir")
+
     sp = sub.add_parser("export")
     sp.add_argument("table")
     sp.add_argument("dest")
@@ -611,6 +616,21 @@ def main(argv: list[str] | None = None) -> int:
         cat.register_sql_context()
         rows = cat.spark.sql(args.query).limit(args.limit).collect()
         out = [r.asDict(recursive=True) for r in rows]
+    elif args.cmd == "audit-plan":
+        # Plan-shape audit (the scale contract tests/test_plans.py
+        # enforces, exposed to users): shuffles, join strategies,
+        # pushed filters, read schemas — for ad-hoc SQL over catalog
+        # tables or a registered library query by name.
+        from ice_spark.plans import audit
+
+        if args.sf_dir:
+            from ice_spark.queries.registry import load_all
+
+            df = load_all()[args.query].spark_fn(cat.spark, args.sf_dir)
+        else:
+            cat.register_sql_context()
+            df = cat.spark.sql(args.query)
+        out = {"summary": audit(df).report().splitlines()}
     elif args.cmd == "export":
         df = cat.load_table(args.table).read(snapshot_id=args.snapshot)
         codec = args.compression

@@ -779,3 +779,54 @@ def e16(spark: SparkSession, sf_dir: str) -> DataFrame:
             "filled_cents"
         ),
     )
+
+
+@register(
+    "w07_mom_revenue_growth",
+    """
+    WITH m AS (
+      SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS mon,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT mon, rev_cents,
+           LAG(rev_cents) OVER (ORDER BY mon) AS prev_cents,
+           CASE WHEN LAG(rev_cents) OVER (ORDER BY mon) IS NULL THEN NULL
+                WHEN rev_cents >= LAG(rev_cents) OVER (ORDER BY mon)
+                THEN (rev_cents - LAG(rev_cents) OVER (ORDER BY mon)) * 10000
+                     // LAG(rev_cents) OVER (ORDER BY mon)
+                ELSE -((LAG(rev_cents) OVER (ORDER BY mon) - rev_cents) * 10000
+                       // LAG(rev_cents) OVER (ORDER BY mon))
+           END AS growth_bp
+    FROM m
+    ORDER BY mon
+    """,
+    doc="Month-over-month revenue growth in integer basis points "
+    "(LAG over the pre-aggregated monthly relation). The numerator "
+    "can be negative and Spark's `div` truncates toward zero while "
+    "DuckDB's `//` floors — the oracle splits on sign and divides "
+    "magnitudes so both engines agree exactly. Window state is one "
+    "row per month.",
+)
+def w07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("mon")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"))
+    w = Window.orderBy("mon")
+    prev = F.lag("rev_cents").over(w)
+    return m.select(
+        "mon",
+        "rev_cents",
+        prev.alias("prev_cents"),
+        F.when(prev.isNull(), F.lit(None).cast("long"))
+        .otherwise(F.expr("(rev_cents - lag(rev_cents) OVER (ORDER BY mon)) * 10000")
+                   .cast("long"))
+        .alias("__tmp"),
+    ).select(
+        "mon",
+        "rev_cents",
+        "prev_cents",
+        F.expr("CAST(__tmp div prev_cents AS BIGINT)").alias("growth_bp"),
+    ).orderBy("mon")

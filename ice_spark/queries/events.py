@@ -675,3 +675,59 @@ def e18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("longest_streak")
     )
+
+
+@register(
+    "e19_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) * 1000000
+             // CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS BIGINT)
+             AS p_micro
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY from_type, to_type
+    """,
+    doc="First-order event transition matrix (the Markov counts behind "
+    "next-action prediction and funnel modeling): LEAD per user over "
+    "event time, pair counts, and the per-source transition "
+    "probability in integer micro-units (count scaled by the row "
+    "marginal, floor division — no float ratios). One user-keyed "
+    "window shuffle plus one pair aggregation; the output is "
+    "|types|^2 rows at any volume.",
+)
+def e19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    pairs = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    marg = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 1000000").alias("__num"),
+        F.sum("n").over(marg).alias("__den"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("__num div __den").alias("p_micro"),
+    ).orderBy("from_type", "to_type")
