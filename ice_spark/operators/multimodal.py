@@ -420,3 +420,89 @@ def audio_window_energy(
             yield pd.DataFrame(rows, columns=[id_col, "window_idx", "n_samples", "energy"])
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+AHASH_IMG = 16  # synthesized pattern image is 16x16, hashed on an 8x8 grid
+
+
+def synthesize_pattern_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per row: a REAL 16x16 grayscale-pattern PNG whose pixel values
+    are the pure function v(x, y) = (13*(id % 25) + 8*x + 3*y) % 256 —
+    so an oracle can recompute every pixel analytically while this
+    side round-trips actual encoded bytes. Arrow-batched."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("content", T.BinaryType())])
+
+    def run(batches: Iterator) -> Iterator:
+        from ice_spark.functions.media import encode_png
+
+        for pdf in batches:
+            contents = []
+            for did in pdf[id_col]:
+                base = 13 * (int(did) % 25)
+                rows = [
+                    [((base + 8 * x + 3 * y) % 256,) * 3 for x in range(AHASH_IMG)]
+                    for y in range(AHASH_IMG)
+                ]
+                contents.append(encode_png(rows))
+            pdf = pdf.copy()
+            pdf["content"] = contents
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def perceptual_ahash(df: DataFrame, binary_col: str = "content") -> DataFrame:
+    """Average-hash over REAL decoded PNG bytes: 8x8 grid of 2x2-block
+    sums, bit k set iff 64 * cell_sum > total_sum (integer compare —
+    no float mean, so any engine agrees exactly), emitted as four
+    16-bit band integers plus the 16-hex-digit hash. Cell index
+    k = 8*cy + cx, band = k div 16, bit = k mod 16; hash string is
+    band3..band0. Brightness-invariant by construction (a constant
+    offset adds equally to both sides of the compare)."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("band0", T.LongType()),
+            T.StructField("band1", T.LongType()),
+            T.StructField("band2", T.LongType()),
+            T.StructField("band3", T.LongType()),
+            T.StructField("hash_hex", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        from ice_spark.functions.media import decode_png
+
+        for pdf in batches:
+            cols = {"band0": [], "band1": [], "band2": [], "band3": [], "hash_hex": []}
+            for data in pdf[binary_col]:
+                w, h, nch, raw = decode_png(bytes(data))
+                assert w == AHASH_IMG and h == AHASH_IMG
+                # channel 0 (the pattern is grayscale replicated to RGB)
+                px = [
+                    [raw[(y * w + x) * nch] for x in range(w)] for y in range(h)
+                ]
+                cell = [
+                    px[2 * cy][2 * cx]
+                    + px[2 * cy][2 * cx + 1]
+                    + px[2 * cy + 1][2 * cx]
+                    + px[2 * cy + 1][2 * cx + 1]
+                    for cy in range(8)
+                    for cx in range(8)
+                ]  # index k = 8*cy + cx
+                total = sum(cell)
+                bands = [0, 0, 0, 0]
+                for k, cs in enumerate(cell):
+                    if 64 * cs > total:
+                        bands[k // 16] |= 1 << (k % 16)
+                for i in range(4):
+                    cols[f"band{i}"].append(bands[i])
+                cols["hash_hex"].append(
+                    f"{bands[3]:04x}{bands[2]:04x}{bands[1]:04x}{bands[0]:04x}"
+                )
+            pdf = pdf.copy()
+            for c, v in cols.items():
+                pdf[c] = v
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -247,3 +247,77 @@ def m04(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "m05_perceptual_hash_groups",
+    """
+    WITH d AS (
+      SELECT doc_id, 13 * (doc_id % 25) AS base
+      FROM documents WHERE doc_id < 400
+    ),
+    cells AS (
+      SELECT doc_id, base, cy.g AS cy, cx.g AS cx,
+             (  (base + 8 * (2 * cx.g)     + 3 * (2 * cy.g))     % 256
+              + (base + 8 * (2 * cx.g + 1) + 3 * (2 * cy.g))     % 256
+              + (base + 8 * (2 * cx.g)     + 3 * (2 * cy.g + 1)) % 256
+              + (base + 8 * (2 * cx.g + 1) + 3 * (2 * cy.g + 1)) % 256
+             ) AS cs
+      FROM d, generate_series(0, 7) cy(g), generate_series(0, 7) cx(g)
+    ),
+    tot AS (SELECT doc_id, SUM(cs) AS total FROM cells GROUP BY doc_id),
+    bands AS (
+      SELECT c.doc_id, (8 * cy + cx) // 16 AS band_i,
+             CAST(SUM(CASE WHEN 64 * cs > t.total
+                           THEN CAST(1 AS BIGINT) << ((8 * cy + cx) % 16)
+                           ELSE 0 END) AS BIGINT) AS band
+      FROM cells c JOIN tot t USING (doc_id)
+      GROUP BY c.doc_id, band_i
+    ),
+    hashes AS (
+      SELECT doc_id,
+             printf('%04x%04x%04x%04x',
+                    MAX(CASE WHEN band_i = 3 THEN band END),
+                    MAX(CASE WHEN band_i = 2 THEN band END),
+                    MAX(CASE WHEN band_i = 1 THEN band END),
+                    MAX(CASE WHEN band_i = 0 THEN band END)) AS hash_hex
+      FROM bands GROUP BY doc_id
+    )
+    SELECT hash_hex,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(COUNT(DISTINCT doc_id % 25) AS BIGINT) AS n_classes
+    FROM hashes
+    GROUP BY hash_hex
+    ORDER BY hash_hex
+    """,
+    doc="Perceptual-hash (aHash) image dedup over REAL PNG bytes: "
+    "synthesize a 16x16 pattern image per doc (pixels a pure function "
+    "of doc_id, so the oracle recomputes them analytically), decode "
+    "the actual container through the pure-Python PNG codec, and "
+    "compute the 8x8 average hash with INTEGER comparisons "
+    "(64*cell_sum > total_sum — no float mean, brightness-invariant "
+    "by construction). Images group by hash; n_classes reports how "
+    "many pattern classes share a bucket — classes whose pixels "
+    "never wrap mod 256 differ only in brightness and so collide "
+    "INTENTIONALLY (that invariance is aHash's point), while wrapped "
+    "patterns split into distinct hashes. The hash is "
+    "emitted as four 16-bit bands — the same banding the SimHash "
+    "pipeline (d05) uses for Hamming-tolerant candidate joins at "
+    "corpus scale. A decode bug on either side breaks the hash match.",
+)
+def m05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.multimodal import perceptual_ahash, synthesize_pattern_png
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select("doc_id")
+    media = synthesize_pattern_png(docs)
+    hashed = perceptual_ahash(media)
+    return (
+        hashed.groupBy("hash_hex")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.countDistinct(F.col("doc_id") % 25).alias("n_classes"),
+        )
+        .orderBy("hash_hex")
+    )
