@@ -222,6 +222,7 @@ def main() -> None:
                 "overwrite"
             ).save()
             r5_ops[name] = round(time.time() - t0, 3)
+            spark.catalog.clearCache()  # drop per-query cached relations
     except Exception as e:
         r5_ops["error"] = str(e).splitlines()[0][:200]
 
@@ -243,6 +244,7 @@ def main() -> None:
                 "overwrite"
             ).save()
             r5b_ops[name] = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
     except Exception as e:
         r5b_ops["error"] = str(e).splitlines()[0][:200]
 
@@ -292,6 +294,8 @@ def main() -> None:
                 except Exception as e:
                     q1[name] = round(time.time() - t0, 3)
                     sf1.setdefault("errors", {})[name] = str(e).splitlines()[0][:200]
+                finally:
+                    spark.catalog.clearCache()
             sf1["queries"] = q1
             # same rule as the headline: a total summed over errored
             # queries is not a number anyone may compare

@@ -72,6 +72,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- Broadcast: dims up to 64 MiB broadcast instead of shuffle ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- Heap: Spark's 1g default driver heap is sized for a thin
+        # cluster driver, not local[N] where the "driver" IS all N
+        # executors. Long sessions (the 144-query correctness sweep,
+        # bench + sf1 probe) accumulate codegen classes, broadcasts,
+        # and per-query caches and OOM at 1g. Takes effect only when
+        # this process launches the JVM (spark-submit sets its own).
+        .config("spark.driver.memory", "8g")
         # --- Timestamps: testdata uses ns/ms parquet timestamps ---
         # Spark has no TIMESTAMP(NANOS) type: read nanos as long and
         # convert explicitly (see tables.load_table).

@@ -81,6 +81,13 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # Queries legitimately cache multi-consumer relations
+            # (PageRank/triangle edge lists, sketch partials); across
+            # 140+ queries in ONE session those caches accumulate and
+            # can exhaust the default driver heap. Each query is
+            # independent here, so drop cached data between them.
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
