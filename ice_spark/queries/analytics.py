@@ -830,3 +830,77 @@ def w07(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_cents",
         F.expr("CAST(__tmp div prev_cents AS BIGINT)").alias("growth_bp"),
     ).orderBy("mon")
+
+
+@register(
+    "a07_association_rules",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_ord AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM li),
+    item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM li GROUP BY 1
+    ),
+    pair AS (
+      SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+             CAST(COUNT(*) AS BIGINT) AS both_cnt
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT ante, cons, both_cnt,
+           both_cnt * 1000000 // (SELECT n FROM n_ord) AS support_micro,
+           both_cnt * 1000000 // ia.cnt AS confidence_micro,
+           both_cnt * (SELECT n FROM n_ord) * 1000000 // (ia.cnt * ic.cnt)
+             AS lift_micro
+    FROM pair
+    JOIN item ia ON ia.l_partkey = ante
+    JOIN item ic ON ic.l_partkey = cons
+    WHERE both_cnt >= 3
+    ORDER BY lift_micro DESC, ante, cons
+    LIMIT 50
+    """,
+    doc="Association rules over order baskets (market-basket support / "
+    "confidence / lift, all integer micro-units — lift is "
+    "both*N*1e6 div (cnt_a*cnt_b), one floor division on identical "
+    "integers in both engines). The pair relation is the same "
+    "self-join-per-basket shape as g02's co-purchase edges: work "
+    "scales with sum of basket-size squared, bounded by the basket "
+    "cap, never by catalog size; marginals join back key-only. "
+    "both_cnt >= 3 prunes the long noise tail before ranking.",
+)
+def a07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .cache()
+    )
+    n = li.select("l_orderkey").distinct().count()
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("ante"), F.col("b.l_partkey").alias("cons"))
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+        .where(F.col("both_cnt") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("ia_key"), F.col("cnt").alias("cnt_a"))
+    ic = item.select(F.col("l_partkey").alias("ic_key"), F.col("cnt").alias("cnt_c"))
+    return (
+        pair.join(ia, F.col("ante") == F.col("ia_key"))
+        .join(ic, F.col("cons") == F.col("ic_key"))
+        .select(
+            "ante",
+            "cons",
+            "both_cnt",
+            F.expr(f"both_cnt * 1000000 div {n}").alias("support_micro"),
+            F.expr("both_cnt * 1000000 div cnt_a").alias("confidence_micro"),
+            F.expr(f"both_cnt * {n} * 1000000 div (cnt_a * cnt_c)").alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), "ante", "cons")
+        .limit(50)
+    )

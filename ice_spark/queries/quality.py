@@ -24,6 +24,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -171,3 +173,70 @@ def dq01(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "check_name", "violations", "total", (F.col("violations") == 0).alias("passed")
     ).orderBy("check_name")
+
+
+# Benford expectations in basis points, precomputed once in Python and
+# embedded as literals in BOTH engines' queries — computing log10 at
+# query time would trust two libm implementations to round identically.
+_BENFORD_BP = {d: round(math.log10(1 + 1 / d) * 10000) for d in range(1, 10)}
+_BENFORD_VALUES = ", ".join(f"({d}, {bp})" for d, bp in _BENFORD_BP.items())
+
+
+@register(
+    "dq02_benford_digit_audit",
+    f"""
+    WITH expected(digit, benford_bp) AS (VALUES {_BENFORD_VALUES}),
+    obs AS (
+      SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n_d
+      FROM orders
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM obs)
+    SELECT e.digit,
+           COALESCE(o.n_d, 0) AS n_d,
+           COALESCE(o.n_d, 0) * 10000 // (SELECT n FROM tot) AS share_bp,
+           CAST(e.benford_bp AS BIGINT) AS benford_bp,
+           ABS(COALESCE(o.n_d, 0) * 10000 // (SELECT n FROM tot)
+               - e.benford_bp) AS dev_bp
+    FROM expected e LEFT JOIN obs o ON o.digit = e.digit
+    ORDER BY e.digit
+    """,
+    doc="Benford's-law audit on order totals: observed leading-digit "
+    "shares vs the Benford expectation, both in integer basis points "
+    "(the expectation table is precomputed in Python and embedded as "
+    "literals in both engines — never trust two libm log10s to round "
+    "alike). The classic screen for fabricated or truncated numeric "
+    "columns in an incoming batch; one map-side digit extraction via "
+    "integer-string slicing plus a 9-row aggregate. Large dev_bp on "
+    "synthetic TPC-H prices is EXPECTED (uniform-ish generation) — "
+    "the query reports, thresholds are policy.",
+)
+def dq02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    obs = (
+        orders.select(
+            F.substring(F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_d"))
+    ).cache()
+    tot = obs.agg(F.sum("n_d").cast("long").alias("n"))
+    expected = spark.createDataFrame(
+        [(d, bp) for d, bp in _BENFORD_BP.items()], ["digit", "benford_bp"]
+    )
+    return (
+        expected.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_d"), F.lit(0)).alias("n_d"),
+            F.expr("coalesce(n_d, 0) * 10000 div n").alias("share_bp"),
+            F.col("benford_bp").cast("long").alias("benford_bp"),
+            F.expr("abs(coalesce(n_d, 0) * 10000 div n - benford_bp)").alias("dev_bp"),
+        )
+        .orderBy("digit")
+    )
