@@ -875,7 +875,9 @@ def a07(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
-    n = li.select("l_orderkey").distinct().count()
+    # Basket count rides the plan as a broadcast 1-row relation — the
+    # query stays fully lazy (no driver-side action at construction).
+    n_ord = li.agg(F.countDistinct("l_orderkey").alias("n"))
     item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
     a, b = li.alias("a"), li.alias("b")
     pair = (
@@ -893,13 +895,14 @@ def a07(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pair.join(ia, F.col("ante") == F.col("ia_key"))
         .join(ic, F.col("cons") == F.col("ic_key"))
+        .crossJoin(F.broadcast(n_ord))
         .select(
             "ante",
             "cons",
             "both_cnt",
-            F.expr(f"both_cnt * 1000000 div {n}").alias("support_micro"),
+            F.expr("both_cnt * 1000000 div n").alias("support_micro"),
             F.expr("both_cnt * 1000000 div cnt_a").alias("confidence_micro"),
-            F.expr(f"both_cnt * {n} * 1000000 div (cnt_a * cnt_c)").alias("lift_micro"),
+            F.expr("both_cnt * n * 1000000 div (cnt_a * cnt_c)").alias("lift_micro"),
         )
         .orderBy(F.desc("lift_micro"), "ante", "cons")
         .limit(50)
