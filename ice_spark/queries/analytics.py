@@ -907,3 +907,88 @@ def a07(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_micro"), "ante", "cons")
         .limit(50)
     )
+
+
+@register(
+    "e20_rfm_segmentation",
+    """
+    WITH mx AS (
+      SELECT CAST(epoch(DATE_TRUNC('day', MAX(o_orderdate))) // 86400 AS BIGINT)
+        AS max_day FROM orders
+    ),
+    per_cust AS (
+      SELECT o_custkey,
+             (SELECT max_day FROM mx)
+               - CAST(epoch(DATE_TRUNC('day', MAX(o_orderdate))) // 86400 AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary_cents,
+             NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey) AS r,
+             NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m
+      FROM per_cust
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f, CAST(m AS BIGINT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) // COUNT(*) AS avg_monetary_cents,
+           CAST(MIN(o_custkey) AS BIGINT) AS sample_custkey
+    FROM scored
+    GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+    doc="RFM customer segmentation: recency (days since last order), "
+    "frequency, and monetary value quartiled with NTILE into the "
+    "classic 64-cell marketing grid, rolled up to per-segment counts "
+    "and exact average spend (integer cents, floor division). "
+    "Determinism: every NTILE ordering carries the customer key as "
+    "tiebreak, so quartile boundaries are identical across engines "
+    "and partitionings. The NTILE windows are unpartitioned by "
+    "nature (global quantiles) but run on the pre-aggregated "
+    "per-customer relation — one row per customer, not per order; "
+    "for 100 TB of customers swap NTILE for the bucket-narrowing "
+    "quantiles of operators/median.py.",
+)
+def e20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.expr("CAST(unix_timestamp(date_trunc('day', o_orderdate)) div 86400 AS BIGINT)")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(day).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("monetary_cents"),
+    )
+    mx = per_cust.agg(F.max("last_day").alias("max_day"))
+    pc = per_cust.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        (F.col("max_day") - F.col("last_day")).alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    scored = pc.select(
+        "o_custkey",
+        "monetary_cents",
+        F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))).alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
+        .alias("m"),
+    )
+    return (
+        scored.groupBy(
+            F.col("r").cast("long").alias("r"),
+            F.col("f").cast("long").alias("f"),
+            F.col("m").cast("long").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.expr("CAST(sum(monetary_cents) AS BIGINT) div count(*)").alias(
+                "avg_monetary_cents"
+            ),
+            F.min("o_custkey").alias("sample_custkey"),
+        )
+        .orderBy("r", "f", "m")
+    )

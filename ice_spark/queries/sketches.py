@@ -1189,3 +1189,70 @@ def k10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
     )
     return exact_median(c, "cents", bucket_w=MEDIAN_BUCKET_W)
+
+
+# AMS sign hashes: portable affine-mod-P bit extraction. Sign_j(key) =
+# +1 if ((key*Aj + Bj) mod P) is even else -1. Affine is fine here:
+# AMS needs pairwise-independent signs for the expectation, and the
+# audit column reports the actual error honestly.
+AMS_ESTIMATORS = [
+    (1686629717, 11), (1103515245, 23), (1566083941, 37), (1812433253, 53),
+    (48271, 7), (69621, 13), (630360016, 19), (397204094, 29),
+]
+
+
+@register(
+    "k11_ams_selfjoin_size",
+    f"""
+    WITH cnt AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    est AS (
+      SELECT j,
+             SUM(CASE WHEN ((user_id % {P}) * a + b) % {P} % 2 = 0
+                      THEN c ELSE -c END) AS z
+      FROM cnt, (VALUES {", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(AMS_ESTIMATORS))}) p(j, a, b)
+      GROUP BY j
+    ),
+    f2e AS (SELECT CAST(SUM(z * z) AS BIGINT) // {len(AMS_ESTIMATORS)} AS f2_est FROM est),
+    f2x AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM cnt)
+    SELECT f2_est, f2_exact,
+           ABS(f2_est - f2_exact) * 100 // f2_exact AS err_pct
+    FROM f2e, f2x
+    """,
+    doc="AMS sketch for the second frequency moment (= self-join size "
+    "of events on user_id — the cardinality a join optimizer needs "
+    "before picking a strategy): 8 sign-hash estimators, each a "
+    "single +/-count sum, averaged as sum(z^2)/8. State is 8 longs "
+    "TOTAL regardless of key cardinality, mergeable by addition — "
+    "the sketch an AQE-style planner could maintain per partition "
+    "for KBs. The exact F2 audit (sum of squared counts) is the "
+    "full groupBy the sketch avoids; err_pct reports the real "
+    "estimator error. Integer end to end (sign sums and squares are "
+    "BIGINT; one floor division by 8).",
+)
+def k11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).cache()
+    ests = []
+    for a, b in AMS_ESTIMATORS:
+        sign = F.when(((F.col("user_id") % P) * a + b) % P % 2 == 0, F.col("c")).otherwise(
+            -F.col("c")
+        )
+        ests.append(F.sum(sign))
+    zrow = cnt.agg(*[e.alias(f"z{j}") for j, e in enumerate(ests)])
+    f2e = zrow.select(
+        (
+            sum(F.col(f"z{j}") * F.col(f"z{j}") for j in range(len(AMS_ESTIMATORS)))
+        ).alias("ss")
+    ).select(F.expr(f"ss div {len(AMS_ESTIMATORS)}").cast("long").alias("f2_est"))
+    f2x = cnt.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"))
+    return (
+        f2e.crossJoin(F.broadcast(f2x))
+        .select(
+            "f2_est",
+            "f2_exact",
+            F.expr("abs(f2_est - f2_exact) * 100 div f2_exact").alias("err_pct"),
+        )
+    )

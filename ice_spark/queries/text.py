@@ -2120,3 +2120,84 @@ def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "t13_collocations",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS.format(col='text')} AS t FROM documents
+    ),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM toks, UNNEST(t) AS u(tok)
+      GROUP BY tok
+    ),
+    n AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total FROM uni),
+    bi AS (
+      SELECT bg['w1'] AS w1, bg['w2'] AS w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+      FROM toks,
+           UNNEST(list_transform(generate_series(1, len(t) - 1),
+                                 i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS u(bg)
+      WHERE len(t) >= 2
+      GROUP BY 1, 2
+    )
+    SELECT w1, w2, n_xy,
+           n_xy * (SELECT total FROM n) * 1000000 // (u1.n_tok * u2.n_tok)
+             AS assoc_micro
+    FROM bi
+    JOIN uni u1 ON u1.tok = w1
+    JOIN uni u2 ON u2.tok = w2
+    WHERE n_xy >= 5
+    ORDER BY assoc_micro DESC, w1, w2
+    LIMIT 30
+    """,
+    doc="Collocation extraction: adjacent-token bigrams ranked by the "
+    "PMI-monotone association ratio n_xy * N / (n_x * n_y), computed "
+    "entirely in integer micro-units (PMI's log is monotone in the "
+    "ratio, so ranking needs no float log). The NLP analog of a07's "
+    "market-basket lift: bigram explode is map-only, both the bigram "
+    "and unigram aggregations are vocabulary-sized keyed shuffles "
+    "with map-side partials, marginals join back key-only — no "
+    "all-pairs expansion, work bounded by corpus token count.",
+)
+def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(tokens(F.col("text")).alias("t")).cache()
+    uni = (
+        t.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    n = uni.agg(F.sum("n_tok").cast("long").alias("total"))
+    bi = (
+        t.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                    F.expr("slice(t, 2, size(t) - 1)").alias("w2"),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .where(F.col("n_xy") >= 5)
+    )
+    u1 = uni.select(F.col("tok").alias("t1"), F.col("n_tok").alias("n_x"))
+    u2 = uni.select(F.col("tok").alias("t2"), F.col("n_tok").alias("n_y"))
+    return (
+        bi.join(u1, F.col("w1") == F.col("t1"))
+        .join(u2, F.col("w2") == F.col("t2"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            F.expr("n_xy * total * 1000000 div (n_x * n_y)").alias("assoc_micro"),
+        )
+        .orderBy(F.desc("assoc_micro"), "w1", "w2")
+        .limit(30)
+    )
