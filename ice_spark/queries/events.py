@@ -731,3 +731,162 @@ def e19(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("__num div __den").alias("p_micro"),
     ).orderBy("from_type", "to_type")
+
+
+@register(
+    "e21_time_to_convert",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id
+    ),
+    delay AS (
+      SELECT s.user_id,
+             CAST(epoch_ms(p.first_purchase_ts) // 1000 - epoch_ms(s.signup_ts) // 1000 AS BIGINT)
+               AS delay_sec
+      FROM s JOIN p ON p.user_id = s.user_id
+    ),
+    dec AS (
+      SELECT user_id, delay_sec,
+             NTILE(10) OVER (ORDER BY delay_sec, user_id) AS decile
+      FROM delay
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(delay_sec) AS BIGINT) AS min_delay_sec,
+           CAST(MAX(delay_sec) AS BIGINT) AS max_delay_sec,
+           CAST(SUM(delay_sec) AS BIGINT) // COUNT(*) AS avg_delay_sec
+    FROM dec GROUP BY decile ORDER BY decile
+    """,
+    doc="Signup-to-first-purchase conversion-delay distribution in "
+    "deciles: per-user first signup, first subsequent purchase, "
+    "integer-second delay, tiebroken NTILE(10). The windows run on "
+    "the per-user conversion relation (one row per converting user); "
+    "delays and averages are exact integers. The product question "
+    "behind activation dashboards, expressed as three keyed "
+    "aggregations and one bounded window.",
+)
+def e21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    delay = s.join(p, "user_id").select(
+        "user_id",
+        (
+            F.unix_timestamp("first_purchase_ts") - F.unix_timestamp("signup_ts")
+        ).cast("long").alias("delay_sec"),
+    )
+    dec = delay.select(
+        "delay_sec",
+        F.ntile(10).over(Window.orderBy("delay_sec", "user_id")).alias("decile"),
+    )
+    return (
+        dec.groupBy(F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("delay_sec").alias("min_delay_sec"),
+            F.max("delay_sec").alias("max_delay_sec"),
+            F.expr("CAST(sum(delay_sec) AS BIGINT) div count(*)").alias("avg_delay_sec"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "e22_bot_rate_detection",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(epoch_ms(MAX(ts)) // 1000 - epoch_ms(MIN(ts)) // 1000 AS BIGINT) AS span_sec
+      FROM events GROUP BY user_id
+    ),
+    gaps AS (
+      SELECT user_id, g FROM (
+        SELECT user_id,
+               CAST(epoch_ms(ts) // 1000
+                    - epoch_ms(LAG(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id)) // 1000 AS BIGINT) AS g
+        FROM events
+      ) WHERE g IS NOT NULL
+    ),
+    reg AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(g) AS BIGINT) AS s,
+             CAST(SUM(g * g) AS BIGINT) AS q
+      FROM gaps GROUP BY user_id
+    )
+    SELECT p.user_id, p.n_events, p.span_sec,
+           p.n_events * 3600000 // GREATEST(p.span_sec, 1) AS rate_milli_per_hour,
+           r.m >= 5 AND 100 * (r.m * r.q - r.s * r.s) < r.s * r.s AS metronomic
+    FROM per_user p JOIN reg r ON r.user_id = p.user_id
+    WHERE p.n_events >= 20
+    ORDER BY rate_milli_per_hour DESC, p.user_id
+    LIMIT 20
+    """,
+    doc="Bot / abuse screen: per-user event rate (events per hour in "
+    "integer milli-units) and a metronomic-regularity flag — "
+    "coefficient of variation of inter-event gaps under 10%, tested "
+    "as 100*(m*q - s^2) < s^2 with the divisions cleared (same "
+    "integer-variance idiom as e15, exact in both engines). One "
+    "user-keyed window for gaps plus two keyed aggregations; "
+    "humans are bursty, schedulers are metronomic, and the flag "
+    "costs three BIGINTs of state per user.",
+)
+def e22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("span_sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+            .cast("long")
+            .alias("g"),
+        )
+        .where(F.col("g").isNotNull())
+    )
+    reg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("g").cast("long").alias("s"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("q"),
+    )
+    return (
+        per_user.where(F.col("n_events") >= 20)
+        .join(reg, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "span_sec",
+            F.expr("n_events * 3600000 div greatest(span_sec, 1)").alias(
+                "rate_milli_per_hour"
+            ),
+            ((F.col("m") >= 5) & (F.lit(100) * (F.col("m") * F.col("q") - F.col("s") * F.col("s")) < F.col("s") * F.col("s"))).alias(
+                "metronomic"
+            ),
+        )
+        .orderBy(F.desc("rate_milli_per_hour"), "user_id")
+        .limit(20)
+    )

@@ -920,3 +920,87 @@ def v13(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel_u",
         "mmr_u",
     ).orderBy("query_id", "position")
+
+
+@register(
+    "v14_vector_analogy",
+    f"""
+    WITH ids AS (SELECT UNNEST([0, 1, 2]) AS q),
+    trip AS (
+      SELECT q, ea.embedding AS va, eb.embedding AS vb, ec.embedding AS vc
+      FROM ids
+      JOIN embeddings ea ON ea.vec_id = q
+      JOIN embeddings eb ON eb.vec_id = q + 5
+      JOIN embeddings ec ON ec.vec_id = q + 10
+    ),
+    tgt AS (
+      SELECT q,
+             list_transform(generate_series(1, len(va)),
+               i -> CAST(va[i] AS DOUBLE) - CAST(vb[i] AS DOUBLE)
+                    + CAST(vc[i] AS DOUBLE)) AS tv
+      FROM trip
+    ),
+    scored AS (
+      SELECT q, e.vec_id AS neighbor_id,
+             ROUND({_SQL_DOT.format(a='tv', b='e.embedding')}
+                   / ({_SQL_NORM.format(a='tv')}
+                      * {_SQL_NORM.format(a='e.embedding')}), 6) AS cos_sim
+      FROM tgt JOIN embeddings e
+        ON e.vec_id NOT IN (q, q + 5, q + 10)
+    )
+    SELECT q AS query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT q, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q
+               ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) r WHERE rank <= 3
+    """,
+    doc="Embedding-arithmetic analogy search (the word2vec a - b + c "
+    "pattern): per query triple, the target vector is composed "
+    "element-wise and matched against the corpus by exact cosine, "
+    "top-3 with round-6 + id tiebreaks (v01's determinism "
+    "discipline). Targets are a broadcast handful of rows; the "
+    "corpus is scanned once — the composition adds zero shuffles "
+    "over plain kNN, which is the point: analogy queries at 100 TB "
+    "cost exactly what retrieval costs.",
+)
+def v14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = spark.range(3).select(F.col("id").cast("long").alias("q"))
+    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    ec = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vc"))
+    trip = (
+        ids.join(F.broadcast(ea), F.col("q") == F.col("a_id"))
+        .join(F.broadcast(eb), F.col("q") + 5 == F.col("b_id"))
+        .join(F.broadcast(ec), F.col("q") + 10 == F.col("c_id"))
+    )
+    tv = F.zip_with(
+        F.zip_with("va", "vb", lambda a, b: a.cast("double") - b.cast("double")),
+        "vc",
+        lambda ab, c: ab + c.cast("double"),
+    )
+    tgt = trip.select("q", tv.alias("tv"))
+    scored = (
+        emb.join(
+            F.broadcast(tgt),
+            (F.col("vec_id") != F.col("q"))
+            & (F.col("vec_id") != F.col("q") + 5)
+            & (F.col("vec_id") != F.col("q") + 10),
+        )
+        .select(
+            F.col("q").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("tv"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
