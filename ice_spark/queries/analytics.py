@@ -992,3 +992,53 @@ def e20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r", "f", "m")
     )
+
+
+@register(
+    "w08_yoy_same_month",
+    """
+    WITH m AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT cur.yr, cur.mo, cur.rev_cents,
+           prev.rev_cents AS prev_year_cents,
+           CASE WHEN cur.rev_cents >= prev.rev_cents
+                THEN (cur.rev_cents - prev.rev_cents) * 10000 // prev.rev_cents
+                ELSE -((prev.rev_cents - cur.rev_cents) * 10000 // prev.rev_cents)
+           END AS yoy_bp
+    FROM m cur JOIN m prev ON prev.yr = cur.yr - 1 AND prev.mo = cur.mo
+    ORDER BY cur.yr, cur.mo
+    """,
+    doc="Year-over-year same-month revenue comparison: the monthly "
+    "rollup self-joined on (year-1, month) — seasonality-aware "
+    "growth, unlike w07's sequential month-over-month. Growth in "
+    "integer basis points with the sign-split division so truncating "
+    "(Spark div) and flooring (DuckDB //) agree on declines. The "
+    "self-join runs on the months x years relation — dozens of rows "
+    "at any data volume.",
+)
+def w08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"))
+    cur, prev = m.alias("cur"), m.alias("prev")
+    j = cur.join(
+        prev,
+        (F.col("prev.yr") == F.col("cur.yr") - 1) & (F.col("prev.mo") == F.col("cur.mo")),
+    )
+    return j.select(
+        F.col("cur.yr").alias("yr"),
+        F.col("cur.mo").alias("mo"),
+        F.col("cur.rev_cents").alias("rev_cents"),
+        F.col("prev.rev_cents").alias("prev_year_cents"),
+        F.expr(
+            "CASE WHEN cur.rev_cents >= prev.rev_cents "
+            "THEN (cur.rev_cents - prev.rev_cents) * 10000 div prev.rev_cents "
+            "ELSE -((prev.rev_cents - cur.rev_cents) * 10000 div prev.rev_cents) END"
+        ).alias("yoy_bp"),
+    ).orderBy("yr", "mo")

@@ -240,3 +240,80 @@ def dq02(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "dq03_composition_drift",
+    """
+    WITH daily AS (
+      SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_dt
+      FROM events GROUP BY 1, 2
+    ),
+    day_tot AS (
+      SELECT day, CAST(SUM(n_dt) AS BIGINT) AS n_day FROM daily GROUP BY day
+    ),
+    overall AS (
+      SELECT event_type, CAST(SUM(n_dt) AS BIGINT) AS n_type FROM daily GROUP BY 1
+    ),
+    n AS (SELECT CAST(SUM(n_dt) AS BIGINT) AS n_all FROM daily),
+    dev AS (
+      SELECT d.day,
+             SUM(ABS(d.n_dt * (SELECT n_all FROM n) - o.n_type * t.n_day))
+               AS l1_num,
+             MAX(t.n_day * (SELECT n_all FROM n)) AS denom,
+             MAX(t.n_day) AS n_day
+      FROM daily d
+      JOIN day_tot t ON t.day = d.day
+      JOIN overall o ON o.event_type = d.event_type
+      GROUP BY d.day
+    )
+    SELECT day, n_day,
+           CAST(l1_num * 10000 // denom AS BIGINT) AS l1_drift_bp
+    FROM dev
+    ORDER BY l1_drift_bp DESC, day
+    LIMIT 10
+    """,
+    doc="Data-drift monitor: per-day event-type composition compared "
+    "to the corpus-wide mix by L1 distance, computed entirely in "
+    "cross-multiplied integers (|n_dt*N - n_type*n_day| summed, "
+    "scaled to basis points by one floor division) — no per-share "
+    "rounding to accumulate error. The pipeline-monitoring question "
+    "('did today's batch change shape?') as two bounded keyed "
+    "aggregations over the daily rollup; top-10 drifting days "
+    "surface for inspection. Products stay under 2^63 while daily "
+    "volume x total volume < 9e18 — at larger scales pre-divide by "
+    "a common factor or widen to DECIMAL(38,0).",
+)
+def dq03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_dt")).cache()
+    day_tot = daily.groupBy("day").agg(F.sum("n_dt").cast("long").alias("n_day"))
+    overall = daily.groupBy("event_type").agg(F.sum("n_dt").cast("long").alias("n_type"))
+    n_all = daily.agg(F.sum("n_dt").cast("long").alias("n_all"))
+    dev = (
+        daily.join(day_tot, "day")
+        .join(F.broadcast(overall), "event_type")
+        .crossJoin(F.broadcast(n_all))
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.abs(F.col("n_dt") * F.col("n_all") - F.col("n_type") * F.col("n_day"))
+            ).alias("l1_num"),
+            F.max(F.col("n_day") * F.col("n_all")).alias("denom"),
+            F.max("n_day").alias("n_day"),
+        )
+    )
+    return (
+        dev.select(
+            "day",
+            "n_day",
+            F.expr("CAST(l1_num * 10000 div denom AS BIGINT)").alias("l1_drift_bp"),
+        )
+        .orderBy(F.desc("l1_drift_bp"), "day")
+        .limit(10)
+    )

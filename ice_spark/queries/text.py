@@ -2201,3 +2201,63 @@ def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("assoc_micro"), "w1", "w2")
         .limit(30)
     )
+
+
+def _c03_oracle() -> str:
+    one = """
+    SELECT {budget} AS budget, shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(FLOOR((MAX(end_pos) - 1) / {budget}.0) + 1 AS BIGINT) AS n_bins,
+           CAST(SUM(CASE WHEN FLOOR((end_pos - n_toks) / {budget}.0)
+                              <> FLOOR((end_pos - 1) / {budget}.0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+           ROUND(CAST(SUM(n_toks) AS DOUBLE) / (
+             (FLOOR((MAX(end_pos) - 1) / {budget}.0) + 1) * {budget}), 4)
+             AS utilization
+    FROM (
+      SELECT shard, n_toks,
+             SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS end_pos
+      FROM (SELECT doc_id, doc_id % 8 AS shard,
+                   len({toks}) AS n_toks FROM documents)
+    )
+    GROUP BY shard
+    """
+    parts = [
+        one.format(budget=b, toks=_SQL_TOKS.format(col="text")) for b in (256, 512, 1024)
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY budget, shard"
+
+
+@register(
+    "c03_packing_yield_curve",
+    _c03_oracle(),
+    doc="Context-window packing yield across window sizes 256/512/1024 "
+    "(the tokenizer-budget tuning question: how much utilization and "
+    "how many boundary-straddling documents each budget costs). "
+    "Reuses the c02 packing operator per budget; each branch is the "
+    "same single-window-shuffle plan, and the output is "
+    "budgets x shards rows. Utilization falls and straddlers rise as "
+    "windows shrink — the curve quantifies the trade.",
+)
+def c03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.packing import packing_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    outs = []
+    for b in (256, 512, 1024):
+        outs.append(
+            packing_stats(docs, budget=b, shards=8).select(
+                F.lit(b).cast("int").alias("budget"),
+                "shard",
+                "n_docs",
+                "total_tokens",
+                "n_bins",
+                "n_straddlers",
+                "utilization",
+            )
+        )
+    out = outs[0].unionAll(outs[1]).unionAll(outs[2])
+    return out.orderBy("budget", "shard")
