@@ -2261,3 +2261,74 @@ def c03(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     out = outs[0].unionAll(outs[1]).unionAll(outs[2])
     return out.orderBy("budget", "shard")
+
+
+@register(
+    "d15_cross_source_dup_matrix",
+    f"""
+    WITH fps AS (
+      SELECT doc_id, source,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+               list_transform({_SQL_TOKS.format(col='text')}[1:8],
+                              tk -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+                                      list_transform(string_split(tk, ''),
+                                        c -> CAST(ascii(c) AS BIGINT))),
+                                      (a, x) -> (a * 131 + x) % 1000000007))),
+               (a, h) -> (a * 1000003 + h) % 1000000007) AS fp
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+             CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS n_shared_texts
+      FROM fps a JOIN fps b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id AND a.source <= b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_dup_pairs, n_shared_texts
+    FROM pairs
+    ORDER BY source_a, source_b
+    """,
+    doc="Duplicate-provenance matrix: which source pairs share the "
+    "same 8-token document OPENING (prefix fingerprint — boilerplate "
+    "openings are how template reuse shows up when full texts never "
+    "match exactly), counting both colliding pairs and distinct "
+    "shared prefixes — the 'where is my corpus copying from itself' "
+    "question behind source-level dedup policy. The "
+    "join is on the fingerprint key, so only docs whose fingerprint "
+    "collides ever meet (duplicate groups, not the corpus, bound the "
+    "pair work — the d01/d04 scaling argument); the matrix is "
+    "O(|sources|^2) rows.",
+)
+def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.functions.text import char_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    from ice_spark.functions.text import tokens
+
+    prefix_fp = F.aggregate(
+        F.transform(F.slice(tokens(F.col("text")), 1, 8), char_hash),
+        F.lit(7).cast("long"),
+        lambda acc, h: (acc * 1000003 + h) % 1_000_000_007,
+    )
+    fps = docs.select("doc_id", "source", prefix_fp.alias("fp"))
+    a = fps.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("source_a"), F.col("fp")
+    )
+    b = fps.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"), F.col("fp").alias("fp_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("fp") == F.col("fp_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("source_a") <= F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            F.countDistinct("fp").alias("n_shared_texts"),
+        )
+        .orderBy("source_a", "source_b")
+    )

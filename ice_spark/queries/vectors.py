@@ -1004,3 +1004,99 @@ def v14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+@register(
+    "v15_centroid_classifier_audit",
+    """
+    WITH vecs AS (
+      SELECT vec_id, label AS true_label, i,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS v_u
+      FROM embeddings, generate_series(1, 64) t(i)
+    ),
+    cent AS (
+      -- centroid of the QUANTIZED components, rounded half-away with
+      -- pure integer arithmetic: sign * ((2|s| + n) // (2n))
+      SELECT true_label AS label, i,
+             CASE WHEN SUM(v_u) >= 0
+                  THEN (2 * SUM(v_u) + COUNT(*)) // (2 * COUNT(*))
+                  ELSE -((2 * (-SUM(v_u)) + COUNT(*)) // (2 * COUNT(*)))
+             END AS c_u
+      FROM vecs
+      GROUP BY 1, 2
+    ),
+    dist AS (
+      SELECT v.vec_id, v.true_label, c.label AS cand,
+             SUM((v.v_u - c.c_u) * (v.v_u - c.c_u)) AS d2
+      FROM vecs v JOIN cent c ON c.i = v.i
+      GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT vec_id, true_label, cand AS pred_label
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY d2, cand) AS rn FROM dist)
+      WHERE rn = 1
+    )
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred
+    GROUP BY 1, 2
+    ORDER BY true_label, pred_label
+    """,
+    doc="Nearest-centroid classifier audit: per-label centroids "
+    "(components quantized to integer 1e-4 units FIRST, then the "
+    "mean taken with a portable half-away integer rounded division — "
+    "zero float arithmetic anywhere after quantization), every vector "
+    "assigned to its nearest centroid by integer squared distance "
+    "with label tiebreak, rolled into the label x prediction "
+    "confusion matrix — the embedding-quality eval a labeling "
+    "pipeline runs after training. Centroids are labels x dims rows "
+    "(broadcastable at any corpus size); the distance join streams "
+    "the corpus once.",
+)
+def v15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.posexplode("embedding").alias("i0", "v"),
+    ).select(
+        "vec_id",
+        "true_label",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("v").cast("double") * 10000).cast("long").alias("v_u"),
+    ).cache()
+    cent = (
+        ex.groupBy(F.col("true_label").alias("label"), "i")
+        .agg(F.sum("v_u").alias("s"), F.count(F.lit(1)).alias("nl"))
+        .select(
+            "label",
+            "i",
+            F.expr(
+                "CASE WHEN s >= 0 THEN (2 * s + nl) div (2 * nl) "
+                "ELSE -((2 * (-s) + nl) div (2 * nl)) END"
+            ).alias("c_u"),
+        )
+    )
+    dist = (
+        ex.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "true_label", F.col("label").alias("cand"))
+        .agg(F.sum((F.col("v_u") - F.col("c_u")) * (F.col("v_u") - F.col("c_u"))).alias("d2"))
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "cand")
+    pred = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("true_label", F.col("cand").alias("pred_label"))
+    )
+    return (
+        pred.groupBy(
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("pred_label").cast("long").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
