@@ -342,14 +342,21 @@ def patch_grid(
 
 
 def synthesize_audio(
-    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "content",
+    gate_every: int = 0,
 ) -> DataFrame:
     """Materialize REAL 16-bit mono PCM WAV per row: sample count and
     the waveform itself are pure functions of the id (sample i =
     ((id*31 + i*17) % 2003) - 1001), so an analytic oracle can
     recompute every windowed statistic while the pipeline must parse
     them back out of actual RIFF bytes. Audio twin of
-    synthesize_media."""
+    synthesize_media.
+
+    gate_every > 0 zeroes every gate_every-th 32-sample window
+    (offset by id) — speech-shaped audio with true silence for the
+    segmentation query."""
     out_schema = T.StructType(
         [df.schema[id_col], T.StructField(binary_col, T.BinaryType())]
     )
@@ -364,7 +371,12 @@ def synthesize_audio(
             for i in pdf[id_col]:
                 i = int(i)
                 n = 64 + i % 128
-                samples = [((i * 31 + j * 17) % 2003) - 1001 for j in range(n)]
+                samples = [
+                    0
+                    if gate_every and (j // 32 + i) % gate_every == 0
+                    else ((i * 31 + j * 17) % 2003) - 1001
+                    for j in range(n)
+                ]
                 ids.append(i)
                 blobs.append(media.synth_wav_pcm(8000, samples))
             yield pd.DataFrame({id_col: ids, binary_col: blobs})

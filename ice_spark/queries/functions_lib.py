@@ -689,3 +689,41 @@ def f16(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat(i.cast("string"), F.lit(":"), F.element_at("t", i)),
         ).alias("indexed_head"),
     )
+
+
+_F17_SQL = """
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN EXISTS (
+              SELECT 1 FROM {o} o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT'
+            ) THEN 1 ELSE 0 END) AS BIGINT) AS n_with_urgent,
+       CAST(SUM(CASE WHEN NOT EXISTS (
+              SELECT 1 FROM {o} o WHERE o.o_custkey = c.c_custkey
+            ) THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive,
+       CAST(MAX((SELECT MAX(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                 FROM {o} o WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+         AS max_single_order_cents
+FROM {c} c JOIN {n} n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@register(
+    "f17_correlated_subqueries",
+    _F17_SQL.format(c="customer", o="orders", n="nation"),
+    doc="Correlated-subquery surface, deliberately written as SQL and "
+    "run through spark.sql(): EXISTS, NOT EXISTS, and a correlated "
+    "scalar MAX per customer, rolled up per nation. Catalyst "
+    "decorrelates all three into joins (semi, anti, and an "
+    "aggregate-then-join) — the same physical shapes the DataFrame "
+    "queries pin — so the 'subquery per row' a user writes never "
+    "executes as N scans. The oracle is the IDENTICAL SQL text on "
+    "DuckDB modulo view names; exact integer cents via ROUND*100.",
+)
+def f17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"f17_{t}")
+    return spark.sql(_F17_SQL.format(c="f17_customer", o="f17_orders", n="f17_nation"))

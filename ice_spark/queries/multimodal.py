@@ -321,3 +321,98 @@ def m05(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hash_hex")
     )
+
+
+@register(
+    "m06_audio_silence_segments",
+    """
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 128 AS n
+      FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+      SELECT doc_id, i,
+             CASE WHEN (i // 32 + doc_id) % 3 = 0 THEN 0
+                  ELSE ((doc_id * 31 + i * 17) % 2003) - 1001 END AS v
+      FROM d, LATERAL (SELECT UNNEST(generate_series(0, n - 1)) AS i)
+    ),
+    w AS (
+      SELECT doc_id, i // 32 AS window_idx,
+             SUM(CAST(v AS BIGINT) * v) AS energy
+      FROM s GROUP BY doc_id, i // 32
+    ),
+    act AS (
+      SELECT doc_id, window_idx,
+             window_idx - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY window_idx) AS grp
+      FROM w WHERE energy > 0
+    ),
+    seg AS (
+      SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS seg_len
+      FROM act GROUP BY doc_id, grp
+    ),
+    tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(COUNT(*) FILTER (WHERE energy = 0) AS BIGINT) AS n_silent
+      FROM w GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_windows, t.n_silent,
+           CAST(COALESCE(COUNT(seg.grp), 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(MAX(seg.seg_len), 0) AS BIGINT) AS longest_segment
+    FROM tot t LEFT JOIN seg ON seg.doc_id = t.doc_id
+    GROUP BY t.doc_id, t.n_windows, t.n_silent
+    ORDER BY t.doc_id
+    """,
+    doc="Audio silence segmentation over REAL WAV bytes: synthesized "
+    "speech-shaped PCM (every third 32-sample window gated to "
+    "silence, offset per doc) is decoded back through the pure-Python "
+    "RIFF parser, windowed energies thresholded, and active windows "
+    "grouped into segments with the gaps-and-islands pattern (e18's "
+    "idiom applied to media). Per-doc segment counts and longest "
+    "voiced run — the VAD-style pre-processing an audio training "
+    "pipeline runs before transcription. Decode is map-only; windows "
+    "are bounded per doc; the islands window runs on the tiny "
+    "per-doc window relation.",
+)
+def m06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ice_spark.operators.multimodal import audio_window_energy, synthesize_audio
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+    audio = synthesize_audio(docs, id_col="doc_id", gate_every=3)
+    wins = audio_window_energy(audio, id_col="doc_id", window=32)
+    act = wins.where(F.col("energy") > 0).select(
+        "doc_id",
+        "window_idx",
+        (
+            F.col("window_idx")
+            - F.row_number().over(W.partitionBy("doc_id").orderBy("window_idx"))
+        ).alias("grp"),
+    )
+    seg = act.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("seg_len"))
+    tot = wins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("energy") == 0, 1).otherwise(0)).cast("long").alias("n_silent"),
+    )
+    segs = seg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.max("seg_len").alias("longest_segment"),
+    )
+    return (
+        tot.join(segs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_silent",
+            F.coalesce(F.col("n_segments"), F.lit(0)).cast("long").alias("n_segments"),
+            F.coalesce(F.col("longest_segment"), F.lit(0))
+            .cast("long")
+            .alias("longest_segment"),
+        )
+        .orderBy("doc_id")
+    )
