@@ -1042,3 +1042,82 @@ def w08(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE -((prev.rev_cents - cur.rev_cents) * 10000 div prev.rev_cents) END"
         ).alias("yoy_bp"),
     ).orderBy("yr", "mo")
+
+
+@register(
+    "w09_mom_contribution",
+    """
+    WITH m AS (
+      SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS mon,
+             o_orderpriority AS pri,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      FROM orders GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT cur.mon, cur.pri,
+             cur.rev_cents - prev.rev_cents AS delta_cents
+      FROM m cur JOIN m prev
+        ON prev.pri = cur.pri
+       AND prev.mon = STRFTIME(DATE_TRUNC('month',
+             CAST(cur.mon || '-01' AS DATE) - INTERVAL 1 MONTH), '%Y-%m')
+    ),
+    t AS (
+      SELECT mon, SUM(delta_cents) AS total_delta,
+             SUM(ABS(delta_cents)) AS total_abs
+      FROM d GROUP BY mon
+    )
+    SELECT d.mon, d.pri, d.delta_cents, t.total_delta,
+           CASE WHEN t.total_abs = 0 THEN 0
+                WHEN d.delta_cents >= 0
+                THEN ABS(d.delta_cents) * 10000 // t.total_abs
+                ELSE -(ABS(d.delta_cents) * 10000 // t.total_abs)
+           END AS contribution_bp
+    FROM d JOIN t ON t.mon = d.mon
+    ORDER BY d.mon, d.pri
+    """,
+    doc="Month-over-month contribution decomposition: each order "
+    "priority's signed share of the month's total revenue movement, "
+    "in basis points of the total absolute change (sign-split "
+    "integer division; segment deltas sum exactly to the reported "
+    "total because everything is integer cents). The 'what drove the "
+    "change' question BI teams ask after w07 flags a swing — "
+    "computed on the months x priorities rollup, a bounded relation "
+    "regardless of order volume.",
+)
+def w09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("mon"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"))
+    cur, prev = m.alias("cur"), m.alias("prev")
+    prev_mon = F.date_format(
+        F.add_months(F.to_date(F.concat(F.col("cur.mon"), F.lit("-01"))), -1), "yyyy-MM"
+    )
+    d = cur.join(
+        prev,
+        (F.col("prev.pri") == F.col("cur.pri")) & (F.col("prev.mon") == prev_mon),
+    ).select(
+        F.col("cur.mon").alias("mon"),
+        F.col("cur.pri").alias("pri"),
+        (F.col("cur.rev_cents") - F.col("prev.rev_cents")).alias("delta_cents"),
+    )
+    t = d.groupBy("mon").agg(
+        F.sum("delta_cents").alias("total_delta"),
+        F.sum(F.abs("delta_cents")).alias("total_abs"),
+    )
+    return (
+        d.join(t, "mon")
+        .select(
+            "mon",
+            "pri",
+            "delta_cents",
+            "total_delta",
+            F.expr(
+                "CASE WHEN total_abs = 0 THEN 0 "
+                "WHEN delta_cents >= 0 THEN abs(delta_cents) * 10000 div total_abs "
+                "ELSE -(abs(delta_cents) * 10000 div total_abs) END"
+            ).alias("contribution_bp"),
+        )
+        .orderBy("mon", "pri")
+    )

@@ -76,3 +76,20 @@ def click_purchase_attribution(
     return cw.join(pw, cond, "inner").select(
         "user_id", "click_ts", "purchase_ts", "purchase_value"
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join a live stream against a batch
+    dimension table. Spark plans the static side as a broadcast per
+    micro-batch (re-read each trigger, so slowly-changing dims pick
+    up updates without restarting the query) and the stream side
+    needs NO watermark — there is no streaming state at all, which
+    is why this is the default way to attach dimensions at any
+    stream rate. Left join keeps events whose key is missing from
+    the dim (they carry nulls, not silently drop)."""
+    return stream.join(F.broadcast(dim), on=key, how=how)

@@ -78,3 +78,51 @@ def test_interval_join_plan_is_streaming_symmetric_hash(spark, events_stream_dir
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
     assert joined.isStreaming
+
+
+def test_enrich_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static enrichment == the same batch join, including
+    events whose key has no dim row (left-join nulls)."""
+    from ice_spark.streaming.joins import enrich_stream
+    from ice_spark.tables import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    d = str(tmp_path / "ev_stream")
+    batch.coalesce(1).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+
+    # Dim: event_type -> weight; one type deliberately missing.
+    types = [r[0] for r in batch.select("event_type").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(t, i * 10) for i, t in enumerate(sorted(types)[:-1])],
+        ["event_type", "weight"],
+    )
+
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = str(tmp_path / "enriched")
+    q = (
+        enrich_stream(stream, dim, key="event_type")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = (
+        spark.read.parquet(out)
+        .groupBy("event_type", "weight")
+        .count()
+        .collect()
+    )
+    want = (
+        batch.join(dim, "event_type", "left")
+        .groupBy("event_type", "weight")
+        .count()
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # The missing-dim type survived with a null weight.
+    assert any(w is None for _, w, _ in map(tuple, got))
