@@ -890,3 +890,59 @@ def e22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rate_milli_per_hour"), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "e23_dau_wau_stickiness",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM days GROUP BY d
+    ),
+    wau AS (
+      SELECT t.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM (SELECT DISTINCT d FROM days) t
+      JOIN days u ON u.d BETWEEN t.d - INTERVAL 6 DAY AND t.d
+      GROUP BY t.d
+    )
+    SELECT STRFTIME(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           dau.dau * 10000 // wau.wau AS stickiness_bp
+    FROM dau JOIN wau ON wau.d = dau.d
+    ORDER BY day
+    """,
+    doc="DAU / trailing-7-day WAU stickiness per day in integer basis "
+    "points — the engagement ratio growth teams track daily. Built "
+    "on the deduplicated user-day relation (bounded by users x days, "
+    "never raw events); the WAU range join is day-grid x user-days, "
+    "the same bounded-window shape as k08's sliding sketch merge — "
+    "and k08 IS the sketch version of this query when exact WAU "
+    "distinct-counting gets expensive.",
+)
+def e23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct().cache()
+    dau = days.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    grid = days.select("d").distinct().select(F.col("d").alias("t_d"))
+    wau = (
+        grid.join(
+            days,
+            (F.col("d") >= F.date_sub(F.col("t_d"), 6)) & (F.col("d") <= F.col("t_d")),
+        )
+        .groupBy("t_d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.d == wau.t_d)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.expr("dau * 10000 div wau").alias("stickiness_bp"),
+        )
+        .orderBy("day")
+    )

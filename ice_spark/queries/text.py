@@ -2332,3 +2332,62 @@ def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "t14_vocabulary_growth",
+    f"""
+    WITH firstseen AS (
+      SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM (SELECT doc_id, {_SQL_TOKS.format(col='text')} AS t FROM documents),
+           UNNEST(t) AS u(tok)
+      GROUP BY tok
+    ),
+    toks_per_doc AS (
+      SELECT doc_id, len({_SQL_TOKS.format(col='text')}) AS n FROM documents
+    ),
+    milestones AS (SELECT UNNEST([100, 200, 300, 400, 500]) AS m)
+    SELECT m AS docs_seen,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM toks_per_doc WHERE doc_id < m)
+             AS tokens_seen,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM firstseen WHERE first_doc < m)
+             AS vocab_size
+    FROM milestones
+    ORDER BY docs_seen
+    """,
+    doc="Vocabulary growth curve (Heaps' law measurement): distinct "
+    "vocabulary after the first 100..500 documents, computed from "
+    "each token's FIRST-SEEN doc id — one explode + min per token, "
+    "then every milestone is a bounded filter over the vocab "
+    "relation, instead of re-scanning the corpus per milestone. The "
+    "corpus-analysis artifact that calibrates tokenizer vocab sizes "
+    "and dedup aggressiveness; sublinear curve growth is the "
+    "expected shape, a linear curve flags synthetic/unmixed data.",
+)
+def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    fs = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .cache()
+    )
+    tpd = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n")).cache()
+    ms = spark.createDataFrame([(m,) for m in (100, 200, 300, 400, 500)], ["docs_seen"])
+    tok_seen = (
+        ms.join(tpd, F.col("doc_id") < F.col("docs_seen"))
+        .groupBy("docs_seen")
+        .agg(F.sum("n").cast("long").alias("tokens_seen"))
+    )
+    vocab = (
+        ms.join(fs, F.col("first_doc") < F.col("docs_seen"))
+        .groupBy("docs_seen")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    return (
+        tok_seen.join(vocab, "docs_seen")
+        .select(F.col("docs_seen").cast("long").alias("docs_seen"), "tokens_seen", "vocab_size")
+        .orderBy("docs_seen")
+    )
