@@ -1256,3 +1256,103 @@ def k11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("abs(f2_est - f2_exact) * 100 div f2_exact").alias("err_pct"),
         )
     )
+
+
+def _k12_pct_sql(p_num: int, p_den: int) -> str:
+    """Rank of percentile p in a group of n (lower-rank convention):
+    ceil(n * p) with integer arithmetic."""
+    return f"(n * {p_num} + {p_den} - 1) // {p_den}"
+
+
+@register(
+    "k12_log_histogram_percentiles",
+    f"""
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    b AS (
+      SELECT event_type,
+             CASE WHEN cents <= 0 THEN 0
+                  ELSE LENGTH(bin(cents)) END AS bkt,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM c GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, bkt, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM b
+    ),
+    pct AS (
+      SELECT event_type, p_num, p_den,
+             MIN(CASE WHEN cum >= {_k12_pct_sql('p_num', 'p_den')}
+                      THEN bkt END) AS p_bkt
+      FROM st, (VALUES (1, 2), (9, 10), (99, 100)) p(p_num, p_den)
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(p_num * 100 // p_den AS BIGINT) AS pct,
+           CAST(p_bkt AS BIGINT) AS bucket_log2,
+           CAST((CAST(1 AS BIGINT) << GREATEST(p_bkt - 1, 0)) AS BIGINT)
+             AS bucket_lo_cents,
+           CAST((CAST(1 AS BIGINT) << p_bkt) - 1 AS BIGINT) AS bucket_hi_cents
+    FROM pct
+    ORDER BY event_type, pct
+    """,
+    doc="Per-type p50/p90/p99 located in log2 value buckets — the "
+    "tail-percentile dashboard shape (latency/value distributions) "
+    "with state bounded at 64 buckets per group forever. Bucket id "
+    "is LENGTH(bin(cents)) (the portable floor_log2+1, no float "
+    "log); percentile ranks use ceil(n*p) in cleared-fraction "
+    "integers; output brackets each percentile in [2^(b-1), 2^b). "
+    "Mergeable across partitions and time (bucket counts add), the "
+    "same property k05/k08 prove for KMV/HLL — this is the "
+    "histogram member of the mergeable-sketch family.",
+)
+def k12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    b = c.select(
+        "event_type",
+        F.when(F.col("cents") <= 0, 0).otherwise(F.length(F.bin("cents"))).alias("bkt"),
+    ).groupBy("event_type", "bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    st = b.select(
+        "event_type",
+        "bkt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    ps = spark.createDataFrame([(1, 2), (9, 10), (99, 100)], ["p_num", "p_den"])
+    pct = (
+        st.crossJoin(F.broadcast(ps))
+        .groupBy("event_type", "p_num", "p_den")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(n * p_num + p_den - 1) div p_den"),
+                    F.col("bkt"),
+                )
+            ).alias("p_bkt")
+        )
+    )
+    return pct.select(
+        "event_type",
+        F.expr("CAST(p_num * 100 div p_den AS BIGINT)").alias("pct"),
+        F.col("p_bkt").cast("long").alias("bucket_log2"),
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(greatest(p_bkt - 1, 0) AS INT)) AS BIGINT)").alias(
+            "bucket_lo_cents"
+        ),
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(p_bkt AS INT)) - 1 AS BIGINT)").alias(
+            "bucket_hi_cents"
+        ),
+    ).orderBy("event_type", "pct")
