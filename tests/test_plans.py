@@ -332,3 +332,13 @@ def test_k08_partials_merge_without_raw_rescan(spark, sf_dir):
     # textual parquet count over-states the runtime scans).
     assert a.plan.count("InMemoryTableScan") >= 2, a.plan[:1500]
     assert a.plan.count("events.parquet") <= 4, a.plan[:1500]
+
+
+def test_k12_bounded_sketch_plan(spark, sf_dir):
+    """k12: one raw scan feeds the bucket build; the percentile
+    windows and probe run on the <=64-buckets-per-group relation —
+    three shuffles total, no joins beyond the broadcast probe."""
+    a = _audit(spark, sf_dir, "k12_log_histogram_percentiles")
+    assert a.plan.count("events.parquet") == 1, a.plan[:1500]
+    assert a.shuffles <= 3, a.plan[:1500]
+    assert a.sort_merge_joins == 0
