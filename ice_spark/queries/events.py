@@ -946,3 +946,75 @@ def e23(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "e24_volume_correlation",
+    """
+    WITH hourly AS (
+      SELECT DATE_TRUNC('hour', ts) AS h,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM hourly
+    )
+    SELECT n AS n_hours,
+           CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                     WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT)
+             AS corr_sign,
+           CAST(((n * sxy - sx * sy) * 100) * ((n * sxy - sx * sy) * 100)
+                // ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)
+             AS r2_bp
+    FROM s
+    """,
+    doc="Correlation between click and purchase hourly volumes, "
+    "computed EXACTLY in integers: Pearson's r^2 in basis points as "
+    "(100*(n*Sxy - Sx*Sy))^2 div ((n*Sxx - Sx^2)(n*Syy - Sy^2)) — "
+    "every division cleared until one final floor division, the sign "
+    "reported separately (r^2 is sign-blind). No sqrt, no float "
+    "accumulation, so both engines agree to the last basis point. "
+    "One conditional-aggregate scan builds the paired hourly series; "
+    "the correlation itself reads six BIGINTs. Intermediates ride "
+    "int64 here and DuckDB's int128; on Spark at much larger n, "
+    "stage the products through DECIMAL(38,0).",
+)
+def e24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    s = hourly.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_hours"),
+        F.when(num > 0, 1).when(num < 0, -1).otherwise(0).cast("long").alias("corr_sign"),
+        F.expr(
+            "CAST(((n * sxy - sx * sy) * 100) * ((n * sxy - sx * sy) * 100) "
+            "div ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)"
+        ).alias("r2_bp"),
+    )

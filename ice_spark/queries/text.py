@@ -2391,3 +2391,101 @@ def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("docs_seen").cast("long").alias("docs_seen"), "tokens_seen", "vocab_size")
         .orderBy("docs_seen")
     )
+
+
+@register(
+    "d16_dedup_policy_simulator",
+    f"""
+    WITH RECURSIVE
+    base AS (
+      SELECT doc_id, len({_SQL_TOKS.format(col='text')}) AS n_toks
+      FROM documents
+    ),
+    {_SQL_NEARDUP_EDGES},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+    near_drop AS (SELECT doc_id FROM comp WHERE doc_id <> rep),
+    short_drop AS (SELECT doc_id FROM base WHERE n_toks < 20)
+    SELECT policy, n_docs, total_tokens,
+           (SELECT CAST(SUM(n_toks) AS BIGINT) FROM base) - total_tokens
+             AS tokens_removed
+    FROM (
+      SELECT 'a_none' AS policy, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS total_tokens FROM base
+      UNION ALL
+      SELECT 'b_near_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_toks) AS BIGINT)
+      FROM base WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
+      UNION ALL
+      SELECT 'c_quality', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_toks) AS BIGINT)
+      FROM base WHERE doc_id NOT IN (SELECT doc_id FROM short_drop)
+      UNION ALL
+      SELECT 'd_near_dedup_plus_quality', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(n_toks) AS BIGINT)
+      FROM base WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
+                  AND doc_id NOT IN (SELECT doc_id FROM short_drop)
+    )
+    ORDER BY policy
+    """,
+    doc="Dedup-policy simulator: the surviving corpus (docs and "
+    "tokens) under four cleaning policies — none, near-dup removal "
+    "(d06's connected components, keep the min-id representative), "
+    "short-doc quality filter, and both — in one comparison table. "
+    "The what-if a data-curation team runs before committing a "
+    "policy; each policy is an anti-join against a drop set already "
+    "bounded by the dedup pipeline's own output. Token totals are "
+    "exact integers, so the removed-token costs are comparable to "
+    "the cent.",
+)
+def d16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.functions.text import token_count
+    from ice_spark.operators.cluster import alternating_star_components
+    from ice_spark.queries.registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", token_count(F.col("text")).alias("n_toks")).cache()
+    pairs = QUERIES["d02_ngram_jaccard_pairs"].spark_fn(spark, sf_dir)
+    comp = alternating_star_components(pairs, "doc_a", "doc_b")
+    near_drop = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    short_drop = base.where(F.col("n_toks") < 20).select("doc_id")
+
+    def pol(name, df):
+        return df.agg(
+            F.lit(name).alias("policy"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+        ).select("policy", "n_docs", "total_tokens")
+
+    all_tokens = base.agg(F.sum("n_toks").cast("long").alias("at"))
+    out = (
+        pol("a_none", base)
+        .unionAll(pol("b_near_dedup", base.join(near_drop, "doc_id", "left_anti")))
+        .unionAll(pol("c_quality", base.join(short_drop, "doc_id", "left_anti")))
+        .unionAll(
+            pol(
+                "d_near_dedup_plus_quality",
+                base.join(near_drop, "doc_id", "left_anti").join(
+                    short_drop, "doc_id", "left_anti"
+                ),
+            )
+        )
+    )
+    return (
+        out.crossJoin(F.broadcast(all_tokens))
+        .select(
+            "policy",
+            "n_docs",
+            "total_tokens",
+            (F.col("at") - F.col("total_tokens")).alias("tokens_removed"),
+        )
+        .orderBy("policy")
+    )
