@@ -1018,3 +1018,77 @@ def e24(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)"
         ).alias("r2_bp"),
     )
+
+
+@register(
+    "e25_session_path_trigrams",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             epoch_ms(ts) // 1000
+               - epoch_ms(LAG(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)) // 1000 AS gap
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      FROM lagged
+    ),
+    tri AS (
+      SELECT event_type AS a,
+             LEAD(event_type) OVER w AS b,
+             LEAD(event_type, 2) OVER w AS c
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+    )
+    SELECT a || '>' || b || '>' || c AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri
+    WHERE b IS NOT NULL AND c IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+    doc="Session path mining: the 10 most common within-session "
+    "event-type trigrams (gap-sessionized at 30 minutes, e03 "
+    "semantics; LEADs are windowed by (user, session) so paths never "
+    "cross a session boundary). The sequence-pattern question behind "
+    "funnel discovery — which 3-step behaviors actually happen — as "
+    "two user-keyed windows and one path aggregation; path "
+    "cardinality is bounded by |types|^3 regardless of volume.",
+)
+def e25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wu))).alias("gap"),
+    )
+    seq = lagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(F.when(F.col("gap").isNull() | (F.col("gap") > 1800), 1).otherwise(0))
+        .over(wu)
+        .alias("sid"),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    tri = seq.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(ws).alias("b"),
+        F.lead("event_type", 2).over(ws).alias("c"),
+    )
+    return (
+        tri.where(F.col("b").isNotNull() & F.col("c").isNotNull())
+        .select(F.concat_ws(">", "a", "b", "c").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )

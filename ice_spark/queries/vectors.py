@@ -1100,3 +1100,72 @@ def v15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("true_label", "pred_label")
     )
+
+
+def _v16_oracle() -> str:
+    parts = []
+    for bits, qmax in ((8, 127), (4, 7), (2, 1)):
+        scale = (
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            "list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))), "
+            f"(a, b) -> greatest(a, b)) / {qmax}"
+        )
+        mae = (
+            "CASE WHEN s = 0 THEN CAST(0 AS DOUBLE) ELSE "
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            "list_transform(embedding, v -> "
+            "abs(CAST(v AS DOUBLE) - round(CAST(v AS DOUBLE) / s) * s))), "
+            "(a, b) -> a + b) / len(embedding) END"
+        )
+        parts.append(f"""
+    SELECT {bits} AS bits,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(mae_u) AS BIGINT) AS total_mae_u,
+           CAST(SUM(mae_u) AS BIGINT) // COUNT(*) AS avg_mae_u,
+           CAST(MAX(mae_u) AS BIGINT) AS max_mae_u
+    FROM (
+      SELECT CAST(ROUND(({mae}) * 1e6) AS BIGINT) AS mae_u
+      FROM (SELECT embedding, {scale} AS s FROM embeddings)
+    )""")
+    return " UNION ALL ".join(parts) + " ORDER BY bits"
+
+
+@register(
+    "v16_quantization_sweep",
+    _v16_oracle(),
+    doc="Quantization error curve across int8 / int4 / int2 "
+    "(symmetric per-vector absmax scaling, the v07 recipe swept over "
+    "bit widths): mean-abs reconstruction error quantized to integer "
+    "micro-units per vector before any cross-row aggregation, so the "
+    "curve hashes identically in both engines. The bits-vs-quality "
+    "trade a 100 TB embedding store prices before committing to a "
+    "storage format; each branch is one map-only pass, three scans "
+    "total, output is 3 rows.",
+)
+def v16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    outs = []
+    for bits, qmax in ((8, 127), (4, 7), (2, 1)):
+        scale = (
+            "aggregate(embedding, CAST(0 AS DOUBLE), "
+            f"(a, v) -> greatest(a, abs(CAST(v AS DOUBLE)))) / {qmax}"
+        )
+        mae = (
+            "CASE WHEN s = 0D THEN 0D ELSE "
+            "aggregate(embedding, CAST(0 AS DOUBLE), "
+            "(a, v) -> a + abs(CAST(v AS DOUBLE) - round(CAST(v AS DOUBLE) / s) * s))"
+            " / size(embedding) END"
+        )
+        per_vec = emb.select(F.expr(scale).alias("s"), "embedding").select(
+            F.expr(f"CAST(ROUND(({mae}) * 1e6) AS BIGINT)").alias("mae_u")
+        )
+        outs.append(
+            per_vec.agg(
+                F.lit(bits).alias("bits"),
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.sum("mae_u").cast("long").alias("total_mae_u"),
+                F.expr("CAST(sum(mae_u) AS BIGINT) div count(*)").alias("avg_mae_u"),
+                F.max("mae_u").alias("max_mae_u"),
+            ).select("bits", "n_vecs", "total_mae_u", "avg_mae_u", "max_mae_u")
+        )
+    return outs[0].unionAll(outs[1]).unionAll(outs[2]).orderBy("bits")
