@@ -330,7 +330,21 @@ def main() -> None:
     if errors:
         out["errors"] = errors
         out["value"] = None
+    # The driver tail-captures stdout and parses the LAST line as the
+    # bench record; r05's single fat line outgrew the capture window
+    # and landed as parsed:null. Emit the full detail blob first, then
+    # a compact headline line LAST so the tail always parses.
     print(json.dumps(out))
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": {k: v for k, v in timings.items()},
+        "sf": out["sf"],
+        "valid": out["valid"],
+        **({"errors": sorted(errors)} if errors else {}),
+    }
+    print(json.dumps(compact))
     if errors:
         print(
             f"bench INVALID: {len(errors)} of {len(HEADLINE)} headline queries "

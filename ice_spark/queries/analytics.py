@@ -11,7 +11,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ice_spark.queries.helpers import SQL_REV_U, SQL_REV_DEC, dsum, rev_dec, rev_u, sum_rev_fast
+from ice_spark.queries.helpers import (
+    SQL_REV_U,
+    SQL_REV_DEC,
+    cents,
+    dsum,
+    rev_dec,
+    rev_u,
+    sql_cents,
+    sum_rev_fast,
+)
 from ice_spark.queries.registry import register
 from ice_spark.tables import load_table
 
@@ -534,34 +543,128 @@ def w05(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM d
     GROUP BY event_type
     """,
-    doc="CUME_DIST window: per-type cumulative distribution of event "
-    "values with an event_id tie-break so every rank is a total "
-    "order; bottom-half mass vs total in exact decimal sums.",
+    doc="CUME_DIST semantics (bottom-half value mass per event type) "
+    "computed WITHOUT sorting raw events: cd <= 0.5 with a total "
+    "order selects the n div 2 smallest values, and equal values are "
+    "interchangeable inside a SUM, so bottom-half mass = sum(values "
+    "< v*) + (k - count(< v*)) * v* where v* is the k-th smallest "
+    "value. v* comes from the same two-pass bucket narrowing as "
+    "operators/median.py, per type: (1) histogram cents into 4096-"
+    "cent buckets (one map-combinable shuffle, output bounded by "
+    "types x buckets), (2) running-sum the tiny bucket relation to "
+    "find each type's threshold bucket, (3) rescan only that "
+    "bucket's rows to locate v* and the exact below-v* count/sum. "
+    "The old form's Window.partitionBy(type).orderBy(value) sorted "
+    "EVERY raw event into one task per type — billions of rows per "
+    "partition at 100 TB; this shape's biggest shuffle is the "
+    "bounded bucket histogram. The oracle keeps the CUME_DIST "
+    "formulation (driver-validated in round 5).",
 )
 def e12(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ice_spark.tables import load_table as _lt
 
+    bucket_w = 4096
     ev = _lt(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    d = ev.select("event_type", "value", F.cume_dist().over(w).alias("cd"))
-    return d.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr(
-            "CAST(SUM(CASE WHEN cd <= 0.5 THEN CAST(value AS DECIMAL(18,2))"
-            " ELSE 0 END) AS DOUBLE)"
-        ).alias("bottom_half_value"),
-        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").alias("total_value"),
+    c = ev.select("event_type", cents(F.col("value")).alias("cents"))
+    b = (
+        c.groupBy("event_type", F.expr(f"cents div {bucket_w}").alias("bkt"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("scents"))
+        .cache()
+    )
+    t = b.groupBy("event_type").agg(
+        F.sum("cnt").alias("n"),
+        F.expr("sum(cnt) div 2").alias("k"),
+        F.sum("scents").alias("total_cents"),
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = b.select(
+        "event_type",
+        "bkt",
+        "cnt",
+        "scents",
+        F.sum("cnt").over(wb).alias("cum_cnt"),
+        F.sum("scents").over(wb).alias("cum_s"),
+    )
+    sel = (
+        cum.join(F.broadcast(t.select("event_type", "k")), "event_type")
+        .where(F.col("cum_cnt") >= F.col("k"))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("bkt"))
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "bkt",
+            "k",
+            (F.col("cum_cnt") - F.col("cnt")).alias("below_cnt"),
+            (F.col("cum_s") - F.col("scents")).alias("below_sum"),
+        )
+    )
+    within = (
+        c.join(F.broadcast(sel), ["event_type"])
+        .where(F.expr(f"cents div {bucket_w}") == F.col("bkt"))
+        .groupBy("event_type", "cents", "k", "below_cnt", "below_sum")
+        .agg(F.count(F.lit(1)).alias("vcnt"))
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vcum = within.select(
+        "event_type",
+        "cents",
+        "k",
+        "below_cnt",
+        "below_sum",
+        "vcnt",
+        F.sum("vcnt").over(wv).alias("vcum_cnt"),
+        F.sum(F.col("cents") * F.col("vcnt")).over(wv).alias("vcum_s"),
+    )
+    vstar = (
+        vcum.where(F.col("below_cnt") + F.col("vcum_cnt") >= F.col("k"))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("cents"))
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            (
+                F.col("below_sum")
+                + F.col("vcum_s")
+                - F.col("cents") * F.col("vcnt")
+                + (
+                    F.col("k")
+                    - (F.col("below_cnt") + F.col("vcum_cnt") - F.col("vcnt"))
+                )
+                * F.col("cents")
+            ).alias("bottom_cents"),
+        )
+    )
+    return (
+        t.join(F.broadcast(vstar), "event_type")
+        .select(
+            "event_type",
+            "n",
+            (F.col("bottom_cents").cast("double") / 100.0).alias("bottom_half_value"),
+            (F.col("total_cents").cast("double") / 100.0).alias("total_value"),
+        )
+        .orderBy("event_type")
     )
 
 
 @register(
     "e13_hourly_gap_fill_locf",
-    """
+    f"""
     WITH hourly AS (
       SELECT event_type,
              DATE_TRUNC('hour', ts) AS h,
              COUNT(*) AS n_events,
-             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+             CAST(SUM({sql_cents('value')}) AS BIGINT) AS cents
       FROM events
       GROUP BY 1, 2
     ),
@@ -572,26 +675,36 @@ def e12(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
       FROM spans
+    ),
+    j AS (
+      SELECT g.event_type, g.h, hy.n_events, hy.cents,
+             COUNT(hy.cents) OVER (
+               PARTITION BY g.event_type ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS grp
+      FROM grid g LEFT JOIN hourly hy
+        ON g.event_type = hy.event_type AND g.h = hy.h
     )
-    SELECT g.event_type,
-           STRFTIME(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
-           COALESCE(hy.n_events, 0) AS n_events,
-           LAST_VALUE(hy.cents IGNORE NULLS) OVER (
-             PARTITION BY g.event_type ORDER BY g.h
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS filled_cents
-    FROM grid g LEFT JOIN hourly hy
-      ON g.event_type = hy.event_type AND g.h = hy.h
+    SELECT event_type,
+           STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           COALESCE(n_events, 0) AS n_events,
+           MAX(cents) OVER (PARTITION BY event_type, grp) AS filled_cents
+    FROM j
+    ORDER BY event_type, hour
     """,
     doc="Time-series gap fill + LOCF resample: per event type, a dense "
     "hourly grid between that type's first and last hour, missing "
     "hours filled with zero counts and last-observation-carried-"
-    "forward value sums (exact integer cents). Spark-first shape: the "
-    "grid is generated from the PRE-AGGREGATED per-type span relation "
-    "(sequence+explode — rows = types x hours, never events x hours), "
-    "the fill join and LOCF window both run on the pre-aggregated "
-    "hourly relation, so window state is bounded by grid size, not "
-    "event count, at any scale.",
+    "forward value sums (exact integer cents via decimal input "
+    "casts). LOCF is expressed as a running COUNT of observed rows "
+    "(each fill group starts at an observed hour) + a per-group MAX — "
+    "plain aggregate windows, no IGNORE-NULLS navigation functions "
+    "(those hash-diverged on the round-5 driver engines). Spark-first "
+    "shape: the grid is generated from the PRE-AGGREGATED per-type "
+    "span relation (sequence+explode — rows = types x hours, never "
+    "events x hours), the fill join and both windows run on the "
+    "pre-aggregated hourly relation, so window state is bounded by "
+    "grid size, not event count, at any scale.",
 )
 def e13(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -599,7 +712,7 @@ def e13(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.sum(cents(F.col("value"))).alias("cents"),
     )
     spans = hourly.groupBy("event_type").agg(
         F.min("h").alias("lo"), F.max("h").alias("hi")
@@ -610,74 +723,105 @@ def e13(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
         ).alias("h"),
     )
-    filled = grid.join(hourly, ["event_type", "h"], "left")
-    w = (
+    wg = (
         Window.partitionBy("event_type")
         .orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return filled.select(
+    j = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        "n_events",
+        "cents",
+        F.count("cents").over(wg).alias("grp"),
+    )
+    return j.select(
         "event_type",
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
-        F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
-    )
+        F.max("cents").over(Window.partitionBy("event_type", "grp")).alias(
+            "filled_cents"
+        ),
+    ).orderBy("event_type", "hour")
 
 
 @register(
     "w06_value_window_functions",
-    """
+    f"""
     WITH m AS (
       SELECT o_orderpriority AS pri,
              STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS mon,
-             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+             CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS rev_cents
       FROM orders
       GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT pri, mon, rev_cents,
+             ROW_NUMBER() OVER (PARTITION BY pri ORDER BY mon) AS rn,
+             RANK() OVER (PARTITION BY pri ORDER BY rev_cents) AS rk,
+             COUNT(*) OVER (PARTITION BY pri) AS cnt
+      FROM m
     )
     SELECT pri, mon, rev_cents,
-           FIRST_VALUE(rev_cents) OVER w AS first_rev_cents,
-           NTH_VALUE(rev_cents, 2) OVER w AS second_rev_cents,
-           ROUND(PERCENT_RANK() OVER (PARTITION BY pri ORDER BY rev_cents), 6)
-             AS rev_pct_rank
-    FROM m
-    WINDOW w AS (PARTITION BY pri ORDER BY mon
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           MAX(CASE WHEN rn = 1 THEN rev_cents END)
+             OVER (PARTITION BY pri) AS first_rev_cents,
+           CASE WHEN rn >= 2
+                THEN MAX(CASE WHEN rn = 2 THEN rev_cents END)
+                       OVER (PARTITION BY pri)
+           END AS second_rev_cents,
+           CASE WHEN cnt = 1 THEN 0
+                ELSE (rk - 1) * 10000 // (cnt - 1) END AS rev_rank_bp
+    FROM r
+    ORDER BY pri, mon
     """,
-    doc="FIRST_VALUE / NTH_VALUE / PERCENT_RANK window family over "
-    "pre-aggregated monthly revenue per order priority — window state "
-    "is months x priorities, never raw orders, so the sort inside "
-    "each window partition is tiny at any scale. Exact integer cents "
-    "end to end.",
+    doc="Value-window family over pre-aggregated monthly revenue per "
+    "order priority: first month's revenue, second month's revenue "
+    "(visible from the second month on, i.e. NTH_VALUE(2) over a "
+    "running frame), and the revenue percent-rank in integer basis "
+    "points. Expressed with ROW_NUMBER/RANK + conditional window MAX "
+    "instead of NTH_VALUE/PERCENT_RANK — the navigation forms "
+    "hash-diverged on the round-5 driver engines; rank arithmetic on "
+    "BIGINTs is engine-version-proof. Window state is months x "
+    "priorities, never raw orders, so the sort inside each window "
+    "partition is tiny at any scale. Exact integer cents end to end "
+    "(decimal input casts).",
 )
 def w06(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     m = orders.groupBy(
         F.col("o_orderpriority").alias("pri"),
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("mon"),
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"))
-    wm = (
-        Window.partitionBy("pri")
-        .orderBy("mon")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wr = Window.partitionBy("pri").orderBy("rev_cents")
-    return m.select(
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_cents"))
+    wp = Window.partitionBy("pri")
+    r = m.select(
         "pri",
         "mon",
         "rev_cents",
-        F.first_value("rev_cents").over(wm).alias("first_rev_cents"),
-        F.nth_value("rev_cents", 2).over(wm).alias("second_rev_cents"),
-        F.round(F.percent_rank().over(wr), 6).alias("rev_pct_rank"),
+        F.row_number().over(wp.orderBy("mon")).alias("rn"),
+        F.rank().over(wp.orderBy("rev_cents")).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
     )
+    first_rev = F.max(F.when(F.col("rn") == 1, F.col("rev_cents"))).over(wp)
+    second_all = F.max(F.when(F.col("rn") == 2, F.col("rev_cents"))).over(wp)
+    return r.select(
+        "pri",
+        "mon",
+        "rev_cents",
+        first_rev.alias("first_rev_cents"),
+        F.when(F.col("rn") >= 2, second_all).alias("second_rev_cents"),
+        F.when(F.col("cnt") == 1, F.lit(0).cast("long"))
+        .otherwise(F.expr("(rk - 1) * 10000 div (cnt - 1)"))
+        .alias("rev_rank_bp"),
+    ).orderBy("pri", "mon")
 
 
 @register(
     "e16_hourly_linear_interp",
-    """
+    f"""
     WITH hourly AS (
       SELECT event_type,
              DATE_TRUNC('hour', ts) AS h,
-             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+             CAST(SUM({sql_cents('value')}) AS BIGINT) AS cents
       FROM events
       GROUP BY 1, 2
     ),
@@ -691,24 +835,28 @@ def w06(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     joined AS (
       SELECT g.event_type, g.h,
-             CAST(epoch(g.h) // 3600 AS BIGINT) AS idx,
+             CAST(epoch_ms(g.h) // 3600000 AS BIGINT) AS idx,
              hy.cents
       FROM grid g LEFT JOIN hourly hy
         ON g.event_type = hy.event_type AND g.h = hy.h
     ),
+    grped AS (
+      SELECT event_type, h, idx, cents,
+             COUNT(cents) OVER (PARTITION BY event_type ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gf,
+             COUNT(cents) OVER (PARTITION BY event_type ORDER BY idx DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gb
+      FROM joined
+    ),
     ctx AS (
       SELECT event_type, h, idx, cents,
-             LAST_VALUE(cents IGNORE NULLS) OVER wp AS prev_c,
-             LAST_VALUE(CASE WHEN cents IS NOT NULL THEN idx END IGNORE NULLS)
-               OVER wp AS prev_i,
-             FIRST_VALUE(cents IGNORE NULLS) OVER wf AS next_c,
-             FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN idx END IGNORE NULLS)
-               OVER wf AS next_i
-      FROM joined
-      WINDOW wp AS (PARTITION BY event_type ORDER BY idx
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             wf AS (PARTITION BY event_type ORDER BY idx
-                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             MAX(cents) OVER (PARTITION BY event_type, gf) AS prev_c,
+             MAX(CASE WHEN cents IS NOT NULL THEN idx END)
+               OVER (PARTITION BY event_type, gf) AS prev_i,
+             MAX(cents) OVER (PARTITION BY event_type, gb) AS next_c,
+             MAX(CASE WHEN cents IS NOT NULL THEN idx END)
+               OVER (PARTITION BY event_type, gb) AS next_i
+      FROM grped
     )
     SELECT event_type,
            STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS hour,
@@ -718,23 +866,29 @@ def w06(spark: SparkSession, sf_dir: str) -> DataFrame:
                      // (next_i - prev_i)
            END AS filled_cents
     FROM ctx
+    ORDER BY event_type, hour
     """,
     doc="Linear-interpolation resample (e13's LOCF upgraded): missing "
     "hours get the time-weighted average of the surrounding observed "
     "values, computed as (prev*(gap-step) + next*step) div gap in "
     "exact integer cents — values are non-negative so truncating and "
     "flooring division agree and both engines match bit-for-bit. "
-    "Same bounded-state shape as e13: the grid and both windows run "
-    "on the pre-aggregated types x hours relation, never raw events. "
-    "Grid endpoints are observed hours, so every interior gap has "
-    "both neighbors (no divide-by-zero edge).",
+    "Neighbor lookup uses the same fill-group trick as e13 (running "
+    "COUNT of observed rows, forward and backward) instead of "
+    "IGNORE-NULLS navigation, and the hour index is integer "
+    "epoch-millis arithmetic — both chosen because the alternatives "
+    "hash-diverged on the round-5 driver engines. Same bounded-state "
+    "shape as e13: the grid and all windows run on the pre-aggregated "
+    "types x hours relation, never raw events. Grid endpoints are "
+    "observed hours, so every interior gap has both neighbors (no "
+    "divide-by-zero edge).",
 )
 def e16(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ice_spark.tables import load_table as _lt
 
     ev = _lt(spark, sf_dir, "events")
     hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        F.sum(cents(F.col("value"))).alias("cents")
     )
     spans = hourly.groupBy("event_type").agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     grid = spans.select(
@@ -747,26 +901,36 @@ def e16(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(unix_timestamp(h) div 3600 AS BIGINT)").alias("idx"),
         "cents",
     )
-    wp = (
+    wfwd = (
         Window.partitionBy("event_type")
         .orderBy("idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wf = (
+    wbwd = (
         Window.partitionBy("event_type")
-        .orderBy("idx")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    obs_idx = F.when(F.col("cents").isNotNull(), F.col("idx"))
-    ctx = joined.select(
+    grped = joined.select(
         "event_type",
         "h",
         "idx",
         "cents",
-        F.last("cents", ignorenulls=True).over(wp).alias("prev_c"),
-        F.last(obs_idx, ignorenulls=True).over(wp).alias("prev_i"),
-        F.first("cents", ignorenulls=True).over(wf).alias("next_c"),
-        F.first(obs_idx, ignorenulls=True).over(wf).alias("next_i"),
+        F.count("cents").over(wfwd).alias("gf"),
+        F.count("cents").over(wbwd).alias("gb"),
+    )
+    obs_idx = F.when(F.col("cents").isNotNull(), F.col("idx"))
+    pf = Window.partitionBy("event_type", "gf")
+    pb = Window.partitionBy("event_type", "gb")
+    ctx = grped.select(
+        "event_type",
+        "h",
+        "idx",
+        "cents",
+        F.max("cents").over(pf).alias("prev_c"),
+        F.max(obs_idx).over(pf).alias("prev_i"),
+        F.max("cents").over(pb).alias("next_c"),
+        F.max(obs_idx).over(pb).alias("next_i"),
     )
     interp = F.expr(
         "(prev_c * (next_i - idx) + next_c * (idx - prev_i)) div (next_i - prev_i)"
@@ -778,15 +942,15 @@ def e16(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("cents").isNotNull(), F.col("cents")).otherwise(interp).alias(
             "filled_cents"
         ),
-    )
+    ).orderBy("event_type", "hour")
 
 
 @register(
     "w07_mom_revenue_growth",
-    """
+    f"""
     WITH m AS (
       SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS mon,
-             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+             CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS rev_cents
       FROM orders
       GROUP BY 1
     )
@@ -813,7 +977,7 @@ def w07(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     m = orders.groupBy(
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("mon")
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"))
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_cents"))
     w = Window.orderBy("mon")
     prev = F.lag("rev_cents").over(w)
     return m.select(
@@ -947,19 +1111,24 @@ def a07(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and exact average spend (integer cents, floor division). "
     "Determinism: every NTILE ordering carries the customer key as "
     "tiebreak, so quartile boundaries are identical across engines "
-    "and partitionings. The NTILE windows are unpartitioned by "
-    "nature (global quantiles) but run on the pre-aggregated "
-    "per-customer relation — one row per customer, not per order; "
-    "for 100 TB of customers swap NTILE for the bucket-narrowing "
-    "quantiles of operators/median.py.",
+    "and partitionings. The quartiles are global by nature but are "
+    "NOT computed with an unpartitioned window: each metric goes "
+    "through operators/ranking.global_ntile — range-repartition + "
+    "per-partition local ranks + broadcast offsets — so the sort is "
+    "a real distributed sort (the plan has no single-task WindowExec "
+    "over the per-customer relation, which is hundreds of millions "
+    "of rows at 100 TB). The oracle keeps the NTILE formulation "
+    "(driver-validated in round 5).",
 )
 def e20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.ranking import global_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     day = F.expr("CAST(unix_timestamp(date_trunc('day', o_orderdate)) div 86400 AS BIGINT)")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(day).alias("last_day"),
         F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("monetary_cents"),
+        F.sum(cents(F.col("o_totalprice"))).alias("monetary_cents"),
     )
     mx = per_cust.agg(F.max("last_day").alias("max_day"))
     pc = per_cust.crossJoin(F.broadcast(mx)).select(
@@ -968,14 +1137,29 @@ def e20(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary_cents",
     )
-    scored = pc.select(
-        "o_custkey",
-        "monetary_cents",
-        F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))).alias("r"),
-        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))).alias("f"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
-        .alias("m"),
+    r_t = global_ntile(
+        pc.select("o_custkey", "recency_days"),
+        [F.asc("recency_days"), F.asc("o_custkey")],
+        4,
+        "r",
+    ).select("o_custkey", "r")
+    f_t = global_ntile(
+        pc.select("o_custkey", "frequency"),
+        [F.desc("frequency"), F.asc("o_custkey")],
+        4,
+        "f",
+    ).select("o_custkey", "f")
+    m_t = global_ntile(
+        pc.select("o_custkey", "monetary_cents"),
+        [F.desc("monetary_cents"), F.asc("o_custkey")],
+        4,
+        "m",
+    ).select("o_custkey", "m")
+    scored = (
+        pc.select("o_custkey", "monetary_cents")
+        .join(r_t, "o_custkey")
+        .join(f_t, "o_custkey")
+        .join(m_t, "o_custkey")
     )
     return (
         scored.groupBy(
@@ -996,11 +1180,11 @@ def e20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "w08_yoy_same_month",
-    """
+    f"""
     WITH m AS (
       SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
              CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
-             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+             CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS rev_cents
       FROM orders GROUP BY 1, 2
     )
     SELECT cur.yr, cur.mo, cur.rev_cents,
@@ -1025,7 +1209,7 @@ def w08(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = orders.groupBy(
         F.year("o_orderdate").cast("long").alias("yr"),
         F.month("o_orderdate").cast("long").alias("mo"),
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"))
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_cents"))
     cur, prev = m.alias("cur"), m.alias("prev")
     j = cur.join(
         prev,
@@ -1046,24 +1230,24 @@ def w08(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "w09_mom_contribution",
-    """
+    f"""
     WITH m AS (
       SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS mon,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) * 12
+               + CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mix,
              o_orderpriority AS pri,
-             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
-      FROM orders GROUP BY 1, 2
+             CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1, 2, 3
     ),
     d AS (
       SELECT cur.mon, cur.pri,
              cur.rev_cents - prev.rev_cents AS delta_cents
       FROM m cur JOIN m prev
-        ON prev.pri = cur.pri
-       AND prev.mon = STRFTIME(DATE_TRUNC('month',
-             CAST(cur.mon || '-01' AS DATE) - INTERVAL 1 MONTH), '%Y-%m')
+        ON prev.pri = cur.pri AND prev.mix = cur.mix - 1
     ),
     t AS (
-      SELECT mon, SUM(delta_cents) AS total_delta,
-             SUM(ABS(delta_cents)) AS total_abs
+      SELECT mon, CAST(SUM(delta_cents) AS BIGINT) AS total_delta,
+             CAST(SUM(ABS(delta_cents)) AS BIGINT) AS total_abs
       FROM d GROUP BY mon
     )
     SELECT d.mon, d.pri, d.delta_cents, t.total_delta,
@@ -1088,15 +1272,16 @@ def w09(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     m = orders.groupBy(
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("mon"),
+        (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate").cast("long")).alias(
+            "mix"
+        ),
         F.col("o_orderpriority").alias("pri"),
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"))
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_cents"))
     cur, prev = m.alias("cur"), m.alias("prev")
-    prev_mon = F.date_format(
-        F.add_months(F.to_date(F.concat(F.col("cur.mon"), F.lit("-01"))), -1), "yyyy-MM"
-    )
     d = cur.join(
         prev,
-        (F.col("prev.pri") == F.col("cur.pri")) & (F.col("prev.mon") == prev_mon),
+        (F.col("prev.pri") == F.col("cur.pri"))
+        & (F.col("prev.mix") == F.col("cur.mix") - 1),
     ).select(
         F.col("cur.mon").alias("mon"),
         F.col("cur.pri").alias("pri"),

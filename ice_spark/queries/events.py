@@ -385,43 +385,51 @@ def e11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH k AS (
       SELECT event_type, user_id,
-             FLOOR(epoch(ts) / 300) AS w,
+             epoch_ms(ts) // 1000 // 300 AS w,
              MIN(event_id) AS keeper,
              COUNT(*) AS n
       FROM events
       GROUP BY 1, 2, 3
     )
     SELECT event_type,
-           SUM(n) AS n_events,
+           CAST(SUM(n) AS BIGINT) AS n_events,
            COUNT(*) AS n_kept,
-           SUM(n) - COUNT(*) AS n_dropped,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dropped,
            MIN(keeper) AS min_keeper_id
     FROM k
     GROUP BY event_type
+    ORDER BY event_type
     """,
     doc="Windowed event deduplication (batch form of "
     "streaming/dedupe.dedup_stream): collapse repeats of the same "
     "(user, type) within a 5-minute bucket to the earliest event id. "
-    "One keyed aggregation with map-side partials, then a tiny "
-    "per-type rollup — dedup state is bounded by active keys per "
-    "window at any scale, the same bound the watermarked streaming "
-    "version relies on.",
+    "Bucketing is integer epoch-millis floor division on both sides "
+    "(epoch_ms // 1000 == unix_timestamp truncation for post-1970 "
+    "data) — fractional epoch() seconds hash-diverged on the round-5 "
+    "driver engines. One keyed aggregation with map-side partials, "
+    "then a tiny per-type rollup — dedup state is bounded by active "
+    "keys per window at any scale, the same bound the watermarked "
+    "streaming version relies on.",
 )
 def e14(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = ev.groupBy(
         "event_type",
         "user_id",
-        F.floor(F.unix_timestamp("ts") / 300).alias("w"),
+        F.expr("unix_timestamp(ts) div 300").alias("w"),
     ).agg(
         F.min("event_id").alias("keeper"),
         F.count(F.lit(1)).alias("n"),
     )
-    return k.groupBy("event_type").agg(
-        F.sum("n").alias("n_events"),
-        F.count(F.lit(1)).alias("n_kept"),
-        (F.sum("n") - F.count(F.lit(1))).alias("n_dropped"),
-        F.min("keeper").alias("min_keeper_id"),
+    return (
+        k.groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_kept"),
+            (F.sum("n") - F.count(F.lit(1))).alias("n_dropped"),
+            F.min("keeper").alias("min_keeper_id"),
+        )
+        .orderBy("event_type")
     )
 
 

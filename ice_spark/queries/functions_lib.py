@@ -213,13 +213,13 @@ def f05(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus,
            COUNT(*) AS n,
-           SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS n_big,
+           CAST(SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
            COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_label,
-           SUM(GREATEST(CAST(ROUND(o_totalprice * 100) AS BIGINT) - 25000000,
-                        CAST(0 AS BIGINT)))
+           CAST(SUM(GREATEST(CAST(ROUND(o_totalprice * 100) AS BIGINT) - 25000000,
+                             CAST(0 AS BIGINT))) AS BIGINT)
              AS excess_over_250k_cents,
-           SUM(LEAST(CAST(ROUND(o_totalprice * 100) AS BIGINT),
-                     CAST(10000000 AS BIGINT)))
+           CAST(SUM(LEAST(CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                          CAST(10000000 AS BIGINT))) AS BIGINT)
              AS capped_at_100k_cents
     FROM orders
     GROUP BY o_orderstatus
@@ -553,8 +553,8 @@ def a06(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) FILTER (
              WHERE TRY_CAST(l_linestatus AS INTEGER) IS NULL
            ) AS n_unparsed,
-           SUM(COALESCE(TRY_CAST(SUBSTRING(l_returnflag, 1, 1) AS INTEGER), 0))
-             AS parsed_sum
+           CAST(SUM(COALESCE(TRY_CAST(SUBSTRING(l_returnflag, 1, 1) AS INTEGER), 0))
+                AS BIGINT) AS parsed_sum
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -597,7 +597,7 @@ def f14(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(MAX(CASE WHEN o_orderstatus = 'O' THEN cnt END), 0)
              AS open_cnt,
            CAST(COUNT(*) FILTER (WHERE cnt > 100) AS BIGINT) AS n_big_statuses,
-           SUM(cnt * 2) AS doubled_total
+           CAST(SUM(cnt * 2) AS BIGINT) AS doubled_total
     FROM per_status
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority

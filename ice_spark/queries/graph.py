@@ -54,7 +54,7 @@ def _pr_oracle() -> str:
     SELECT node,
            CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
            node // 2 AS entity_key,
-           rank AS rank_micro
+           CAST(rank AS BIGINT) AS rank_micro
     FROM pr{PR_ITERS}
     ORDER BY rank DESC, node
     LIMIT 20

@@ -94,23 +94,31 @@ def sql_sum_dec(expr: str) -> str:
 
 # --- Exact integer (cents) arithmetic ---------------------------------------
 # The fast path for money aggregates: quantize inputs to integer
-# cents / basis points (ROUND(x*scale) — identical in both engines,
-# ties unreachable for binary doubles), do all arithmetic in exact
-# 64-bit integers, divide once at the end. ~1.8x faster than decimal
-# aggregation (no BigDecimal in the inner loop) and still
-# bit-identical cross-engine because every double op (the final
-# cast + division) is IEEE-correctly-rounded from the same exact
-# integer. Headroom: sums stay < 2^63 through ~sf5; beyond that use
-# the decimal path (rev_dec).
+# cents / basis points, do all arithmetic in exact 64-bit integers,
+# divide once at the end. Quantization goes through a DECIMAL input
+# cast (CAST(x AS DECIMAL(18,d)) * 10^d) — the same idiom as dsum(),
+# which is the one the driver's correctness harness has validated
+# green across engine versions. ROUND(x*scale) is mathematically
+# identical on 2-decimal-generated doubles but hash-failed on the
+# driver's engine build in round 5 (e13/e16/w06-w09), so it is
+# banned (tools/lint_oracles.py enforces). Ties are unreachable: a
+# d-decimal-generated double is never halfway between two
+# DECIMAL(18,d) grid points. Headroom: sums stay < 2^63 through
+# ~sf5; beyond that use the decimal path (rev_dec).
+
+_DEC_DIGITS = {1: 0, 10: 1, 100: 2, 1000: 3, 10000: 4, 100000: 5, 1000000: 6}
+
 
 def cents(col: Column | str, scale: int = 100) -> Column:
     if isinstance(col, str):
         return F.expr(sql_cents(col, scale))
-    return F.round(col * scale).cast("long")
+    d = _DEC_DIGITS[scale]
+    return (col.cast(f"decimal(18,{d})") * scale).cast("long")
 
 
 def sql_cents(expr: str, scale: int = 100) -> str:
-    return f"CAST(ROUND(({expr}) * {scale}) AS BIGINT)"
+    d = _DEC_DIGITS[scale]
+    return f"CAST(CAST(({expr}) AS DECIMAL(18,{d})) * {scale} AS BIGINT)"
 
 
 def rev_u() -> Column:

@@ -209,12 +209,12 @@ def m03(spark: SparkSession, sf_dir: str) -> DataFrame:
     w AS (
       SELECT doc_id, i // 32 AS window_idx,
              CAST(COUNT(*) AS BIGINT) AS n_samples,
-             SUM(CAST(v AS BIGINT) * v) AS energy
+             CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy
       FROM s GROUP BY doc_id, i // 32
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_windows,
-           SUM(energy) AS total_energy,
+           CAST(SUM(energy) AS BIGINT) AS total_energy,
            MAX(energy) AS peak_window_energy
     FROM w GROUP BY doc_id
     ORDER BY doc_id
@@ -338,7 +338,7 @@ def m05(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
       SELECT doc_id, i // 32 AS window_idx,
-             SUM(CAST(v AS BIGINT) * v) AS energy
+             CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy
       FROM s GROUP BY doc_id, i // 32
     ),
     act AS (

@@ -372,9 +372,9 @@ def k03(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN cnt cb ON cb.event_type = i.tb
     )
     SELECT s.ta AS type_a, s.tb AS type_b,
-           (matches * 10000) // kk AS kmv_jaccard_bp,
+           CAST((matches * 10000) // kk AS BIGINT) AS kmv_jaccard_bp,
            (ni * 10000) // nu AS exact_jaccard_bp,
-           ABS((matches * 10000) // kk - (ni * 10000) // nu) AS err_bp
+           CAST(ABS((matches * 10000) // kk - (ni * 10000) // nu) AS BIGINT) AS err_bp
     FROM sketch_j s JOIN exact e ON s.ta = e.ta AND s.tb = e.tb
     ORDER BY type_a, type_b
     """,
@@ -621,9 +621,9 @@ HIST_WIDTH_CENTS = 500_000  # $5,000 buckets over o_totalprice
       ORDER BY b LIMIT 1
     ), est AS (
       SELECT n_rows,
-             b * {HIST_WIDTH_CENTS}
+             CAST(b * {HIST_WIDTH_CENTS}
                + ((n_rows + 1) // 2 - cum_before) * {HIST_WIDTH_CENTS} // cnt
-               AS est_median_cents
+               AS BIGINT) AS est_median_cents
       FROM med_bucket
     ), exact AS (
       SELECT cents AS exact_median_cents FROM (
@@ -631,8 +631,8 @@ HIST_WIDTH_CENTS = 500_000  # $5,000 buckets over o_totalprice
       ) WHERE rn = (SELECT (n_rows + 1) // 2 FROM n)
     )
     SELECT est.n_rows, est.est_median_cents, exact.exact_median_cents,
-           ABS(est.est_median_cents - exact.exact_median_cents) * 10000
-             // exact.exact_median_cents AS err_bp
+           CAST(ABS(est.est_median_cents - exact.exact_median_cents) * 10000
+             // exact.exact_median_cents AS BIGINT) AS err_bp
     FROM est, exact
     """,
     doc="Median of order value from a fixed-width histogram sketch "
@@ -776,8 +776,8 @@ def _hll_mix_sql(key_sql: str, source: str, extra_cols: str = "") -> str:
       FROM regs GROUP BY event_type
     ), hll AS (
       SELECT event_type, registers_hit,
-             s_present + ({HLL_M} - registers_hit)
-               * (CAST(1 AS BIGINT) << {HLL_W + 1}) AS harmonic_sum,
+             CAST(s_present + ({HLL_M} - registers_hit)
+               * (CAST(1 AS BIGINT) << {HLL_W + 1}) AS BIGINT) AS harmonic_sum,
              CAST(FLOOR(CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M}
                * (CAST(1 AS BIGINT) << {HLL_W + 1})
                / (s_present + ({HLL_M} - registers_hit)

@@ -513,9 +513,9 @@ def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(n) AS t FROM counts),
     target AS (
       SELECT lang, n, t,
-             CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.2
+             CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.2
                        WHEN 'fr' THEN 0.1 WHEN 'de' THEN 0.1
-                       ELSE 0.1 END AS target_w
+                       ELSE 0.1 END AS DOUBLE) AS target_w
       FROM counts, tot
     )
     SELECT lang,
@@ -928,7 +928,7 @@ def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT COUNT(*) AS n_total FROM toks)
     SELECT source,
            COUNT(DISTINCT doc_id) AS n_docs,
-           SUM(1) AS n_tokens,
+           CAST(SUM(1) AS BIGINT) AS n_tokens,
            CAST(SUM(CAST(ROUND(LN(cnt) * 1000000) AS BIGINT))
                 - COUNT(*) * (SELECT CAST(ROUND(LN(n_total) * 1000000) AS BIGINT)
                               FROM tot) AS DOUBLE)
@@ -1351,7 +1351,7 @@ def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
     per AS (
       SELECT e.doc_id,
              COUNT(*) AS n_shingles,
-             SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS n_dup
+             CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
       FROM ex e JOIN freq f ON e.s = f.s
       GROUP BY 1
     )
@@ -1612,7 +1612,7 @@ def p02(spark: SparkSession, sf_dir: str) -> DataFrame:
              freq
       FROM vocab WHERE length(tok) >= 2
     )
-    SELECT pair, SUM(freq) AS pair_count
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
     FROM pairs
     GROUP BY pair
     ORDER BY pair_count DESC, pair

@@ -347,3 +347,28 @@ def test_k12_bounded_sketch_plan(spark, sf_dir):
     assert a.plan.count("events.parquet") == 1, a.plan[:1500]
     assert a.shuffles <= 3, a.plan[:1500]
     assert a.sort_merge_joins == 0
+
+
+def test_e12_no_raw_event_sort(spark, sf_dir):
+    """e12 (round-6 rewrite): bottom-half value mass via bucket
+    narrowing — the plan must contain NO single-partition exchange
+    (the old cume_dist form sorted every raw event into one task per
+    type) and no cume_dist window at all."""
+    spark.catalog.clearCache()
+    a = _audit(spark, sf_dir, "e12_event_value_percentile")
+    assert "Exchange SinglePartition" not in a.plan, a.plan[:1500]
+    assert "cume_dist" not in a.plan, a.plan[:1500]
+    assert a.sort_merge_joins == 0
+
+
+def test_e20_ntile_is_distributed_sort(spark, sf_dir):
+    """e20 (round-6 rewrite): the three RFM quartiles go through
+    operators/ranking.global_ntile — three range-partitioned
+    distributed sorts; no ntile() window (the old form ran three
+    unpartitioned NTILE sorts over the whole per-customer relation).
+    SinglePartition exchanges remain only over partition-count-sized
+    offset relations (bounded by cluster parallelism, not data)."""
+    spark.catalog.clearCache()
+    a = _audit(spark, sf_dir, "e20_rfm_segmentation")
+    assert "ntile(" not in a.plan, a.plan[:1500]
+    assert a.plan.count("Exchange rangepartitioning") >= 3, a.plan[:1500]
