@@ -358,13 +358,67 @@ def remove_orphans(
 
 
 def perform_maintenance(table: Table, dry_run: bool = True, **kwargs) -> dict:
-    """Run all four jobs (MaintenanceRunner.java:28-54 order)."""
-    return {
-        "data_compaction": compact_data(table, dry_run=dry_run),
-        "manifest_compaction": compact_manifests(table, dry_run=dry_run),
-        "snapshot_cleanup": expire_snapshots(table, dry_run=dry_run),
-        "orphan_cleanup": remove_orphans(table, dry_run=dry_run),
-    }
+    """Run all four jobs (MaintenanceRunner.java:28-54 order).
+
+    Prometheus counters mirror the reference's maintenance metric
+    names (ice-rest-catalog/.../metrics/MaintenanceMetrics.java,
+    examples/grafana/METRICS.md)."""
+    import time as _time
+
+    from ice_spark.metrics import default_registry
+
+    reg = default_registry()
+    tl = {"table": table.identifier or table.location}
+    reg.set_gauge("ice_maintenance_in_progress", None, 1, help_="1 while running")
+    t0 = _time.monotonic()
+    try:
+        out = {
+            "data_compaction": compact_data(table, dry_run=dry_run),
+            "manifest_compaction": compact_manifests(table, dry_run=dry_run),
+            "snapshot_cleanup": expire_snapshots(table, dry_run=dry_run),
+            "orphan_cleanup": remove_orphans(table, dry_run=dry_run),
+        }
+    except Exception:
+        reg.inc(
+            "ice_maintenance_runs_total", {"status": "failure"}, help_="maintenance runs"
+        )
+        raise
+    finally:
+        reg.set_gauge("ice_maintenance_in_progress", None, 0, help_="1 while running")
+        reg.observe(
+            "ice_maintenance_duration_seconds",
+            _time.monotonic() - t0,
+            None,
+            help_="maintenance run duration",
+        )
+    reg.inc("ice_maintenance_runs_total", {"status": "success"}, help_="maintenance runs")
+    reg.set_gauge(
+        "ice_maintenance_last_run_timestamp", None, _time.time(),
+        help_="unix time of last run",
+    )
+    oc = out["orphan_cleanup"]
+    reg.inc(
+        "ice_maintenance_orphan_files_found_total", tl, len(oc.get("orphans", [])),
+        help_="orphan files discovered",
+    )
+    reg.inc(
+        "ice_maintenance_orphan_files_deleted_total", tl, oc.get("deleted", 0),
+        help_="orphan files deleted",
+    )
+    dc = out["data_compaction"]
+    reg.inc(
+        "ice_maintenance_compaction_files_merged_total",
+        tl,
+        sum(len(g) for g in dc.get("groups", [])) if dc.get("rewritten") else 0,
+        help_="input files merged during compaction",
+    )
+    reg.inc(
+        "ice_maintenance_compaction_output_files_total",
+        tl,
+        dc.get("rewritten", 0),
+        help_="output files produced by compaction",
+    )
+    return out
 
 
 # --- Z-order clustering rewrite ---------------------------------------------

@@ -16,3 +16,4 @@ conflict correctly against each other.
 
 from ice_spark.rest.server import RestCatalogServer, ServerConfig  # noqa: F401
 from ice_spark.rest.client import RestCatalogClient, RestError  # noqa: F401
+from ice_spark.rest.commit_lock import CommitLock, LockTimeout  # noqa: F401

@@ -29,9 +29,20 @@ class RestError(RuntimeError):
 
 
 class RestCatalogClient:
-    def __init__(self, uri: str, token: str | None = None, prefix: str | None = None):
+    def __init__(
+        self,
+        uri: str,
+        token: str | None = None,
+        prefix: str | None = None,
+        access_delegation: bool = True,
+    ):
         self.uri = uri.rstrip("/")
         self.token = token
+        # Ask the server for vended storage credentials on table loads
+        # (Iceberg REST X-Iceberg-Access-Delegation header; the
+        # reference client consumes them via VendedCredentialsProvider,
+        # ice/.../aws/s3/VendedCredentialsProvider.java).
+        self.access_delegation = access_delegation
         # config handshake (RESTSessionCatalog.initialize does the same)
         cfg = self._req("GET", "/v1/config")
         self.prefix = prefix if prefix is not None else cfg.get("overrides", {}).get("prefix", "")
@@ -45,6 +56,8 @@ class RestCatalogClient:
         data = json.dumps(body).encode() if body is not None else None
         req = urllib.request.Request(url, data=data, method=method)
         req.add_header("Content-Type", "application/json")
+        if self.access_delegation:
+            req.add_header("X-Iceberg-Access-Delegation", "vended-credentials")
         if self.token:
             req.add_header("Authorization", f"Bearer {self.token}")
         try:
@@ -167,6 +180,13 @@ class RestCatalogClient:
         return self._req(
             "GET", self._p(f"/namespaces/{self._ns_seg(ns)}/tables/{urllib.parse.quote(name)}")
         )
+
+    def vended_storage_config(self, ident: str) -> dict:
+        """Storage settings vended by the server for this table —
+        empty unless the server is configured to vend and this
+        client's token opts in (protocol stub of the reference's STS
+        credential vending)."""
+        return self.load_table(ident).get("config", {})
 
     def table_exists(self, ident: str) -> bool:
         ns, name = self._split(ident)

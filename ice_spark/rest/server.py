@@ -69,11 +69,27 @@ class ServerConfig:
         anonymous: bool = False,
         prefix: str = "ice",
         commit_retries: int = 5,
+        storage_credentials: dict[str, str] | None = None,
+        commit_lock: "CommitLock | None" = None,
     ):
         self.tokens = tokens or {}
         self.anonymous = anonymous
         self.prefix = prefix
         self.commit_retries = commit_retries
+        # Credential vending (protocol stub): static storage creds
+        # returned in LoadTableResult `config` to clients that request
+        # access delegation and whose token opts in. The reference
+        # vends short-lived STS credentials via middlewares
+        # (ice-rest-catalog Main.java:297-325,
+        # ice/.../aws/s3/VendedCredentialsProvider.java) — AWS-bound;
+        # the PROTOCOL round-trip (header -> config map -> client
+        # reads storage settings from config) is what this reproduces.
+        self.storage_credentials = storage_credentials
+        # Optional per-table commit lock (reference
+        # ice-rest-catalog/.../etcd/CommitLock.java:69-146): off by
+        # default; CAS alone is correct, the lock serializes commit
+        # storms for fairness.
+        self.commit_lock = commit_lock
 
 
 class _ApiError(Exception):
@@ -184,6 +200,35 @@ class RestCatalogServer:
         from collections import deque
 
         self.metrics_reports: deque = deque(maxlen=1000)
+        # Prometheus exposition (reference: PrometheusMetricsReporter
+        # .java + examples/grafana/METRICS.md). Per-server registry so
+        # parallel test servers don't cross-contaminate counters.
+        from ice_spark.metrics import MetricsRegistry
+
+        self.metrics = MetricsRegistry()
+        self.metrics.register_collector(self._catalog_gauges)
+        self._tls = threading.local()  # per-request headers (vending)
+
+    def _catalog_gauges(self):
+        """Live catalog-size gauges, evaluated at scrape time
+        (CatalogMetrics.java: iceberg_catalog_tables/namespaces)."""
+        n_tables = 0
+        n_ns = 0
+        stack = [None]
+        while stack:
+            parent = stack.pop()
+            for ns in self.catalog.list_namespaces(parent):
+                n_ns += 1
+                stack.append(ns)
+                try:
+                    n_tables += len(self.catalog.list_tables(ns))
+                except NamespaceError:
+                    pass
+        cat = {"catalog": self.config.prefix}
+        return [
+            ("iceberg_catalog_tables", cat, n_tables, "tables in the catalog"),
+            ("iceberg_catalog_namespaces", cat, n_ns, "namespaces in the catalog"),
+        ]
 
     # ---------- lifecycle ----------
 
@@ -219,6 +264,14 @@ class RestCatalogServer:
             return
         if not self.config.anonymous:
             raise _ApiError(401, "NotAuthorizedException", "missing bearer token")
+
+    def _count_op(self, operation: str) -> None:
+        # CatalogMetrics.java: iceberg_catalog_operations_total
+        self.metrics.inc(
+            "iceberg_catalog_operations_total",
+            {"catalog": self.config.prefix, "operation": operation},
+            help_="catalog operations",
+        )
 
     # ---------- route implementations (each returns (code, body|None)) ----------
 
@@ -280,6 +333,7 @@ class RestCatalogServer:
             if "exists" in msg:
                 raise _ApiError(409, "AlreadyExistsException", msg)
             raise _ApiError(404, "NoSuchNamespaceException", msg)
+        self._count_op("create_namespace")
         return 200, {"namespace": _ns_parts(ns), "properties": body.get("properties", {})}
 
     def _require_ns(self, ns: str) -> str:
@@ -315,6 +369,7 @@ class RestCatalogServer:
             if "not empty" in msg:
                 raise _ApiError(409, "NamespaceNotEmptyException", msg)
             raise _ApiError(404, "NoSuchNamespaceException", msg)
+        self._count_op("drop_namespace")
         return 204, None
 
     def rt_list_tables(self, ns: str, params: dict):
@@ -325,6 +380,27 @@ class RestCatalogServer:
         idents = [{"namespace": _ns_parts(ns), "name": t} for t in names]
         return 200, self._paginate(idents, params, "identifiers")
 
+    def _vended_config(self) -> dict:
+        """Storage credentials for LoadTableResult `config`, when (a)
+        the server is configured to vend, (b) the client asked via the
+        Iceberg REST `X-Iceberg-Access-Delegation: vended-credentials`
+        header, and (c) the request's token opts in (anonymous servers
+        vend to everyone, like the reference's anonymous mode)."""
+        if not self.config.storage_credentials:
+            return {}
+        headers = getattr(self._tls, "headers", None)
+        if headers is None:
+            return {}
+        delegation = headers.get("X-Iceberg-Access-Delegation", "")
+        if "vended-credentials" not in delegation:
+            return {}
+        auth = headers.get("Authorization", "")
+        if auth.startswith("Bearer "):
+            info = self.config.tokens.get(auth[len("Bearer "):], {})
+            if not info.get("vend_credentials"):
+                return {}
+        return dict(self.config.storage_credentials)
+
     def _load_table_result(self, table: Table):
         # pair location and body from the SAME refreshed in-memory
         # state (table._version/_meta) — re-scanning the filesystem
@@ -333,7 +409,7 @@ class RestCatalogServer:
         return {
             "metadata-location": table.metadata_path(table._version),
             "metadata": table.meta,
-            "config": {},
+            "config": self._vended_config(),
         }
 
     def rt_create_table(self, ns: str, body: dict):
@@ -365,6 +441,7 @@ class RestCatalogServer:
             if "exists" in msg:
                 raise _ApiError(409, "AlreadyExistsException", msg)
             raise _ApiError(400, "BadRequestException", msg)
+        self._count_op("create_table")
         return 200, self._load_table_result(t)
 
     def _load(self, ns: str, name: str) -> Table:
@@ -386,6 +463,7 @@ class RestCatalogServer:
             self.catalog.drop_table(f"{ns}.{name}", purge=purge)
         except (NoSuchTableError, NamespaceError) as e:
             raise _ApiError(404, "NoSuchTableException", str(e))
+        self._count_op("drop_table")
         return 204, None
 
     def rt_rename_table(self, body: dict):
@@ -421,6 +499,52 @@ class RestCatalogServer:
         conflicts retry against fresh metadata; requirement failures
         abort immediately (RESTCatalogAdapter.commit 511-567)."""
         retries = self.config.commit_retries
+        ident = table.identifier or table.location
+        ns, _, name = ident.rpartition(".")
+        commit_labels = {"catalog": self.config.prefix, "namespace": ns, "table": name}
+        t0 = time.monotonic()
+        if self.config.commit_lock is not None:
+            from ice_spark.rest.commit_lock import LockTimeout
+
+            lock_t0 = time.monotonic()
+            try:
+                cm = self.config.commit_lock.acquire(ident)
+                cm.__enter__()
+            except LockTimeout as e:
+                self.metrics.inc(
+                    "iceberg_commit_lock_acquire_timeouts_total",
+                    {"catalog": self.config.prefix},
+                    help_="commit-lock acquire timeouts (503s)",
+                )
+                raise _ApiError(503, "ServiceUnavailableException", str(e))
+            self.metrics.observe(
+                "iceberg_commit_lock_acquire_seconds",
+                time.monotonic() - lock_t0,
+                {"catalog": self.config.prefix},
+                help_="time to acquire the per-table commit lock",
+            )
+            held_t0 = time.monotonic()
+            try:
+                return self._commit_cas(table, requirements, updates, commit_labels, t0, retries)
+            finally:
+                self.metrics.observe(
+                    "iceberg_commit_lock_held_seconds",
+                    time.monotonic() - held_t0,
+                    {"catalog": self.config.prefix},
+                    help_="time the commit lock was held",
+                )
+                cm.__exit__(None, None, None)
+        return self._commit_cas(table, requirements, updates, commit_labels, t0, retries)
+
+    def _commit_cas(
+        self,
+        table: Table,
+        requirements: list[dict],
+        updates: list[dict],
+        commit_labels: dict,
+        t0: float,
+        retries: int,
+    ) -> Table:
         for attempt in range(retries + 1):
             table.refresh()
             meta = json.loads(json.dumps(table.meta))
@@ -430,8 +554,23 @@ class RestCatalogServer:
             meta = apply_updates(meta, updates)
             try:
                 table._write_metadata(meta, expected_version=table._version)
+                # CatalogMetrics.java commit counters
+                self.metrics.inc(
+                    "iceberg_commits_total", commit_labels, help_="table commits"
+                )
+                self.metrics.observe(
+                    "iceberg_commit_duration_seconds",
+                    time.monotonic() - t0,
+                    commit_labels,
+                    help_="commit duration",
+                )
                 return table.refresh()
             except CommitConflictError:
+                self.metrics.inc(
+                    "iceberg_commit_retries_total",
+                    commit_labels,
+                    help_="server-side retries after a commit CAS conflict",
+                )
                 if attempt == retries:
                     raise _ApiError(
                         409, "CommitFailedException", "CAS retry budget exhausted"
@@ -592,6 +731,16 @@ def _make_handler(server: RestCatalogServer):
 
         def _dispatch(self, method: str):
             parsed = urllib.parse.urlsplit(self.path)
+            if method == "GET" and parsed.path == "/metrics":
+                # Scrape endpoint — unauthenticated by design, like the
+                # reference's dedicated Prometheus port (Main.java).
+                data = server.metrics.render().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
             params = urllib.parse.parse_qs(parsed.query)
             body = {}
             length = int(self.headers.get("Content-Length") or 0)
@@ -627,6 +776,28 @@ def _make_handler(server: RestCatalogServer):
                 match = pat.match(parsed.path)
                 if not match:
                     continue
+                # HttpMetrics.java: iceberg_http_requests_total /
+                # iceberg_http_responses_total / request duration.
+                http_labels = {"method": method, "route": name.upper()}
+                server._tls.headers = self.headers
+                server.metrics.inc(
+                    "iceberg_http_requests_total", http_labels, help_="HTTP requests"
+                )
+                t0 = time.monotonic()
+
+                def _resp(code: int) -> None:
+                    server.metrics.inc(
+                        "iceberg_http_responses_total",
+                        {**http_labels, "status_class": str(code)},
+                        help_="HTTP responses by status",
+                    )
+                    server.metrics.observe(
+                        "iceberg_http_request_duration_seconds",
+                        time.monotonic() - t0,
+                        http_labels,
+                        help_="HTTP request duration",
+                    )
+
                 try:
                     # the oauth token endpoint is pre-auth by nature:
                     # it's how a client WOULD obtain credentials
@@ -649,11 +820,14 @@ def _make_handler(server: RestCatalogServer):
                     else:
                         code, payload = fn(*args)
                 except _ApiError as e:
+                    _resp(e.code)
                     return self._send_error(e)
                 except Exception as e:  # noqa: BLE001 — server must not crash
+                    _resp(500)
                     return self._send_error(
                         _ApiError(500, "InternalServerError", f"{type(e).__name__}: {e}")
                     )
+                _resp(code)
                 return self._send_json(code, payload, head_only=(method == "HEAD"))
             self._send_error(
                 _ApiError(404, "NotFoundException", f"no route: {method} {parsed.path}")

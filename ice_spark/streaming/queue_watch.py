@@ -175,6 +175,16 @@ def watch_queue(
         raise ValueError("pass a table, or catalog+ident for create-on-first-file")
     path_for = path_for or _default_path
     matcher = Matcher(patterns or [])
+    # Prometheus counters, named after the reference's watch metrics
+    # (ice/.../metrics/InsertWatchMetrics.java, grafana/METRICS.md).
+    from ice_spark.metrics import default_registry
+
+    reg = default_registry()
+    wl = {
+        "table": (ident or (table.identifier if table is not None else "")),
+        "queue": type(poller).__name__,
+        "queue_type": "sqs",
+    }
     stats = {
         "cycles": 0,
         "files_added": 0,
@@ -184,6 +194,7 @@ def watch_queue(
     }
     while True:
         stats["cycles"] += 1
+        reg.inc("ice_watch_poll_requests_total", wl, help_="queue poll requests")
         # drain tail: batches of <=receive_batch up to max_drain msgs
         drained: list[QueueMessage] = []
         while len(drained) < max_drain:
@@ -194,6 +205,10 @@ def watch_queue(
             if not batch:
                 break
             drained.extend(batch)
+            reg.inc(
+                "ice_watch_messages_received_total", wl, len(batch),
+                help_="messages received from queue",
+            )
         if not drained:
             if fire_once or (max_cycles and stats["cycles"] >= max_cycles):
                 return stats
@@ -204,9 +219,21 @@ def watch_queue(
         no_file_msgs: list[str] = []
         for msg in drained:
             events = parse_s3_events(msg.body)
+            reg.inc(
+                "ice_watch_events_received_total", wl, len(events),
+                help_="S3 events received",
+            )
             matched = [
                 path_for(b, k) for b, k in events if matcher.matches(k)
             ]
+            reg.inc(
+                "ice_watch_events_matched_total", wl, len(matched),
+                help_="S3 events matching the input patterns",
+            )
+            reg.inc(
+                "ice_watch_events_not_matched_total", wl, len(events) - len(matched),
+                help_="S3 events not matching any input pattern",
+            )
             if not matched:
                 # handshake / filtered-out: safe to ack immediately
                 no_file_msgs.append(msg.receipt_handle)
@@ -239,12 +266,24 @@ def watch_queue(
             # whole drain (bounded commit rate); skip_duplicates makes
             # redelivered messages no-ops; no_copy registers in place
             # exactly like the reference (InsertWatch.java:83-86)
-            result = insert(
-                table,
-                files,
-                skip_duplicates=True,
-                no_copy=True,
-                force_no_copy=True,
+            try:
+                result = insert(
+                    table,
+                    files,
+                    skip_duplicates=True,
+                    no_copy=True,
+                    force_no_copy=True,
+                )
+            except Exception:
+                reg.inc(
+                    "ice_watch_transactions_failed_total", wl,
+                    help_="failed insert transactions",
+                )
+                raise
+            reg.inc("ice_watch_transactions_total", wl, help_="insert transactions")
+            reg.inc(
+                "ice_watch_files_inserted_total", wl, result.get("added", 0),
+                help_="files inserted from S3 events",
             )
             stats["files_added"] += result.get("added", 0)
             stats["files_skipped"] += result.get("skipped", 0)
