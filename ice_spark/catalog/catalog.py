@@ -59,6 +59,12 @@ class Catalog:
     def _is_table(self, path: str) -> bool:
         return os.path.exists(os.path.join(path, "metadata", "version-hint.text"))
 
+    def namespace_exists(self, ns: str) -> bool:
+        try:
+            return self._is_namespace(self._ns_dir(ns))
+        except NamespaceError:
+            return False
+
     def check(self) -> bool:
         """Connectivity probe = listNamespaces (Check.java:19-22)."""
         self.list_namespaces()

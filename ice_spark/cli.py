@@ -71,6 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ice-spark")
     p.add_argument("--warehouse", required=True, help="warehouse directory")
     p.add_argument(
+        "--registry-db",
+        help="SQLite registry database path: catalog rows live in this "
+        "DB while table trees stay under --warehouse (the reference's "
+        "jdbc:sqlite catalog backend, Config.java:262-298). Default: "
+        "filesystem-marker registry.",
+    )
+    p.add_argument(
         "--uri",
         help="REST catalog endpoint (http://host:port); catalog verbs "
         "run as REST calls instead of against the local warehouse "
@@ -376,12 +383,62 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _shell_verbs() -> list[str]:
+    """All CLI verb names, pulled from the argparse tree."""
+    parser = build_parser()
+    for action in parser._subparsers._group_actions:  # noqa: SLF001
+        return sorted(action.choices.keys())
+    return []
+
+
+def _install_completion(warehouse: str) -> None:
+    """Tab completion for the shell (reference jline completers,
+    ice/.../cli/Main.java:1106-1181): first word completes verbs,
+    later words complete namespace / table identifiers from the
+    catalog. readline is stdlib on POSIX; absence degrades to plain
+    input() silently."""
+    try:
+        import readline
+    except ImportError:
+        return
+    verbs = _shell_verbs() + ["exit", "quit"]
+
+    def idents() -> list[str]:
+        try:
+            from ice_spark.catalog.catalog import Catalog
+
+            cat = Catalog(None, warehouse)
+            out: list[str] = []
+            stack: list[str | None] = [None]
+            while stack:
+                parent = stack.pop()
+                for ns in cat.list_namespaces(parent):
+                    out.append(ns)
+                    stack.append(ns)
+                    out.extend(f"{ns}.{t}" for t in cat.list_tables(ns))
+            return out
+        except Exception:  # noqa: BLE001 — completion must never crash input
+            return []
+
+    def complete(text: str, state: int):
+        buf = readline.get_line_buffer()
+        first_word = " " not in buf.lstrip()
+        pool = verbs if first_word else idents()
+        matches = [w for w in pool if w.startswith(text)]
+        return matches[state] if state < len(matches) else None
+
+    readline.set_completer_delims(" \t")
+    readline.set_completer(complete)
+    readline.parse_and_bind("tab: complete")
+
+
 def shell(warehouse: str) -> int:
     """Interactive REPL: one CLI verb per line, shared session
-    (reference `shell`, ice/.../cli/Main.java:1106-1181 — jline
-    niceties replaced by plain stdin)."""
+    (reference `shell`, ice/.../cli/Main.java:1106-1181 — with
+    readline tab completion over verbs and catalog identifiers)."""
     import shlex
 
+    _install_completion(warehouse)
     print("ice-spark shell — verbs as lines, 'exit' to quit", file=sys.stderr)
     while True:
         try:
@@ -400,6 +457,16 @@ def shell(warehouse: str) -> int:
                 print(f"error: exit {e.code}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 - REPL survives bad commands
             print(f"error: {e}", file=sys.stderr)
+
+
+def _make_catalog(spark, args):
+    if getattr(args, "registry_db", None):
+        from ice_spark.catalog.sqlite_catalog import SqliteCatalog
+
+        return SqliteCatalog(spark, args.warehouse, db_path=args.registry_db)
+    from ice_spark.catalog import Catalog
+
+    return Catalog(spark, args.warehouse)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -489,7 +556,7 @@ def main(argv: list[str] | None = None) -> int:
             tok, _, flag = spec.partition(":")
             tokens[tok] = {"read_only": flag == "ro"}
         cfg = ServerConfig(tokens=tokens, anonymous=args.anonymous or not tokens)
-        srv = RestCatalogServer(Catalog(None, args.warehouse), cfg, port=args.port).start()
+        srv = RestCatalogServer(_make_catalog(None, args), cfg, port=args.port).start()
         print(json.dumps({"serving": srv.url, "warehouse": args.warehouse}))
         try:
             while True:
@@ -503,11 +570,10 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(out, indent=1, default=str))
         return 0
 
-    from ice_spark.catalog import Catalog
     from ice_spark.session import get_spark
 
     spark = get_spark("ice_spark_cli")
-    cat = Catalog(spark, args.warehouse)
+    cat = _make_catalog(spark, args)
     out = None
 
     if args.cmd == "check":

@@ -337,7 +337,7 @@ class RestCatalogServer:
         return 200, {"namespace": _ns_parts(ns), "properties": body.get("properties", {})}
 
     def _require_ns(self, ns: str) -> str:
-        if not self.catalog._is_namespace(self.catalog._ns_dir(ns)):
+        if not self.catalog.namespace_exists(ns):
             raise _ApiError(404, "NoSuchNamespaceException", f"no such namespace: {ns}")
         return ns
 
