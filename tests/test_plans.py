@@ -143,9 +143,15 @@ def test_lsh_cap_single_bucket_shuffle(spark, sf_dir):
 @pytest.mark.parametrize(
     "name,max_exchanges",
     [
-        ("e13_hourly_gap_fill_locf", 2),  # hourly agg + per-type window
+        # hourly agg + LOCF fill-group windows (round 6: the IGNORE-
+        # NULLS window became running-COUNT + per-(type,grp) MAX — one
+        # more exchange, but both run on the tiny types x hours grid)
+        ("e13_hourly_gap_fill_locf", 3),
         ("j01_bloom_semijoin_revenue", 1),  # bloom prefilter is map-side; broadcast join
-        ("w06_value_window_functions", 2),  # monthly agg + windows share partitioning
+        # monthly agg + rank windows sharing the pri partitioning +
+        # the round-6 deterministic ORDER BY (a range exchange over
+        # the months x priorities rollup — bounded rows at any scale)
+        ("w06_value_window_functions", 3),
         ("f13_array_ordinality", 1),  # per-order collect; posexplode is narrow
         ("d10_duplicate_shingle_fraction", 2),  # posting count + per-doc agg
     ],
@@ -164,7 +170,9 @@ def test_round4_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
         ("f14_try_functions", 1),  # map-only + one aggregation
         ("s09_temperature_sampling", 3),  # counts + broadcast rates + final agg
         ("s10_importance_resampling", 1),  # per-row threshold, one agg
-        ("e14_windowed_dedup", 2),  # keyed dedup agg + per-type rollup
+        # keyed dedup agg + per-type rollup + the round-6
+        # deterministic ORDER BY (range exchange over ~|types| rows)
+        ("e14_windowed_dedup", 3),
     ],
 )
 def test_round4b_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
