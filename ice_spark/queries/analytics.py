@@ -441,16 +441,23 @@ def w04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="NTILE decile distribution of order values. The ORDER BY "
     "carries an o_orderkey tie-break so tile boundaries are a total "
-    "order — identical in both engines. (A global NTILE serializes "
-    "one window at scale; for 100 TB use approx percentiles (a02) or "
-    "pre-bucketed ranges — this query covers the operator semantics.)",
+    "order — identical in both engines. Round 6: the global NTILE no "
+    "longer serializes one window task — operators/ranking.global_ntile "
+    "computes the same tile assignment as a range-partitioned "
+    "distributed sort with broadcast offsets (the e20 fix, reused).",
 )
 def a05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.ranking import global_ntile
+
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    d = orders.select(
+    d = global_ntile(
+        orders.select("o_orderstatus", "o_totalprice", "o_orderkey"),
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        10,
+        "__dec",
+    ).select(
         "o_orderstatus",
-        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.col("__dec").cast("int").alias("decile"),
         "o_totalprice",
     )
     return d.groupBy("decile").agg(

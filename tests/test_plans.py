@@ -106,7 +106,11 @@ def test_new_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
     [
         ("e10_daily_top_event_types", 3),  # agg + window over day-type rows
         ("e11_cohort_retention", 4),  # first-seen agg + join + distinct + agg
-        ("a05_order_value_deciles", 3),  # global ntile + final agg
+        # round 6: distributed-sort ntile (range exchange + local
+        # ranks + offsets + decile agg) — more exchanges, but the one
+        # SinglePartition exchange left is the partition-count offset
+        # window, bounded by cluster parallelism, not data
+        ("a05_order_value_deciles", 5),
         ("w05_sliding_7day_revenue", 2),  # daily agg + single-partition window
         ("t10_token_entropy", 4),  # doc-token counts + doc agg + lang agg
     ],
