@@ -34,11 +34,22 @@ _RANK = "__gr_rank"
 def with_global_rank(df: DataFrame, order_cols: list[Column], out_col: str) -> DataFrame:
     """Add 1-based dense global row numbers along `order_cols` (must be
     a total order) plus the total count, scalably. Output columns:
-    `out_col` (BIGINT rank) and `out_col + '_n'` (BIGINT total)."""
+    `out_col` (BIGINT rank) and `out_col + '_n'` (BIGINT total).
+
+    The range-partitioned relation MUST be materialized once (cache):
+    the offsets pass and the rank pass both consume it, and an
+    un-materialized RangePartitioner re-SAMPLES split boundaries on
+    every re-execution — the two passes would disagree on which row
+    lives in which partition and the global ranks silently corrupt
+    (observed at sf0.1: 10 deciles collapsed to 5). This is the same
+    materialization zipWithIndex does on the RDD path; at very large
+    scale use persist(DISK_ONLY) semantics — the cost class of a
+    distributed sort's shuffle files, paid once."""
     d = (
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn(_PID, F.spark_partition_id())
+        .cache()
     )
     counts = d.groupBy(_PID).agg(F.count(F.lit(1)).alias("__cnt"))
     w_prev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)

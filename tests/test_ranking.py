@@ -1,0 +1,71 @@
+"""operators/ranking: distributed global rank / NTILE correctness.
+
+The round-6 bug these tests pin: an un-materialized
+repartitionByRange relation re-samples partition boundaries on every
+re-execution, so the offsets pass and the rank pass can disagree —
+at ~150k rows the decile assignment silently collapsed from 10 tiles
+to 5. The operator now caches the partitioned relation; these tests
+run at a row count where the unfixed version reproducibly corrupted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ice_spark.operators.ranking import global_ntile, with_global_rank
+
+N = 200_000
+
+
+def _noisy(spark):
+    # keys shuffled so range partitioning actually has to sort
+    return spark.range(N).select(
+        F.col("id"),
+        (F.xxhash64(F.col("id")) % 1_000_000).alias("v"),
+    ).repartition(16)
+
+
+def test_global_rank_matches_window_rank(spark):
+    spark.catalog.clearCache()
+    df = _noisy(spark)
+    got = with_global_rank(df, [F.asc("v"), F.asc("id")], "r")
+    w = Window.orderBy(F.asc("v"), F.asc("id"))
+    want = df.withColumn("r", F.row_number().over(w).cast("long"))
+    diff = (
+        got.select("id", "r")
+        .join(want.select("id", F.col("r").alias("r2")), "id")
+        .where(F.col("r") != F.col("r2"))
+        .count()
+    )
+    assert diff == 0
+    n = got.select("r_n").distinct().collect()
+    assert len(n) == 1 and n[0][0] == N
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    spark.catalog.clearCache()
+    df = _noisy(spark)
+    got = global_ntile(df, [F.asc("v"), F.asc("id")], 10, "t")
+    w = Window.orderBy(F.asc("v"), F.asc("id"))
+    want = df.withColumn("t", F.ntile(10).over(w).cast("long"))
+    diff = (
+        got.select("id", "t")
+        .join(want.select("id", F.col("t").alias("t2")), "id")
+        .where(F.col("t") != F.col("t2"))
+        .count()
+    )
+    assert diff == 0
+    # all ten tiles populated with SQL-standard sizes
+    sizes = {r["t"]: r["c"] for r in got.groupBy("t").agg(F.count("*").alias("c")).collect()}
+    assert sorted(sizes) == list(range(1, 11))
+    assert all(v == N // 10 for v in sizes.values())
+
+
+def test_global_ntile_uneven_split(spark):
+    spark.catalog.clearCache()
+    df = spark.range(10_007).select(F.col("id"), (F.col("id") * 7 % 9973).alias("v"))
+    got = global_ntile(df, [F.asc("v"), F.asc("id")], 4, "t")
+    sizes = {r["t"]: r["c"] for r in got.groupBy("t").agg(F.count("*").alias("c")).collect()}
+    # 10007 = 4*2501 + 3 -> first 3 tiles get 2502, last gets 2501
+    assert sizes == {1: 2502, 2: 2502, 3: 2502, 4: 2501}
