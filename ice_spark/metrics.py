@@ -70,6 +70,15 @@ class MetricsRegistry:
             self._declare(name, "gauge", help_)
             self._values[key] = value
 
+    def add_gauge(
+        self, name: str, labels: dict[str, str] | None = None, delta: float = 1, help_: str = ""
+    ) -> None:
+        """Additive gauge (e.g. in-flight request tracking)."""
+        key = (name, tuple(sorted((labels or {}).items())))
+        with self._lock:
+            self._declare(name, "gauge", help_)
+            self._values[key] = self._values.get(key, 0) + delta
+
     def observe(
         self, name: str, value: float, labels: dict[str, str] | None = None, help_: str = ""
     ) -> None:

@@ -643,8 +643,60 @@ class RestCatalogServer:
         return 204, None
 
     def rt_report_metrics(self, ns: str, name: str, body: dict):
+        """Store the raw report AND convert it into Prometheus
+        counters, the reference's PrometheusMetricsReporter role
+        (scan-report → iceberg_scan_*, commit-report →
+        iceberg_commit_* / iceberg_table_snapshots_total)."""
         self._load(ns, name)
         self.metrics_reports.append({"table": f"{ns}.{name}", "report": body})
+        tl = {"catalog": self.config.prefix, "namespace": ns, "table": name}
+        try:
+            rtype = body.get("report-type", "")
+            metrics = body.get("metrics", {}) or {}
+
+            def _counter_val(key: str) -> int:
+                m = metrics.get(key)
+                if isinstance(m, dict):
+                    return int(m.get("value", m.get("count", 0)) or 0)
+                return int(m or 0)
+
+            if rtype == "scan-report":
+                self.metrics.inc("iceberg_scans_total", tl, help_="table scans")
+                for rep_key, prom in (
+                    ("result-data-files", "iceberg_scan_result_data_files_total"),
+                    ("result-delete-files", "iceberg_scan_result_delete_files_total"),
+                    ("scanned-data-manifests", "iceberg_scan_scanned_data_manifests"),
+                    ("skipped-data-manifests", "iceberg_scan_skipped_data_manifests"),
+                    ("total-file-size-in-bytes", "iceberg_scan_total_file_size_bytes"),
+                ):
+                    v = _counter_val(rep_key)
+                    if v:
+                        self.metrics.inc(prom, tl, v, help_=rep_key)
+            elif rtype == "commit-report":
+                op = body.get("operation", "")
+                cl = {**tl, "operation": op}
+                self.metrics.inc(
+                    "iceberg_table_snapshots_total", tl, help_="snapshots via commit reports"
+                )
+                for rep_key, prom in (
+                    ("added-data-files", "iceberg_commit_added_data_files_total"),
+                    ("removed-data-files", "iceberg_commit_removed_data_files_total"),
+                    ("added-records", "iceberg_commit_added_records_total"),
+                    ("removed-records", "iceberg_commit_removed_records_total"),
+                    ("total-files-size-in-bytes", "iceberg_commit_total_files_size_bytes"),
+                ):
+                    v = _counter_val(rep_key)
+                    if v:
+                        self.metrics.inc(prom, cl, v, help_=rep_key)
+            self.metrics.set_gauge(
+                "iceberg_metrics_reporter_active", None, 1, help_="reporter liveness"
+            )
+        except Exception:  # noqa: BLE001 — a malformed report must still 204
+            self.metrics.inc(
+                "iceberg_metrics_report_errors_total",
+                {"type": "parse"},
+                help_="metrics report processing errors",
+            )
         return 204, None
 
     # ---------- views (beyond-ref: EtcdCatalog lacks ViewCatalog) ----------
@@ -779,13 +831,22 @@ def _make_handler(server: RestCatalogServer):
                 # HttpMetrics.java: iceberg_http_requests_total /
                 # iceberg_http_responses_total / request duration.
                 http_labels = {"method": method, "route": name.upper()}
+                self._http_labels = http_labels
                 server._tls.headers = self.headers
                 server.metrics.inc(
                     "iceberg_http_requests_total", http_labels, help_="HTTP requests"
                 )
+                server.metrics.add_gauge(
+                    "iceberg_http_requests_in_flight", None, 1,
+                    help_="requests currently being processed",
+                )
                 t0 = time.monotonic()
 
                 def _resp(code: int) -> None:
+                    server.metrics.add_gauge(
+                        "iceberg_http_requests_in_flight", None, -1,
+                        help_="requests currently being processed",
+                    )
                     server.metrics.inc(
                         "iceberg_http_responses_total",
                         {**http_labels, "status_class": str(code)},
@@ -835,6 +896,12 @@ def _make_handler(server: RestCatalogServer):
 
         def _send_json(self, code: int, payload, head_only: bool = False):
             data = b"" if payload is None else json.dumps(payload).encode()
+            labels = getattr(self, "_http_labels", None)
+            if labels is not None and data:
+                server.metrics.inc(
+                    "iceberg_http_response_size_bytes_total", labels, len(data),
+                    help_="response bytes",
+                )
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(data)))

@@ -219,3 +219,62 @@ class TestWatchAndMaintenanceCounters:
         after = reg.render()
         assert "ice_watch_poll_requests_total" in after
         assert "ice_watch_events_not_matched_total" in after
+
+
+class TestReporterConversion:
+    """rt_report_metrics converts client scan/commit reports into the
+    reference's iceberg_scan_* / iceberg_commit_* counters
+    (PrometheusMetricsReporter.java role)."""
+
+    @pytest.fixture()
+    def server(self, tmp_path):
+        cat = Catalog(None, str(tmp_path / "wh"))
+        srv = RestCatalogServer(cat, ServerConfig(anonymous=True)).start()
+        c = RestCatalogClient(srv.url)
+        c.create_namespace("ns1")
+        c.create_table("ns1.t1", SCHEMA.jsonValue())
+        yield srv
+        srv.stop()
+
+    def test_scan_report_counters(self, server):
+        c = RestCatalogClient(server.url)
+        c.report_metrics(
+            "ns1.t1",
+            {
+                "report-type": "scan-report",
+                "metrics": {
+                    "result-data-files": {"value": 7},
+                    "total-file-size-in-bytes": {"value": 4096},
+                },
+            },
+        )
+        text = _scrape(server.url)
+        assert "iceberg_scans_total" in text
+        assert "iceberg_scan_result_data_files_total" in text and " 7" in text
+        assert "iceberg_scan_total_file_size_bytes" in text
+        assert "iceberg_metrics_reporter_active 1" in text
+
+    def test_commit_report_counters(self, server):
+        c = RestCatalogClient(server.url)
+        c.report_metrics(
+            "ns1.t1",
+            {
+                "report-type": "commit-report",
+                "operation": "append",
+                "metrics": {
+                    "added-data-files": {"value": 3},
+                    "added-records": {"value": 1200},
+                },
+            },
+        )
+        text = _scrape(server.url)
+        assert "iceberg_table_snapshots_total" in text
+        assert 'operation="append"' in text
+        assert "iceberg_commit_added_records_total" in text
+
+    def test_http_in_flight_and_response_size(self, server):
+        c = RestCatalogClient(server.url)
+        c.load_table("ns1.t1")
+        text = _scrape(server.url)
+        assert "iceberg_http_requests_in_flight 0" in text
+        assert "iceberg_http_response_size_bytes_total" in text
