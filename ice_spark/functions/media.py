@@ -342,3 +342,52 @@ def decode_wav_samples(data: bytes) -> list[int] | None:
             return list(struct.unpack(f"<{ln // 2}h", body[: ln - ln % 2]))
         pos += 8 + ln + (ln & 1)
     return None
+
+
+# --- minimal video container -------------------------------------------------
+# "VID0": a length-prefixed frame container, the shape of real media
+# demuxing (magic + global header + per-frame size-prefixed payloads)
+# without an external codec dependency. Frame payloads carry the luma
+# byte first; the parser must walk the actual offsets, so a header or
+# stride bug breaks downstream hashes rather than going unnoticed.
+
+def synth_video(fps: int, width: int, height: int, lumas: list[int]) -> bytes:
+    """Container: b'VID0' u8 fps u16 width u16 height u16 n_frames,
+    then per frame u32 payload_size + payload (luma byte + filler)."""
+    import struct
+
+    out = bytearray(b"VID0")
+    out += struct.pack(">BHHH", fps, width, height, len(lumas))
+    for f, luma in enumerate(lumas):
+        payload = bytes((luma + j) % 256 for j in range(width * height))
+        out += struct.pack(">I", len(payload)) + payload
+    return bytes(out)
+
+
+def parse_video(data: bytes) -> dict | None:
+    """Walk the VID0 container; None on bad magic/truncation."""
+    import struct
+
+    if len(data) < 11 or data[:4] != b"VID0":
+        return None
+    fps, width, height, n_frames = struct.unpack(">BHHH", data[4:11])
+    off = 11
+    lumas = []
+    for _ in range(n_frames):
+        if off + 4 > len(data):
+            return None
+        (size,) = struct.unpack(">I", data[off : off + 4])
+        off += 4
+        if off + size > len(data) or size < 1:
+            return None
+        lumas.append(data[off])
+        off += size
+    if off != len(data):
+        return None
+    return {
+        "fps": fps,
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "lumas": lumas,
+    }

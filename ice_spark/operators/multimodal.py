@@ -518,3 +518,85 @@ def perceptual_ahash(df: DataFrame, binary_col: str = "content") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def synthesize_video(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """Materialize REAL VID0 containers per row (functions/media):
+    fps = 10 + id%20, frame grid 4+id%5 x 4+(id//2)%5, n_frames =
+    4 + id%12, frame f's luma = (id*7 + f*13) % 256 — all pure
+    functions of the id so an analytic oracle can recompute every
+    downstream statistic while the pipeline must demux actual bytes.
+    Video sibling of synthesize_media / synthesize_audio."""
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(binary_col, T.BinaryType())]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ice_spark.functions import media
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                lumas = [(i * 7 + f * 13) % 256 for f in range(4 + i % 12)]
+                ids.append(i)
+                blobs.append(
+                    media.synth_video(10 + i % 20, 4 + i % 5, 4 + (i // 2) % 5, lumas)
+                )
+            yield pd.DataFrame({id_col: ids, binary_col: blobs})
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "content",
+    stride: int = 2,
+) -> DataFrame:
+    """Demux VID0 bytes and emit every stride-th frame as a row
+    (id, fps, n_frames, frame_idx, luma). The real frame-sampling
+    shape for video training data: map-only Arrow-batched demux, no
+    shuffle until the caller aggregates; a corrupt container yields
+    no rows rather than poisoning the batch."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("fps", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("luma", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ice_spark.functions import media
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                v = media.parse_video(bytes(r[binary_col]))
+                if v is None:
+                    continue
+                for fi in range(0, v["n_frames"], stride):
+                    rows.append(
+                        {
+                            id_col: int(r[id_col]),
+                            "fps": v["fps"],
+                            "n_frames": v["n_frames"],
+                            "frame_idx": fi,
+                            "luma": v["lumas"][fi],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "fps", "n_frames", "frame_idx", "luma"],
+            )
+
+    return df.mapInPandas(run, schema=out_schema)

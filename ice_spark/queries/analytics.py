@@ -1313,3 +1313,89 @@ def w09(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mon", "pri")
     )
+
+
+@register(
+    "w10_lorenz_gini_deciles",
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS spend_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+      SELECT spend_cents,
+             CAST(NTILE(10) OVER (ORDER BY spend_cents, o_custkey) AS BIGINT)
+               AS decile
+      FROM per_cust
+    ),
+    d AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(spend_cents) AS BIGINT) AS decile_cents
+      FROM tiled GROUP BY decile
+    ),
+    c AS (
+      SELECT decile, n_customers, decile_cents,
+             CAST(SUM(decile_cents) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_cents,
+             CAST(SUM(decile_cents) OVER () AS BIGINT) AS total_cents
+      FROM d
+    )
+    SELECT decile, n_customers, decile_cents, cum_cents,
+           cum_cents * 10000 // total_cents AS cum_share_bp,
+           CAST((2 * SUM(decile * decile_cents) OVER () * 10
+                 - 11 * total_cents * 10) // total_cents AS BIGINT)
+             AS gini_millis
+    FROM c
+    ORDER BY decile
+    """,
+    doc="Lorenz curve + Gini coefficient of customer spend, by decile: "
+    "the revenue-concentration question behind every 'top-X% of "
+    "customers drive Y%' slide. Spend is exact integer cents; deciles "
+    "come from operators/ranking.global_ntile (range-partitioned "
+    "distributed sort — no single-task window over the per-customer "
+    "relation, the e20/a05 pattern); the cumulative shares and the "
+    "decile-level Gini (G = 2*sum(i*s_i)/10 - 11/10 in mills, exact "
+    "integer arithmetic over the 10-row decile rollup) match DuckDB "
+    "bit-for-bit. Integer headroom: sum(i*cents)*20 < 2^63 through "
+    "~sf50.",
+)
+def w10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.ranking import global_ntile
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("spend_cents")
+    )
+    tiled = global_ntile(
+        per_cust,
+        [F.asc("spend_cents"), F.asc("o_custkey")],
+        10,
+        "decile",
+    ).select(F.col("decile").cast("long").alias("decile"), "spend_cents")
+    d = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("spend_cents").alias("decile_cents"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c = d.select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        F.sum("decile_cents").over(wc).alias("cum_cents"),
+        F.sum("decile_cents").over(wall).alias("total_cents"),
+        F.sum(F.col("decile") * F.col("decile_cents")).over(wall).alias("weighted"),
+    )
+    return c.select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        "cum_cents",
+        F.expr("cum_cents * 10000 div total_cents").alias("cum_share_bp"),
+        F.expr(
+            "CAST((2 * weighted * 10 - 11 * total_cents * 10) div total_cents AS BIGINT)"
+        ).alias("gini_millis"),
+    ).orderBy("decile")

@@ -1100,3 +1100,67 @@ def e25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(10)
     )
+
+
+@register(
+    "e26_user_lifespan_survival",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+               AS lifespan
+      FROM events GROUP BY user_id
+    ),
+    lc AS (
+      SELECT lifespan, CAST(COUNT(*) AS BIGINT) AS cnt FROM per_user GROUP BY lifespan
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_users FROM lc),
+    grid AS (SELECT CAST(UNNEST(generate_series(0, 13)) AS BIGINT) AS k)
+    SELECT g.k,
+           CAST(COALESCE(SUM(CASE WHEN lc.lifespan >= g.k THEN lc.cnt END), 0)
+                AS BIGINT) AS survivors,
+           CAST(COALESCE(SUM(CASE WHEN lc.lifespan >= g.k THEN lc.cnt END), 0)
+                * 10000 // (SELECT n_users FROM tot) AS BIGINT) AS survival_bp
+    FROM grid g LEFT JOIN lc ON TRUE
+    GROUP BY g.k
+    ORDER BY g.k
+    """,
+    doc="User lifespan survival curve S(k) = share of users still "
+    "active k or more days after their first event, for k in 0..13 — "
+    "the churn statistic behind retention dashboards (e11's cohort "
+    "grid answers WHO returns each week; this answers HOW LONG users "
+    "stay, as a single monotone curve). Exact integer arithmetic: "
+    "lifespans come from one per-user min/max aggregation, the curve "
+    "is computed on the bounded lifespan histogram (days-domain rows, "
+    "never users) crossed with a 14-row grid, shares in basis points "
+    "by floor division. Scale: one user-keyed shuffle; everything "
+    "after is KB-sized.",
+)
+def e26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date")))
+        .cast("long")
+        .alias("lifespan")
+    )
+    lc = per_user.groupBy("lifespan").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = lc.agg(F.sum("cnt").alias("n_users"))
+    grid = spark.range(0, 14).select(F.col("id").alias("k"))
+    joined = grid.join(F.broadcast(lc), F.lit(True), "left")
+    return (
+        joined.groupBy("k")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("lifespan") >= F.col("k"), F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("survivors")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "survivors",
+            F.expr("CAST(survivors * 10000 div n_users AS BIGINT)").alias("survival_bp"),
+        )
+        .orderBy("k")
+    )

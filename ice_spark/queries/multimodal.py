@@ -416,3 +416,73 @@ def m06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "m07_video_frame_sampling",
+    """
+    WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id < 200),
+    v AS (
+      SELECT id,
+             CAST(10 + id % 20 AS BIGINT) AS fps,
+             CAST(4 + id % 12 AS BIGINT) AS n_frames
+      FROM d
+    ),
+    f AS (
+      SELECT id, fps, n_frames,
+             CAST(UNNEST(generate_series(0, n_frames - 1)) AS BIGINT) AS fi
+      FROM v
+    ),
+    s AS (
+      SELECT id, fps, n_frames, fi, (id * 7 + fi * 13) % 256 AS luma
+      FROM f WHERE fi % 2 = 0
+    )
+    SELECT fps,
+           CAST(COUNT(DISTINCT id) AS BIGINT) AS n_videos,
+           CAST(SUM(CASE WHEN fi = 0 THEN n_frames ELSE 0 END) AS BIGINT)
+             AS total_frames,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(luma) AS BIGINT) AS sum_sampled_luma,
+           CAST(SUM(luma) * 10000 // COUNT(*) AS BIGINT) AS mean_luma_e4
+    FROM s
+    GROUP BY fps
+    ORDER BY fps
+    """,
+    doc="Video frame sampling over REAL container bytes: per doc a "
+    "VID0 container (magic + fps/geometry header + length-prefixed "
+    "frame payloads) is synthesized from pure functions of doc_id, "
+    "then DEMUXED back — the parser walks actual frame offsets — and "
+    "every 2nd frame is sampled (operators/multimodal."
+    "sample_video_frames, Arrow-batched mapInPandas, the training-"
+    "data frame-sampling shape). Per fps bucket: videos, header "
+    "frame counts, sampled-frame count and exact integer luma stats. "
+    "The oracle recomputes everything analytically, so a header-walk "
+    "or stride bug on the Spark side breaks the hash. Scale: "
+    "synth+demux are map-only; the only shuffle is the final "
+    "fps-keyed rollup.",
+)
+def m07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.multimodal import sample_video_frames, synthesize_video
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+    media = synthesize_video(docs, id_col="doc_id")
+    frames = sample_video_frames(media, id_col="doc_id", stride=2)
+    return (
+        frames.groupBy("fps")
+        .agg(
+            F.countDistinct("doc_id").alias("n_videos"),
+            F.sum(F.when(F.col("frame_idx") == 0, F.col("n_frames")).otherwise(0))
+            .cast("long")
+            .alias("total_frames"),
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("luma").cast("long").alias("sum_sampled_luma"),
+            F.expr("CAST(SUM(luma) * 10000 div COUNT(*) AS BIGINT)").alias(
+                "mean_luma_e4"
+            ),
+        )
+        .orderBy("fps")
+    )

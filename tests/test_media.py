@@ -153,3 +153,52 @@ def test_resize_images_real_png_path(spark):
     assert (w, h) == (3, 2)
     assert tuple(px[0:3]) == (255, 0, 0)
     assert (out.meta.width, out.meta.height, out.meta.format) == (3, 2, "png")
+
+
+class TestVideoContainer:
+    def test_roundtrip(self):
+        from ice_spark.functions import media
+
+        b = media.synth_video(15, 5, 4, [0, 128, 255, 7])
+        v = media.parse_video(b)
+        assert v == {
+            "fps": 15,
+            "width": 5,
+            "height": 4,
+            "n_frames": 4,
+            "lumas": [0, 128, 255, 7],
+        }
+
+    def test_truncation_and_bad_magic_rejected(self):
+        from ice_spark.functions import media
+
+        b = media.synth_video(10, 4, 4, [1, 2, 3])
+        assert media.parse_video(b[:-3]) is None
+        assert media.parse_video(b + b"\x00") is None
+        assert media.parse_video(b"AVI0" + b[4:]) is None
+        assert media.parse_video(b"") is None
+
+    def test_spark_demux_matches_synth(self, spark):
+        from pyspark.sql import functions as F
+
+        from ice_spark.operators.multimodal import (
+            sample_video_frames,
+            synthesize_video,
+        )
+
+        ids = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+        frames = sample_video_frames(synthesize_video(ids), stride=2)
+        rows = frames.collect()
+        assert rows, "demux produced no frames"
+        for r in rows:
+            i, fi = r["doc_id"], r["frame_idx"]
+            assert r["fps"] == 10 + i % 20
+            assert r["n_frames"] == 4 + i % 12
+            assert fi % 2 == 0
+            assert r["luma"] == (i * 7 + fi * 13) % 256
+        # every video contributes ceil(n_frames/2) sampled frames
+        per = {}
+        for r in rows:
+            per[r["doc_id"]] = per.get(r["doc_id"], 0) + 1
+        assert all(per[i] == (4 + i % 12 + 1) // 2 for i in per)
+        assert len(per) == 40

@@ -384,3 +384,24 @@ def test_e20_ntile_is_distributed_sort(spark, sf_dir):
     a = _audit(spark, sf_dir, "e20_rfm_segmentation")
     assert "ntile(" not in a.plan, a.plan[:1500]
     assert a.plan.count("Exchange rangepartitioning") >= 3, a.plan[:1500]
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # per-customer agg + global_ntile (range sort + offsets) +
+        # decile rollup + ordered output — each exchange past the
+        # first moves bounded relations (deciles, offsets)
+        ("w10_lorenz_gini_deciles", 7),
+        # user-keyed agg + lifespan histogram + 14-row grid rollup
+        ("e26_user_lifespan_survival", 4),
+        # map-only synth+demux; fps rollup + ordered output
+        ("m07_video_frame_sampling", 3),
+    ],
+)
+def test_round6_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
+    spark.catalog.clearCache()
+    a = _audit(spark, sf_dir, name)
+    assert a.shuffles <= max_exchanges, f"{name}: {a.shuffles} shuffles\n{a.plan[:2000]}"
+    assert a.sort_merge_joins == 0
+    assert "CartesianProduct" not in a.plan
