@@ -322,3 +322,21 @@ def test_streaming_upsert_replay_is_idempotent(cat, tmp_path):
                  checkpoint=str(tmp_path / "ck2"))
     assert {(r.id, r.v) for r in t.read().collect()} == want
     assert t.read().count() == 3  # no duplicate keys materialized
+
+
+def test_maintenance_prometheus_counters(cat):
+    """perform_maintenance emits the reference's maintenance metric
+    names (MaintenanceMetrics.java / METRICS.md) into the default
+    registry: run counters, duration histogram, in-progress gauge."""
+    from ice_spark.catalog.maintenance import perform_maintenance
+    from ice_spark.metrics import default_registry
+
+    cat.create_namespace("ns")
+    t = cat.create_table("ns.mm", schema_from_parquet=f"{SF}/nation.parquet")
+    insert(t, [f"{SF}/nation.parquet"])
+    perform_maintenance(t, dry_run=True)
+    text = default_registry().render()
+    assert 'ice_maintenance_runs_total{status="success"}' in text
+    assert "ice_maintenance_duration_seconds_count" in text
+    assert "ice_maintenance_in_progress 0" in text
+    assert "ice_maintenance_last_run_timestamp" in text
