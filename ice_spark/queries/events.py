@@ -1164,3 +1164,93 @@ def e26(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "e27_three_step_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT s.user_id, s.t_signup, MIN(e.ts) AS t_click
+      FROM s JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'click'
+       AND e.ts >= s.t_signup
+       AND e.ts <= s.t_signup + INTERVAL 72 HOUR
+      GROUP BY s.user_id, s.t_signup
+    ),
+    p AS (
+      SELECT c.user_id, MIN(e.ts) AS t_purchase
+      FROM c JOIN events e
+        ON e.user_id = c.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts >= c.t_click
+       AND e.ts <= c.t_click + INTERVAL 72 HOUR
+      GROUP BY c.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_signup,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_72h,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_72h,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) * 10000
+             // (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS full_funnel_bp
+    """,
+    doc="Three-step windowed funnel: signup -> first click within 72h "
+    "-> first purchase within 72h of that click, counted per step "
+    "with the end-to-end conversion in basis points (floor division, "
+    "exact). e04's two-step funnel checks ordering only; this one "
+    "enforces per-step time WINDOWS anchored at the previous step's "
+    "first qualifying event — the standard product-analytics funnel "
+    "definition. Plan: each step is a user-keyed join against the "
+    "events relation restricted to one type (time predicates ride "
+    "the join), so the shuffles carry step-qualified users, never "
+    "event x event pairs; step relations shrink monotonically.",
+)
+def e27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts")
+    )
+    c = (
+        s.join(
+            clicks,
+            (F.col("user_id") == F.col("c_uid"))
+            & (F.col("c_ts") >= F.col("t_signup"))
+            & (F.col("c_ts") <= F.col("t_signup") + F.expr("INTERVAL 72 HOURS")),
+        )
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("c_ts").alias("t_click"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    p = (
+        c.join(
+            purchases,
+            (F.col("user_id") == F.col("p_uid"))
+            & (F.col("p_ts") >= F.col("t_click"))
+            & (F.col("p_ts") <= F.col("t_click") + F.expr("INTERVAL 72 HOURS")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("t_purchase"))
+    )
+    ns = s.agg(F.count(F.lit(1)).alias("n_signup"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_72h"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_72h"))
+    return (
+        ns.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_signup",
+            "n_click_72h",
+            "n_purchase_72h",
+            F.expr("n_purchase_72h * 10000 div n_signup").alias("full_funnel_bp"),
+        )
+    )

@@ -397,6 +397,12 @@ def test_e20_ntile_is_distributed_sort(spark, sf_dir):
         ("e26_user_lifespan_survival", 4),
         # map-only synth+demux; fps rollup + ordered output
         ("m07_video_frame_sampling", 3),
+        # hot/cold split + salted hot path + union + rollup — the
+        # extra exchanges move the 1%-of-keys hot slice and the tiny
+        # profile relation, never the full fact twice
+        ("j02_salted_hot_key_join", 7),
+        # three monotone-shrinking user-keyed step joins + 1-row combine
+        ("e27_three_step_funnel", 3),
     ],
 )
 def test_round6_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
