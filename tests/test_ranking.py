@@ -69,3 +69,38 @@ def test_global_ntile_uneven_split(spark):
     sizes = {r["t"]: r["c"] for r in got.groupBy("t").agg(F.count("*").alias("c")).collect()}
     # 10007 = 4*2501 + 3 -> first 3 tiles get 2502, last gets 2501
     assert sizes == {1: 2502, 2: 2502, 3: 2502, 4: 2501}
+
+
+def test_ntile_formula_matches_sql_standard(spark):
+    """ntile_from_rank is pure integer arithmetic — sweep (n, tiles)
+    combinations against the SQL-standard definition (first n%t tiles
+    get ceil(n/t) rows) computed in Python."""
+    from pyspark.sql import Row
+
+    from ice_spark.operators.ranking import ntile_from_rank
+
+    cases = []
+    for n in (1, 2, 3, 4, 9, 10, 11, 40, 101, 1000, 10007):
+        for t in (1, 2, 3, 4, 7, 10):
+            cases.append((n, t))
+    rows = [
+        Row(n=n, t=t, rank=r)
+        for n, t in cases
+        for r in ([1, 2, n // 2 + 1, max(1, n - 1), n] if n >= 2 else [1])
+    ]
+    df = spark.createDataFrame(rows)
+    # evaluate per (n, t) pair with the matching tiles argument
+    for n, t in cases:
+        sub = df.where((F.col("n") == n) & (F.col("t") == t))
+        out = sub.select(
+            "rank", ntile_from_rank(F.col("rank"), F.col("n"), t).alias("tile")
+        ).collect()
+        base, s = n // t, n % t
+        for r in out:
+            rank = r["rank"]
+            boundary = s * (base + 1)
+            if rank <= boundary:
+                want = 1 + (rank - 1) // (base + 1)
+            else:
+                want = s + 1 + (rank - boundary - 1) // base
+            assert r["tile"] == want, (n, t, rank, r["tile"], want)
