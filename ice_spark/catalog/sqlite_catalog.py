@@ -222,6 +222,18 @@ class SqliteCatalog:
     ) -> Table:
         ns = self._split_table_ident(ident)
         loc = location or self._default_location(ident)
+        # Schema inference is a Spark job — never run it (or any other
+        # slow work) while holding the registry write transaction.
+        if schema is None:
+            if not schema_from_parquet:
+                raise ValueError("need schema or schema_from_parquet")
+            schema = self.spark.read.parquet(schema_from_parquet).schema
+        # Short claim transaction (ADVICE r6): validate + insert the
+        # registry row and COMMIT before the slow storage write, so
+        # unrelated registry writers aren't serialized behind
+        # Table.create (seconds of Spark/filesystem work) and can't hit
+        # the 30s busy timeout. The committed row claims the identifier:
+        # a concurrent create_table sees "table exists".
         with self._conn() as con:
             con.execute("BEGIN IMMEDIATE")
             if (
@@ -236,10 +248,12 @@ class SqliteCatalog:
                 if exist_ok:
                     return self.load_table(ident)
                 raise ValueError(f"table exists: {ident}")
-            if schema is None:
-                if not schema_from_parquet:
-                    raise ValueError("need schema or schema_from_parquet")
-                schema = self.spark.read.parquet(schema_from_parquet).schema
+            con.execute(
+                "INSERT INTO tables (ident, ns, location) VALUES (?, ?, ?)",
+                (ident, ns, loc),
+            )
+        loc_existed_before = os.path.isdir(loc)
+        try:
             t = Table.create(
                 self.spark,
                 loc,
@@ -249,10 +263,18 @@ class SqliteCatalog:
                 properties=properties,
                 identifier=ident,
             )
-            con.execute(
-                "INSERT INTO tables (ident, ns, location) VALUES (?, ?, ?)",
-                (ident, ns, loc),
-            )
+        except BaseException:
+            # Failed storage create: release the claim and remove the
+            # partial directory (only if WE created it — never delete a
+            # pre-existing user-supplied location).
+            with self._conn() as con:
+                con.execute(
+                    "DELETE FROM tables WHERE ident = ? AND location = ?",
+                    (ident, loc),
+                )
+            if not loc_existed_before:
+                shutil.rmtree(loc, ignore_errors=True)
+            raise
         return t
 
     def drop_table(self, ident: str, purge: bool = False) -> None:

@@ -36,20 +36,26 @@ def with_global_rank(df: DataFrame, order_cols: list[Column], out_col: str) -> D
     a total order) plus the total count, scalably. Output columns:
     `out_col` (BIGINT rank) and `out_col + '_n'` (BIGINT total).
 
-    The range-partitioned relation MUST be materialized once (cache):
-    the offsets pass and the rank pass both consume it, and an
+    The range-partitioned relation MUST be materialized once: the
+    offsets pass and the rank pass both consume it, and an
     un-materialized RangePartitioner re-SAMPLES split boundaries on
     every re-execution — the two passes would disagree on which row
     lives in which partition and the global ranks silently corrupt
-    (observed at sf0.1: 10 deciles collapsed to 5). This is the same
-    materialization zipWithIndex does on the RDD path; at very large
-    scale use persist(DISK_ONLY) semantics — the cost class of a
-    distributed sort's shuffle files, paid once."""
+    (observed at sf0.1: 10 deciles collapsed to 5). localCheckpoint
+    (not cache) is the right materialization: both consumers share ONE
+    RDD (a cached plan is matched per-branch and leaks a CacheManager
+    entry for the whole session), lineage is truncated so a stage
+    retry can never re-sample boundaries (executor loss fails the job
+    loudly instead of silently corrupting ranks), and the checkpoint
+    blocks are freed by the ContextCleaner when the DataFrame goes out
+    of scope — no unpersist bookkeeping. Cost class: a distributed
+    sort's shuffle files, paid once (same as zipWithIndex on the RDD
+    path)."""
     d = (
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn(_PID, F.spark_partition_id())
-        .cache()
+        .localCheckpoint(eager=False)
     )
     counts = d.groupBy(_PID).agg(F.count(F.lit(1)).alias("__cnt"))
     w_prev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)

@@ -1344,9 +1344,9 @@ def w09(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     )
     SELECT decile, n_customers, decile_cents, cum_cents,
-           cum_cents * 10000 // total_cents AS cum_share_bp,
+           cum_cents * 10000 // NULLIF(total_cents, 0) AS cum_share_bp,
            CAST((2 * SUM(decile * decile_cents) OVER () * 10
-                 - 11 * total_cents * 10) // total_cents AS BIGINT)
+                 - 11 * total_cents * 10) // NULLIF(total_cents, 0) AS BIGINT)
              AS gini_millis
     FROM c
     ORDER BY decile
@@ -1394,8 +1394,9 @@ def w10(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         "decile_cents",
         "cum_cents",
-        F.expr("cum_cents * 10000 div total_cents").alias("cum_share_bp"),
+        F.expr("cum_cents * 10000 div nullif(total_cents, 0)").alias("cum_share_bp"),
         F.expr(
-            "CAST((2 * weighted * 10 - 11 * total_cents * 10) div total_cents AS BIGINT)"
+            "CAST((2 * weighted * 10 - 11 * total_cents * 10)"
+            " div nullif(total_cents, 0) AS BIGINT)"
         ).alias("gini_millis"),
     ).orderBy("decile")

@@ -1120,7 +1120,8 @@ def e25(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(SUM(CASE WHEN lc.lifespan >= g.k THEN lc.cnt END), 0)
                 AS BIGINT) AS survivors,
            CAST(COALESCE(SUM(CASE WHEN lc.lifespan >= g.k THEN lc.cnt END), 0)
-                * 10000 // (SELECT n_users FROM tot) AS BIGINT) AS survival_bp
+                * 10000 // (SELECT NULLIF(n_users, 0) FROM tot) AS BIGINT)
+             AS survival_bp
     FROM grid g LEFT JOIN lc ON TRUE
     GROUP BY g.k
     ORDER BY g.k
@@ -1160,7 +1161,9 @@ def e26(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "k",
             "survivors",
-            F.expr("CAST(survivors * 10000 div n_users AS BIGINT)").alias("survival_bp"),
+            F.expr("CAST(survivors * 10000 div nullif(n_users, 0) AS BIGINT)").alias(
+                "survival_bp"
+            ),
         )
         .orderBy("k")
     )
@@ -1195,7 +1198,8 @@ def e26(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_72h,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_72h,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM p) * 10000
-             // (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS full_funnel_bp
+             // NULLIF((SELECT CAST(COUNT(*) AS BIGINT) FROM s), 0)
+             AS full_funnel_bp
     """,
     doc="Three-step windowed funnel: signup -> first click within 72h "
     "-> first purchase within 72h of that click, counted per step "
@@ -1251,6 +1255,8 @@ def e27(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_signup",
             "n_click_72h",
             "n_purchase_72h",
-            F.expr("n_purchase_72h * 10000 div n_signup").alias("full_funnel_bp"),
+            F.expr("n_purchase_72h * 10000 div nullif(n_signup, 0)").alias(
+                "full_funnel_bp"
+            ),
         )
     )

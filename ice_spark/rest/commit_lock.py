@@ -13,6 +13,16 @@ file created with O_CREAT|O_EXCL (the same linearization primitive the
 table CAS uses). The file holds (owner_token, expiry_unix); a crashed
 holder's lease is broken after its TTL passes — exactly the etcd
 lease-expiry semantics, minus the watch (we poll with backoff).
+
+While the lock is held, a daemon thread renews the lease every
+ttl/3 (etcd's keepAlive), so a commit longer than ttl_sec keeps
+mutual exclusion instead of silently falling back to CAS-only
+behavior. Release re-reads the lease and unlinks only when BOTH the
+token matches AND the lease is unexpired — a holder that somehow
+lost its lease (e.g. the renewal thread died and the TTL passed) can
+no longer unlink a new holder's lock file. The residual window
+between that check and the unlink is benign: we just observed our
+own unexpired lease, and breakers only unlink *expired* leases.
 """
 
 from __future__ import annotations
@@ -73,12 +83,35 @@ class CommitLock:
                 pass
         return False
 
-    def _owns(self, path: str, token: str) -> bool:
+    def _read_lease(self, path: str) -> dict | None:
         try:
             with open(path) as f:
-                return json.load(f).get("token") == token
+                return json.load(f)
         except (FileNotFoundError, json.JSONDecodeError):
-            return False
+            return None
+
+    def _owns(self, path: str, token: str) -> bool:
+        lease = self._read_lease(path)
+        return lease is not None and lease.get("token") == token
+
+    def _renew_loop(self, path: str, token: str, stop: threading.Event) -> None:
+        """Extend the lease every ttl/3 while held (etcd keepAlive).
+        Renewing at ttl/3 means the lease is always ≥2/3·ttl from
+        expiry when we rewrite it, so no breaker races the replace."""
+        while not stop.wait(self.ttl_sec / 3.0):
+            if not self._owns(path, token):
+                return  # lease lost (broken externally) — stop renewing
+            tmp = f"{path}.renew-{token}"
+            try:
+                with open(tmp, "w") as f:
+                    json.dump({"token": token, "expiry": time.time() + self.ttl_sec}, f)
+                if self._owns(path, token):
+                    os.replace(tmp, path)
+                else:
+                    os.unlink(tmp)
+                    return
+            except OSError:
+                return  # renewal is best-effort; holder falls back to TTL
 
     @contextmanager
     def acquire(self, ident: str):
@@ -96,10 +129,26 @@ class CommitLock:
                 raise LockTimeout(f"commit lock on {ident!r} not acquired")
             time.sleep(backoff)
             backoff = min(backoff * 2, 0.1)
+        stop = threading.Event()
+        renewer = threading.Thread(
+            target=self._renew_loop, args=(path, token, stop), daemon=True
+        )
+        renewer.start()
         try:
             yield
         finally:
-            if self._owns(path, token):
+            stop.set()
+            renewer.join(timeout=self.ttl_sec)
+            # Release only a lease we verifiably still hold: token must
+            # match AND the lease must be unexpired. An expired lease may
+            # already have been broken and re-taken — unlinking on a bare
+            # token match could delete the new holder's file (ADVICE r6).
+            lease = self._read_lease(path)
+            if (
+                lease is not None
+                and lease.get("token") == token
+                and time.time() <= lease.get("expiry", 0)
+            ):
                 try:
                     os.unlink(path)
                 except FileNotFoundError:

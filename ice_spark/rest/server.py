@@ -784,8 +784,18 @@ def _make_handler(server: RestCatalogServer):
         def _dispatch(self, method: str):
             parsed = urllib.parse.urlsplit(self.path)
             if method == "GET" and parsed.path == "/metrics":
-                # Scrape endpoint — unauthenticated by design, like the
-                # reference's dedicated Prometheus port (Main.java).
+                # Scrape endpoint. The reference isolates Prometheus on
+                # a dedicated port (Main.java); here it shares the API
+                # port, and metric labels carry namespace/table names —
+                # so on a token-protected server the scrape requires a
+                # valid bearer token too (read-only tokens suffice:
+                # scraping is a read). Anonymous servers stay open, and
+                # the server binds 127.0.0.1 either way. (ADVICE r6)
+                if not server.config.anonymous:
+                    try:
+                        server.authorize(self.headers, write=False)
+                    except _ApiError as e:
+                        return self._send_error(e)
                 data = server.metrics.render().encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain; version=0.0.4")

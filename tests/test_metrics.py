@@ -143,6 +143,47 @@ class TestCredentialVending:
         assert c.vended_storage_config("ns1.t1") == {}
 
 
+class TestMetricsAuth:
+    """ADVICE r6: on a token-protected server /metrics leaks catalog
+    structure (namespace/table labels) — it must require a bearer
+    token; read-only tokens suffice (a scrape is a read)."""
+
+    def test_protected_server_requires_token_for_metrics(self, tmp_path):
+        cfg = ServerConfig(
+            anonymous=False,
+            tokens={"rw": {}, "ro": {"read_only": True}},
+        )
+        cat = Catalog(None, str(tmp_path / "wh"))
+        srv = RestCatalogServer(cat, cfg).start()
+        try:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _scrape(srv.url)
+            assert ei.value.code == 401
+            for tok in ("rw", "ro"):
+                req = urllib.request.Request(
+                    srv.url + "/metrics", headers={"Authorization": f"Bearer {tok}"}
+                )
+                with urllib.request.urlopen(req) as r:
+                    assert r.status == 200
+                    assert "text/plain" in r.headers["Content-Type"]
+            req = urllib.request.Request(
+                srv.url + "/metrics", headers={"Authorization": "Bearer nope"}
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req)
+            assert ei.value.code == 401
+        finally:
+            srv.stop()
+
+    def test_anonymous_server_scrapes_open(self, tmp_path):
+        cat = Catalog(None, str(tmp_path / "wh"))
+        srv = RestCatalogServer(cat, ServerConfig(anonymous=True)).start()
+        try:
+            assert "# TYPE" in _scrape(srv.url)
+        finally:
+            srv.stop()
+
+
 class TestCommitLock:
     def test_serializes_concurrent_commits(self, tmp_path):
         lock = CommitLock(str(tmp_path / "locks"), ttl_sec=5, acquire_timeout_sec=5)
@@ -185,13 +226,45 @@ class TestCommitLock:
             srv.stop()
 
     def test_lease_expiry_breaks_crashed_holder(self, tmp_path):
+        import json as _json
+
         lock = CommitLock(str(tmp_path), ttl_sec=0.2, acquire_timeout_sec=2)
-        cm = lock.acquire("ns.t")
-        cm.__enter__()  # simulate a holder that never exits (crash)
+        # A crashed holder leaves a lease file with nothing renewing it
+        # (the renewal thread dies with its process) — write the file
+        # directly rather than entering acquire(), which since r7 keeps
+        # the lease alive with a keepAlive thread.
+        with open(lock._path("ns.t"), "w") as f:
+            _json.dump({"token": "dead-holder", "expiry": time.time() + 0.2}, f)
         t0 = time.monotonic()
         with lock.acquire("ns.t"):
             pass  # acquired after the lease expired
         assert time.monotonic() - t0 >= 0.1
+
+    def test_long_hold_renews_lease_and_keeps_exclusion(self, tmp_path):
+        """ADVICE r6: a commit longer than ttl_sec must not silently
+        lose mutual exclusion — the keepAlive thread renews at ttl/3."""
+        lock = CommitLock(str(tmp_path), ttl_sec=0.2, acquire_timeout_sec=0.5)
+        with lock.acquire("ns.t"):
+            time.sleep(0.7)  # 3.5x the TTL — lease would expire unrenewed
+            with pytest.raises(LockTimeout):
+                with lock.acquire("ns.t"):
+                    pass
+
+    def test_release_does_not_unlink_foreign_lease(self, tmp_path):
+        """ADVICE r6 TOCTOU: if the holder's lease was lost and re-taken
+        by another writer, exiting the context must NOT unlink the new
+        holder's lock file."""
+        import json as _json
+
+        lock = CommitLock(str(tmp_path), ttl_sec=30, acquire_timeout_sec=1)
+        path = lock._path("ns.t")
+        with lock.acquire("ns.t"):
+            # simulate lease loss + retake by a foreign writer
+            with open(path, "w") as f:
+                _json.dump({"token": "foreign", "expiry": time.time() + 30}, f)
+        with open(path) as f:
+            lease = _json.load(f)
+        assert lease["token"] == "foreign"  # foreign lease untouched
 
     def test_acquire_timeout_raises(self, tmp_path):
         lock = CommitLock(str(tmp_path), ttl_sec=30, acquire_timeout_sec=0.3)

@@ -379,11 +379,21 @@ def test_e20_ntile_is_distributed_sort(spark, sf_dir):
     distributed sorts; no ntile() window (the old form ran three
     unpartitioned NTILE sorts over the whole per-customer relation).
     SinglePartition exchanges remain only over partition-count-sized
-    offset relations (bounded by cluster parallelism, not data)."""
+    offset relations (bounded by cluster parallelism, not data).
+
+    Round 7: with_global_rank materializes the range-partitioned
+    relation via localCheckpoint (ADVICE r6 — the cache leaked a
+    CacheManager entry per call and a stage retry could re-sample
+    boundaries), so the explain of the final plan is truncated at the
+    checkpointed RDD: the three range exchanges live upstream of the
+    three `Scan ExistingRDD` leaves instead of appearing inline."""
     spark.catalog.clearCache()
     a = _audit(spark, sf_dir, "e20_rfm_segmentation")
     assert "ntile(" not in a.plan, a.plan[:1500]
-    assert a.plan.count("Exchange rangepartitioning") >= 3, a.plan[:1500]
+    assert a.plan.count("Scan ExistingRDD") >= 3, a.plan[:1500]
+    # the range partitioning itself is pinned by tests/test_ranking.py
+    # (correctness at 200k rows) — the exchange is inside the
+    # checkpoint's upstream plan, invisible to this explain.
 
 
 @pytest.mark.parametrize(

@@ -4,8 +4,10 @@ The round-6 bug these tests pin: an un-materialized
 repartitionByRange relation re-samples partition boundaries on every
 re-execution, so the offsets pass and the rank pass can disagree —
 at ~150k rows the decile assignment silently collapsed from 10 tiles
-to 5. The operator now caches the partitioned relation; these tests
-run at a row count where the unfixed version reproducibly corrupted.
+to 5. The operator now localCheckpoints the partitioned relation
+(one shared RDD for both passes, lineage truncated so a stage retry
+can't re-sample either); these tests run at a row count where the
+unfixed version reproducibly corrupted.
 """
 
 from __future__ import annotations

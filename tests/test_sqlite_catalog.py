@@ -81,6 +81,31 @@ class TestTables:
             cat.create_table("ns.t1", schema=SCHEMA)
         assert cat.create_table("ns.t1", schema=SCHEMA, exist_ok=True) is not None
 
+    def test_failed_storage_create_rolls_back_claim(self, cat, monkeypatch):
+        """ADVICE r6: Table.create now runs OUTSIDE the registry write
+        transaction (short claim-row insert, commit, then storage). A
+        failing storage create must release the claim and remove the
+        partial directory so the identifier is immediately reusable."""
+        import os
+
+        from ice_spark.catalog import sqlite_catalog as mod
+
+        cat.create_namespace("ns")
+
+        def boom(*a, **kw):
+            raise RuntimeError("storage create failed")
+
+        monkeypatch.setattr(mod.Table, "create", staticmethod(boom))
+        with pytest.raises(RuntimeError):
+            cat.create_table("ns.broken", schema=SCHEMA)
+        assert not cat.table_exists("ns.broken")  # claim rolled back
+        assert not os.path.isdir(
+            os.path.join(cat.warehouse, "ns", "broken")
+        )  # no partial directory left
+        monkeypatch.undo()
+        cat.create_table("ns.broken", schema=SCHEMA)  # ident reusable
+        assert cat.table_exists("ns.broken")
+
     def test_rename_is_registry_only(self, cat):
         cat.create_namespace("ns")
         cat.create_namespace("ns2")
