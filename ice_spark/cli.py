@@ -204,6 +204,25 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--purge", action="store_true")
 
     sp = sub.add_parser(
+        "rewrite-paths",
+        help="stage a relocated copy of a table: rewrite absolute path "
+        "prefixes in every metadata version (docs/rewrite-table-path.md "
+        "workflow), emit the data-file copy plan, optionally copy data",
+    )
+    sp.add_argument("table")
+    sp.add_argument("--target-prefix", required=True)
+    sp.add_argument("--source-prefix", default=None, help="default: table location")
+    sp.add_argument("--staging", default=None, help="default: <new-location>/metadata")
+    sp.add_argument("--dry-run", dest="dry_run", action="store_true", default=True)
+    sp.add_argument("--no-dry-run", dest="dry_run", action="store_false")
+    sp.add_argument(
+        "--copy-data",
+        action="store_true",
+        help="also copy the data files (local filesystems; object "
+        "stores consume copy-plan.json with their own bulk tool)",
+    )
+
+    sp = sub.add_parser(
         "delete-rows",
         help="row-level copy-on-write DELETE WHERE (any column; "
         "bounds/Bloom-pruned rewrite)",
@@ -746,6 +765,17 @@ def main(argv: list[str] | None = None) -> int:
         from ice_spark.operators.matview import refresh_matview
 
         out = refresh_matview(cat, args.matview)
+    elif args.cmd == "rewrite-paths":
+        from ice_spark.catalog.rewrite_paths import rewrite_table_path
+
+        out = rewrite_table_path(
+            cat.load_table(args.table),
+            target_prefix=args.target_prefix,
+            source_prefix=args.source_prefix,
+            staging_location=args.staging,
+            dry_run=args.dry_run,
+            copy_data=args.copy_data,
+        )
     elif args.cmd == "delete-rows":
         from ice_spark.catalog.delete import delete_rows
 
