@@ -226,3 +226,71 @@ class MaintenanceSchedule:
 
     def due(self, now: datetime.datetime) -> list[str]:
         return [j.name for j in self.jobs if j.next_fire is not None and j.next_fire <= now]
+
+
+def run_daemon(
+    schedule: MaintenanceSchedule,
+    *,
+    now_fn=None,
+    sleep_fn=None,
+    poll_sec: float = 30.0,
+    max_cycles: int | None = None,
+) -> dict:
+    """Long-lived scheduler loop — the reference runs maintenance as a
+    server-side daemon (MaintenanceScheduler.java:34-115); this is the
+    CLI analog (`perform-maintenance --schedule '<cron>'`).
+
+    The loop is the only place with a real clock: each cycle reads
+    now_fn(), runs every due job through `run_pending` (which already
+    isolates per-job failures and collapses missed ticks), records
+    Prometheus counters, then sleeps until the earliest next fire
+    (capped at poll_sec so schedule edits/new tables are picked up on
+    redeploy). `now_fn`/`sleep_fn` are injectable so tests drive two
+    full cycles with a fake clock and zero wall-time; `max_cycles`
+    bounds the loop (None = run until interrupted, the daemon mode).
+
+    Returns {"cycles", "runs", "failures"} when the loop ends
+    (max_cycles reached or KeyboardInterrupt).
+    """
+    import time as _time
+
+    from ice_spark.metrics import default_registry
+
+    now_fn = now_fn or datetime.datetime.now
+    sleep_fn = sleep_fn or _time.sleep
+    reg = default_registry()
+    cycles = runs = failures = 0
+    try:
+        while max_cycles is None or cycles < max_cycles:
+            now = now_fn()
+            ran = schedule.run_pending(now)
+            cycles += 1
+            reg.inc(
+                "ice_maintenance_scheduler_cycles_total",
+                help_="scheduler poll cycles",
+            )
+            for name, result in ran.items():
+                failed = isinstance(result, dict) and "error" in result
+                runs += 0 if failed else 1
+                failures += 1 if failed else 0
+                reg.inc(
+                    "ice_maintenance_scheduler_fires_total",
+                    {"job": name, "status": "failure" if failed else "success"},
+                    help_="scheduled job fires",
+                )
+            upcoming = [
+                j.next_fire for j in schedule.jobs if j.next_fire is not None
+            ]
+            if max_cycles is not None and cycles >= max_cycles:
+                break
+            wait = poll_sec
+            if upcoming:
+                now2 = now_fn()
+                wait = min(
+                    poll_sec,
+                    max(0.0, (min(upcoming) - now2).total_seconds()),
+                )
+            sleep_fn(wait)
+    except KeyboardInterrupt:
+        pass
+    return {"cycles": cycles, "runs": runs, "failures": failures}

@@ -243,6 +243,25 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("table", nargs="?")
     sp.add_argument("--dry-run", dest="dry_run", action="store_true", default=True)
     sp.add_argument("--no-dry-run", dest="dry_run", action="store_false")
+    sp.add_argument(
+        "--schedule",
+        default=None,
+        help="5-field cron: run as a long-lived scheduler daemon "
+        "(MaintenanceScheduler parity) instead of one immediate pass",
+    )
+    sp.add_argument(
+        "--cycles",
+        type=int,
+        default=None,
+        help="stop the daemon after N poll cycles (default: run forever)",
+    )
+    sp.add_argument("--poll-sec", type=float, default=30.0)
+    sp.add_argument(
+        "--jitter-minutes",
+        type=int,
+        default=0,
+        help="deterministic per-table first-fire jitter (herd spread)",
+    )
 
     sp = sub.add_parser("create-view")
     sp.add_argument("view", help="namespaced view identifier, e.g. ns.v")
@@ -971,7 +990,28 @@ def main(argv: list[str] | None = None) -> int:
                 for t in cat.list_tables(ns)
             ]
         )
-        out = {i: perform_maintenance(cat.load_table(i), dry_run=args.dry_run) for i in idents}
+        if args.schedule:
+            import datetime as _dt
+
+            from ice_spark.catalog.scheduler import MaintenanceSchedule, run_daemon
+
+            sched = MaintenanceSchedule()
+            now = _dt.datetime.now()
+            for i in idents:
+                sched.add_table_maintenance(
+                    cat,
+                    i,
+                    args.schedule,
+                    now,
+                    dry_run=args.dry_run,
+                    jitter_minutes=args.jitter_minutes,
+                )
+            out = run_daemon(sched, poll_sec=args.poll_sec, max_cycles=args.cycles)
+        else:
+            out = {
+                i: perform_maintenance(cat.load_table(i), dry_run=args.dry_run)
+                for i in idents
+            }
     elif args.cmd == "watch":
         if args.merge_on:
             from ice_spark.streaming.upsert import upsert_watch

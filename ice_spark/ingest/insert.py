@@ -42,10 +42,11 @@ from ice_spark.catalog.table import Table
 COMPRESSIONS = {"gzip", "zstd", "snappy", "lz4", "uncompressed", "none"}
 
 # Input formats. The reference ingests Parquet only (PARQUET is
-# hardcoded at Insert.java:658-665); CSV/JSON ingestion is
-# beyond-reference convenience for landing raw exports. Data always
-# lands in the table as Parquet regardless of input format.
-FORMATS = {"parquet", "csv", "json"}
+# hardcoded at Insert.java:658-665); CSV/JSON/ORC ingestion is
+# beyond-reference convenience for landing raw exports (large-scale
+# corpora routinely arrive as ORC from Hive-era pipelines). Data
+# always lands in the table as Parquet regardless of input format.
+FORMATS = {"parquet", "csv", "json", "orc"}
 
 
 def read_input(spark, path: str, fmt: str = "parquet"):
@@ -56,6 +57,8 @@ def read_input(spark, path: str, fmt: str = "parquet"):
         return spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     if fmt == "json":
         return spark.read.json(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     raise ValueError(f"unsupported input format {fmt!r} (one of {sorted(FORMATS)})")
 
 

@@ -182,3 +182,30 @@ def test_s3_scheme_seam(cat, tmp_path, spark):
         assert t.read().count() == 1
     finally:
         unregister_scheme("s3")
+
+
+def test_orc_ingest(cat, tmp_path, spark):
+    """ORC read-side (--format orc): Hive-era corpora land via the
+    same format seam as CSV/JSON; table files are still parquet."""
+    src = tmp_path / "orc_dir"
+    spark.createDataFrame(
+        [(1, "alpha", 0.5), (2, "beta", 1.5)], schema=SCHEMA
+    ).coalesce(1).write.orc(str(src))
+    part = next(p for p in src.iterdir() if p.name.endswith(".orc"))
+    t = cat.create_table("ns.o", schema=SCHEMA)
+    res = insert(t, [str(part)], input_format="orc")
+    assert res["added"] >= 1
+    rows = {(r.id, r.name, r.score) for r in t.read().collect()}
+    assert rows == {(1, "alpha", 0.5), (2, "beta", 1.5)}
+    assert all(e["path"].endswith(".parquet") for e in t.files())
+
+
+def test_orc_no_copy_rejected(cat, tmp_path, spark):
+    src = tmp_path / "orc2"
+    spark.createDataFrame([(1, "a", 0.0)], schema=SCHEMA).coalesce(1).write.orc(
+        str(src)
+    )
+    part = next(p for p in src.iterdir() if p.name.endswith(".orc"))
+    t = cat.create_table("ns.o2", schema=SCHEMA)
+    with pytest.raises(ValueError, match="no_copy requires parquet"):
+        insert(t, [str(part)], input_format="orc", no_copy=True)

@@ -192,3 +192,97 @@ def test_scheduled_matview_refresh(spark, tmp_path):
     # caught-up fire is a noop, not an error
     ran = sched.run_pending(DT(2026, 1, 1, 2, 0))
     assert ran["matview:ns.mv"]["mode"] == "noop"
+
+
+class TestDaemon:
+    """run_daemon — the reference's long-lived scheduler loop
+    (MaintenanceScheduler.java:34-115) driven here by an injectable
+    clock: two fire cycles with zero wall time, Prometheus counters
+    advancing."""
+
+    def _counter(self, text: str, name: str) -> float:
+        total = 0.0
+        for line in text.splitlines():
+            if line.startswith(name) and not line.startswith("#"):
+                total += float(line.rsplit(" ", 1)[1])
+        return total
+
+    def test_two_cycles_fake_clock_counters_advance(self):
+        from ice_spark.catalog.scheduler import run_daemon
+        from ice_spark.metrics import default_registry
+
+        clock = [DT(2026, 1, 1, 0, 0, 30)]
+        fired: list = []
+        sched = MaintenanceSchedule()
+        sched.add("maintenance:ns.ok", "* * * * *", lambda n: fired.append(n) or "ok", clock[0])
+        sched.add(
+            "maintenance:ns.bad",
+            "* * * * *",
+            lambda n: (_ for _ in ()).throw(RuntimeError("boom")),
+            clock[0],
+        )
+
+        slept: list = []
+
+        def sleep_fn(s):
+            slept.append(s)
+            clock[0] += datetime.timedelta(minutes=1)
+
+        reg = default_registry()
+        before_cycles = self._counter(
+            reg.render(), "ice_maintenance_scheduler_cycles_total"
+        )
+        before_fires = self._counter(
+            reg.render(), "ice_maintenance_scheduler_fires_total"
+        )
+        res = run_daemon(
+            sched,
+            now_fn=lambda: clock[0],
+            sleep_fn=sleep_fn,
+            poll_sec=60.0,
+            max_cycles=3,
+        )
+        # cycle 1 (00:00:30): nothing due; sleeps 30s to the next fire
+        # cycles 2+3 (01:30, 02:30): both jobs fire each time
+        assert res == {"cycles": 3, "runs": 2, "failures": 2}
+        assert len(fired) == 2
+        assert slept[0] == 30.0  # sleeps TO the fire, not the full poll
+        text = reg.render()
+        assert (
+            self._counter(text, "ice_maintenance_scheduler_cycles_total")
+            == before_cycles + 3
+        )
+        assert (
+            self._counter(text, "ice_maintenance_scheduler_fires_total")
+            == before_fires + 4
+        )
+        assert 'job="maintenance:ns.bad",status="failure"' in text
+        assert 'job="maintenance:ns.ok",status="success"' in text
+        # failing job never starved the healthy one
+        ok = next(j for j in sched.jobs if j.name == "maintenance:ns.ok")
+        bad = next(j for j in sched.jobs if j.name == "maintenance:ns.bad")
+        assert ok.runs == 2 and bad.failures == 2
+
+    def test_cli_daemon_wiring_empty_warehouse(self, tmp_path, capsys):
+        """--schedule turns the verb into the daemon loop; an empty
+        warehouse schedules zero jobs but the loop still cycles."""
+        import json
+
+        from ice_spark.cli import main
+
+        rc = main(
+            [
+                "--warehouse",
+                str(tmp_path / "wh"),
+                "perform-maintenance",
+                "--schedule",
+                "* * * * *",
+                "--cycles",
+                "2",
+                "--poll-sec",
+                "0",
+            ]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["cycles"] == 2 and out["runs"] == 0
