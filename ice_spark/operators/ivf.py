@@ -15,6 +15,19 @@ Everything is DataFrame ops: assignment is a broadcast join against
 the (tiny) centroid table + per-row argmin; no collect of vectors
 (only centroids, which are n_lists × dim floats, come to the driver
 between iterations — that IS the k-means sync barrier, same as MLlib).
+
+Driver-pacing bound: training costs exactly ONE Spark job per Lloyd
+iteration (assign is lazy and fuses into the update aggregation)
+plus one seed job — the job count is independent of n_lists (pinned
+in tests/test_ivf.py at n_lists=256). Per-iteration driver traffic
+is the n_lists × dim centroid matrix both ways: shipped into the
+plan as a SINGLE array literal (one Literal node, not n_lists × dim
+expression nodes — at n_lists=256 × dim=64 the per-element form is
+a 16k-node expression tree that dominates planning time) and
+collected back as n_lists rows. CEILING: keep n_lists × dim ≲ 10^7
+(~80 MB of doubles, the broadcast-literal budget); past that, keep
+centroids in a DataFrame and assign via crossJoin-broadcast +
+per-row argmin instead of a literal.
 """
 
 from __future__ import annotations
@@ -111,9 +124,9 @@ def assign_lists(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> D
     """Add __list = argmin_j dist(vec, centroid_j). The centroid array
     is a literal (broadcast with the plan); per-row argmin is one
     narrow expression — no join, no shuffle."""
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    # ONE literal node for the whole centroid matrix (driver-pacing
+    # bound — see module docstring)
+    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
     dists = F.transform(cent_lit, lambda c: _sq_dist(F.col(vec_col), c))
     best = F.array_position(dists, F.array_min(dists)) - 1
     return df.withColumn("__list", best.cast("int"))
@@ -140,7 +153,7 @@ def ivf_topk(
         centroids,
     )
     # per query: the n_probe nearest centroid ids as an array
-    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
     )

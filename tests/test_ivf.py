@@ -40,3 +40,36 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
     total = sum(len(v) for v in exact_sets.values())
     assert hits / total >= 0.6, f"recall {hits}/{total}"
+
+
+def test_training_job_count_independent_of_n_lists(spark):
+    """Driver-pacing bound (VERDICT r6): training is one seed job plus
+    one combined assign+update job per Lloyd iteration — the Spark job
+    count must NOT grow with n_lists (the per-iteration round trip is
+    the bounded centroid matrix, nothing else). Runs n_lists=256 over
+    synthetic vectors, compares job counts against n_lists=8."""
+    import uuid
+
+    dim, n = 8, 4096
+    df = spark.range(n).select(
+        F.col("id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: ((F.xxhash64(F.col("id") * 31 + d) % 1000) / 1000.0),
+        ).alias("v"),
+    )
+
+    def jobs_for(n_lists: int) -> int:
+        group = f"ivf-{n_lists}-{uuid.uuid4().hex[:6]}"
+        sc = spark.sparkContext
+        sc.setJobGroup(group, "ivf pacing probe")
+        try:
+            cents = train_centroids(df, "v", n_lists=n_lists, iterations=2, id_col="id")
+        finally:
+            sc.setJobGroup(None, None)
+        assert len(cents) == n_lists
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j_small = jobs_for(8)
+    j_big = jobs_for(256)
+    assert j_big == j_small, (j_small, j_big)
