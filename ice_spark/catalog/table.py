@@ -224,27 +224,23 @@ class Table:
     # ---------- creation / commit ----------
 
     @staticmethod
-    def create(
-        spark: SparkSession,
+    def new_table_metadata(
         location: str,
         schema: SPT.StructType,
         partition_spec: list[dict] | None = None,
         sort_order: list[dict] | None = None,
         properties: dict | None = None,
-        identifier: str = "",
-        io: FileIO | None = None,
-    ) -> "Table":
+    ) -> dict:
+        """Initial (v1) metadata document for a new table. Shared by
+        the filesystem create path and alternative-registry backends
+        (etcd), which differ only in where the current-version pointer
+        lives, not in the metadata shape."""
         parse_partition_spec(partition_spec or [])  # validate
         parse_sort_order(sort_order or [])
-        t = Table(spark, location, identifier, io=io)
-        if t.io.exists(t._hint_path()):
-            raise ValueError(f"table already exists at {location}")
-        t.io.mkdirs(t.metadata_dir)
-        t.io.mkdirs(t.data_dir)
-        meta = {
+        return {
             "table_uuid": str(uuid.uuid4()),
             "format_version": 2,
-            "location": t.location,
+            "location": location.rstrip("/"),
             "schema": schema.jsonValue(),
             "partition_spec": partition_spec or [],
             "sort_order": sort_order or [],
@@ -259,6 +255,26 @@ class Table:
             "column_renames": [],
             "column_defaults": [],
         }
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        location: str,
+        schema: SPT.StructType,
+        partition_spec: list[dict] | None = None,
+        sort_order: list[dict] | None = None,
+        properties: dict | None = None,
+        identifier: str = "",
+        io: FileIO | None = None,
+    ) -> "Table":
+        t = Table(spark, location, identifier, io=io)
+        if t.io.exists(t._hint_path()):
+            raise ValueError(f"table already exists at {location}")
+        t.io.mkdirs(t.metadata_dir)
+        t.io.mkdirs(t.data_dir)
+        meta = Table.new_table_metadata(
+            t.location, schema, partition_spec, sort_order, properties
+        )
         t._write_metadata(meta, expected_version=0)
         return t.refresh()
 

@@ -78,6 +78,14 @@ def build_parser() -> argparse.ArgumentParser:
         "filesystem-marker registry.",
     )
     p.add_argument(
+        "--registry-etcd",
+        help="etcd endpoints (host:port[,host:port...]): catalog rows "
+        "live in etcd while table trees stay under --warehouse, with "
+        "the etcd version-CAS transaction as the commit linearization "
+        "point (the reference's production backend, "
+        "EtcdCatalog.java:588-640). Requires the 'etcd3' package.",
+    )
+    p.add_argument(
         "--uri",
         help="REST catalog endpoint (http://host:port); catalog verbs "
         "run as REST calls instead of against the local warehouse "
@@ -498,6 +506,12 @@ def shell(warehouse: str) -> int:
 
 
 def _make_catalog(spark, args):
+    if getattr(args, "registry_etcd", None):
+        from ice_spark.catalog.etcd_catalog import Etcd3KV, EtcdCatalog
+
+        return EtcdCatalog(
+            spark, args.warehouse, kv=Etcd3KV(args.registry_etcd)
+        )
     if getattr(args, "registry_db", None):
         from ice_spark.catalog.sqlite_catalog import SqliteCatalog
 
