@@ -24,11 +24,17 @@ def _run_rest(args) -> dict | list:
     """Run a catalog verb against a REST endpoint (--uri). The subset
     here is the metadata plane the reference CLI drives through
     RESTCatalog; data-plane verbs (insert/scan) stay local."""
+    from ice_spark.catalog.s3tables import S3TablesClient
     from ice_spark.rest import RestCatalogClient
 
-    c = RestCatalogClient(args.uri, token=args.token)
+    if args.uri:
+        c = RestCatalogClient(args.uri, token=args.token)
+    else:
+        # arn:aws:s3tables: warehouse → SigV4-signed managed endpoint
+        # (reference Config.java:291-298 dispatch)
+        c = S3TablesClient(args.warehouse)
     if args.cmd == "check":
-        return {"ok": c.check(), "uri": args.uri}
+        return {"ok": c.check(), "uri": args.uri or c.uri}
     if args.cmd == "create-namespace":
         c.create_namespace(args.namespace)
         return {"created": args.namespace}
@@ -617,7 +623,9 @@ def main(argv: list[str] | None = None) -> int:
             srv.stop()
         return 0
 
-    if args.uri:
+    from ice_spark.catalog.s3tables import is_s3tables_warehouse
+
+    if args.uri or is_s3tables_warehouse(args.warehouse):
         out = _run_rest(args)
         print(json.dumps(out, indent=1, default=str))
         return 0

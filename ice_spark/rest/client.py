@@ -35,9 +35,15 @@ class RestCatalogClient:
         token: str | None = None,
         prefix: str | None = None,
         access_delegation: bool = True,
+        request_signer=None,
     ):
         self.uri = uri.rstrip("/")
         self.token = token
+        # Optional per-request signer (SigV4 for S3Tables endpoints):
+        # callable(method, url, headers, body) -> headers to add
+        # (catalog/s3tables.py; reference Config.java:291-298 turns on
+        # Iceberg's sigv4 signing the same way).
+        self.request_signer = request_signer
         # Ask the server for vended storage credentials on table loads
         # (Iceberg REST X-Iceberg-Access-Delegation header; the
         # reference client consumes them via VendedCredentialsProvider,
@@ -60,6 +66,14 @@ class RestCatalogClient:
             req.add_header("X-Iceberg-Access-Delegation", "vended-credentials")
         if self.token:
             req.add_header("Authorization", f"Bearer {self.token}")
+        if self.request_signer is not None:
+            unsigned = {
+                k: v
+                for k, v in req.header_items()
+                if k.lower() != "authorization"  # SigV4 emits its own
+            }
+            for k, v in self.request_signer(method, url, unsigned, data).items():
+                req.add_header(k, v)
         try:
             with urllib.request.urlopen(req) as resp:
                 raw = resp.read()

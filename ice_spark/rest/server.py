@@ -71,20 +71,28 @@ class ServerConfig:
         commit_retries: int = 5,
         storage_credentials: dict[str, str] | None = None,
         commit_lock: "CommitLock | None" = None,
+        sts_client=None,
+        anonymous_assume_role_arn: str = "",
     ):
         self.tokens = tokens or {}
         self.anonymous = anonymous
         self.prefix = prefix
         self.commit_retries = commit_retries
-        # Credential vending (protocol stub): static storage creds
-        # returned in LoadTableResult `config` to clients that request
-        # access delegation and whose token opts in. The reference
-        # vends short-lived STS credentials via middlewares
-        # (ice-rest-catalog Main.java:297-325,
-        # ice/.../aws/s3/VendedCredentialsProvider.java) — AWS-bound;
-        # the PROTOCOL round-trip (header -> config map -> client
-        # reads storage settings from config) is what this reproduces.
+        # Credential vending: static storage creds returned in
+        # LoadTableResult `config` to clients that request access
+        # delegation and whose token opts in; tokens carrying an
+        # `aws_assume_role_arn` get per-token short-lived STS session
+        # credentials instead, assumed through the injectable
+        # `sts_client` with cached refresh-before-expiry (reference
+        # middlewares: ice-rest-catalog Main.java:297-397,
+        # CredentialsProvider.java:21-31,
+        # ice/.../aws/s3/VendedCredentialsProvider.java).
         self.storage_credentials = storage_credentials
+        from ice_spark.rest.credentials import build_token_providers
+
+        self.token_providers = build_token_providers(
+            self.tokens, sts_client, anonymous, anonymous_assume_role_arn
+        )
         # Optional per-table commit lock (reference
         # ice-rest-catalog/.../etcd/CommitLock.java:69-146): off by
         # default; CAS alone is correct, the lock serializes commit
@@ -385,8 +393,11 @@ class RestCatalogServer:
         the server is configured to vend, (b) the client asked via the
         Iceberg REST `X-Iceberg-Access-Delegation: vended-credentials`
         header, and (c) the request's token opts in (anonymous servers
-        vend to everyone, like the reference's anonymous mode)."""
-        if not self.config.storage_credentials:
+        vend to everyone, like the reference's anonymous mode).
+        Tokens with an assume-role provider get fresh STS session
+        credentials layered over the static config
+        (Main.java:374-396)."""
+        if not self.config.storage_credentials and not self.config.token_providers:
             return {}
         headers = getattr(self._tls, "headers", None)
         if headers is None:
@@ -395,11 +406,16 @@ class RestCatalogServer:
         if "vended-credentials" not in delegation:
             return {}
         auth = headers.get("Authorization", "")
-        if auth.startswith("Bearer "):
-            info = self.config.tokens.get(auth[len("Bearer "):], {})
+        token = auth[len("Bearer "):] if auth.startswith("Bearer ") else ""
+        if token:
+            info = self.config.tokens.get(token, {})
             if not info.get("vend_credentials"):
                 return {}
-        return dict(self.config.storage_credentials)
+        provider = self.config.token_providers.get(token)
+        out = dict(self.config.storage_credentials or {})
+        if provider is not None:
+            out.update(provider.storage_config())
+        return out
 
     def _load_table_result(self, table: Table):
         # pair location and body from the SAME refreshed in-memory

@@ -1,0 +1,170 @@
+"""S3Tables warehouse routing + SigV4 signing (reference parity).
+
+The reference recognizes ``arn:aws:s3tables:`` warehouses and flips
+the catalog onto AWS's managed Iceberg REST endpoint with SigV4
+signing (Config.java:291-298) plus a namespace-listing quirk shim
+(CustomS3TablesCatalog.java:20-28). The AWS endpoint itself is
+network-bound; everything else — ARN parsing, config defaulting with
+putIfAbsent semantics, the SigV4 algorithm, the signed-request
+plumbing, the quirk — is local and proven here.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import types as T
+
+from ice_spark.catalog.s3tables import (
+    S3TablesClient,
+    is_s3tables_warehouse,
+    parse_s3tables_arn,
+    s3tables_config,
+)
+from ice_spark.catalog.sqlite_catalog import SqliteCatalog
+from ice_spark.rest import RestCatalogServer, ServerConfig
+from ice_spark.sources.sigv4 import SigV4Signer, signing_key
+
+ARN = "arn:aws:s3tables:us-east-2:111122223333:bucket/my-bucket"
+SCHEMA = T.StructType([T.StructField("id", T.LongType())])
+
+
+def _fixed_clock():
+    return lambda: datetime.datetime(2015, 8, 30, 12, 36, 0, tzinfo=datetime.timezone.utc)
+
+
+class TestArnRouting:
+    def test_parse(self):
+        assert is_s3tables_warehouse(ARN)
+        assert not is_s3tables_warehouse("s3://bucket/wh")
+        got = parse_s3tables_arn(ARN)
+        assert got == {
+            "region": "us-east-2",
+            "account": "111122223333",
+            "bucket": "my-bucket",
+        }
+        with pytest.raises(ValueError):
+            parse_s3tables_arn("arn:aws:s3:::plain-bucket")
+
+    def test_config_defaults_put_if_absent(self):
+        cfg = s3tables_config(ARN)
+        assert cfg["rest.sigv4-enabled"] == "true"
+        assert cfg["rest.signing-name"] == "s3tables"
+        assert cfg["rest.signing-region"] == "us-east-2"
+        assert cfg["client.region"] == "us-east-2"
+        assert cfg["uri"] == "https://s3tables.us-east-2.amazonaws.com/iceberg"
+        # user-supplied values win (Config.java putIfAbsent semantics)
+        cfg2 = s3tables_config(ARN, {"rest.signing-region": "us-west-1", "x": "y"})
+        assert cfg2["rest.signing-region"] == "us-west-1"
+        assert cfg2["x"] == "y"
+        assert cfg2["client.region"] == "us-east-2"
+
+
+class TestSigV4:
+    def test_signing_key_derivation_chain(self):
+        """Derivation chain computed from the SigV4 spec with the AWS
+        documentation's example inputs; values pinned from two
+        independent implementations of the chain."""
+        k = signing_key(
+            "wJalrXUtnFEMI/K7MDENG/bPxRfiCYEXAMPLEKEY", "20120215", "us-east-1", "iam"
+        )
+        assert k.hex() == (
+            "004aa806e13dae88b9032d9261bcb04c67d023afadd221e6b0d206e1760e0b5e"
+        )
+
+    def test_signature_shape_and_determinism(self):
+        s = SigV4Signer("AKID", "secret", "us-east-2", "s3tables", clock=_fixed_clock())
+        h1 = s.sign("GET", "https://s3tables.us-east-2.amazonaws.com/iceberg/v1/config")
+        h2 = s.sign("GET", "https://s3tables.us-east-2.amazonaws.com/iceberg/v1/config")
+        assert h1 == h2  # deterministic under a fixed clock
+        assert h1["x-amz-date"] == "20150830T123600Z"
+        auth = h1["Authorization"]
+        assert auth.startswith("AWS4-HMAC-SHA256 Credential=AKID/20150830/us-east-2/s3tables/aws4_request, ")
+        assert "SignedHeaders=" in auth and "Signature=" in auth
+        sig = auth.rsplit("Signature=", 1)[1]
+        assert len(sig) == 64 and int(sig, 16) >= 0
+
+    def test_every_component_affects_signature(self):
+        base = SigV4Signer("AKID", "secret", "r", "svc", clock=_fixed_clock())
+        url = "https://h.example/p?b=2&a=1"
+        ref = base.sign("GET", url)["Authorization"]
+        variants = [
+            base.sign("POST", url),
+            base.sign("GET", "https://h.example/p2?b=2&a=1"),
+            base.sign("GET", "https://h.example/p?b=2&a=9"),
+            base.sign("GET", url, body=b"{}"),
+            SigV4Signer("AKID", "other", "r", "svc", clock=_fixed_clock()).sign("GET", url),
+            SigV4Signer("AKID", "secret", "r2", "svc", clock=_fixed_clock()).sign("GET", url),
+        ]
+        for v in variants:
+            assert v["Authorization"] != ref
+
+    def test_query_canonicalization_order_independent(self):
+        s = SigV4Signer("AKID", "secret", "r", "svc", clock=_fixed_clock())
+        a = s.sign("GET", "https://h.example/p?b=2&a=1")["Authorization"]
+        b = s.sign("GET", "https://h.example/p?a=1&b=2")["Authorization"]
+        assert a == b  # canonical query is name-sorted
+
+    def test_session_token_signed_and_emitted(self):
+        s = SigV4Signer(
+            "AKID", "secret", "r", "svc", session_token="tok123", clock=_fixed_clock()
+        )
+        h = s.sign("GET", "https://h.example/")
+        assert h["x-amz-security-token"] == "tok123"
+        assert "x-amz-security-token" in h["Authorization"]
+
+    def test_body_hash_in_content_sha256(self):
+        import hashlib
+
+        s = SigV4Signer("AKID", "secret", "r", "svc", clock=_fixed_clock())
+        body = b'{"name": "t"}'
+        h = s.sign("POST", "https://h.example/v1/t", body=body)
+        assert h["x-amz-content-sha256"] == hashlib.sha256(body).hexdigest()
+
+
+class TestS3TablesClient:
+    def test_requires_credentials(self, monkeypatch):
+        monkeypatch.delenv("AWS_ACCESS_KEY_ID", raising=False)
+        monkeypatch.delenv("AWS_SECRET_ACCESS_KEY", raising=False)
+        with pytest.raises(RuntimeError, match="credentials"):
+            S3TablesClient(ARN)
+
+    def test_signed_round_trip_and_namespace_quirk(self, tmp_path):
+        """Full client flow against a local REST server standing in
+        for the AWS endpoint: every request carries SigV4 headers, and
+        list_namespaces(parent) short-circuits to [] (the reference's
+        CustomS3TablesCatalog quirk) without a network call."""
+        cat = SqliteCatalog(None, str(tmp_path / "wh"))
+        srv = RestCatalogServer(cat, ServerConfig(anonymous=True)).start()
+        seen = []
+        try:
+            c = S3TablesClient(
+                ARN,
+                access_key="AKID",
+                secret_key="secret",
+                uri=srv.url,
+                prefix="ice",  # local server prefix stands in for the ARN scope
+            )
+            orig = c.request_signer
+
+            def spy(method, url, headers, body):
+                out = orig(method, url, headers, body)
+                seen.append((method, out))
+                return out
+
+            c.request_signer = spy
+            c.create_namespace("ns1")
+            c.create_table("ns1.t1", SCHEMA.jsonValue())
+            assert c.list_tables("ns1") == ["t1"]
+            assert c.list_namespaces() == ["ns1"]
+            # the quirk: non-empty parent → [] (no request issued)
+            n_before = len(seen)
+            assert c.list_namespaces("ns1") == []
+            assert len(seen) == n_before
+            for _, headers in seen:
+                assert headers["Authorization"].startswith("AWS4-HMAC-SHA256 Credential=AKID/")
+                assert "/us-east-2/s3tables/aws4_request" in headers["Authorization"]
+                assert "x-amz-date" in headers
+        finally:
+            srv.stop()
