@@ -89,6 +89,17 @@ def dedup_by_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     return df.join(keep.select(id_col), on=id_col, how="left_semi")
 
 
+def _signatures_from_exploded(ex: DataFrame, id_col: str, k: int) -> DataFrame:
+    """(id, mh0..mh{k-1}) from an exploded (id, __h) shingle relation."""
+    # One F.expr per aggregate (single py4j call each) — the Column
+    # API costs ~6 round trips per permutation, measurable at k=16.
+    aggs = [
+        F.expr(f"min((__h * {2 * j + 3} + {7 * j + 1}) % {T.MOD}) AS mh{j}")
+        for j in range(k)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int, shingle_n: int = 3
 ) -> DataFrame:
@@ -104,13 +115,7 @@ def minhash_signatures(
     ex = df.select(
         F.col(id_col), F.explode(T.shingle_hashes(text_col, n=shingle_n)).alias("__h")
     )
-    # One F.expr per aggregate (single py4j call each) — the Column
-    # API costs ~6 round trips per permutation, measurable at k=16.
-    aggs = [
-        F.expr(f"min((__h * {2 * j + 3} + {7 * j + 1}) % {T.MOD}) AS mh{j}")
-        for j in range(k)
-    ]
-    return ex.groupBy(id_col).agg(*aggs)
+    return _signatures_from_exploded(ex, id_col, k)
 
 
 def band_candidates(
@@ -170,12 +175,23 @@ def minhash_lsh_pairs(
     assert n_hashes % bands == 0
     r = n_hashes // bands
 
+    # The shingle arrays feed THREE consumers (the signature pass and
+    # both sides of the verify join). The char-walk token hashing is
+    # the single most expensive expression in the pipeline (~30% of
+    # d04 wall-clock at sf0.1), so compute it exactly once: a lazy
+    # localCheckpoint materializes (id, shingles) to executor block
+    # storage on first use and every consumer scans the checkpointed
+    # blocks instead of replaying the parquet scan + regex + hash
+    # subtree. Same pattern as operators/ranking.with_global_rank —
+    # lineage truncation also means a stage retry cannot recompute a
+    # different relation, and the blocks are GC-freed with the
+    # DataFrame (no unpersist bookkeeping).
     base = df.select(
         F.col(id_col).alias("__id"),
         T.shingle_hashes(text_col, n=shingle_n).alias("__shs"),
-    )
-    sigs = minhash_signatures(df, id_col, text_col, k=n_hashes, shingle_n=shingle_n)
-    sigs = sigs.select(F.col(id_col).alias("__id"), *[f"mh{j}" for j in range(n_hashes)])
+    ).localCheckpoint(eager=False)
+    ex = base.select("__id", F.explode("__shs").alias("__h"))
+    sigs = _signatures_from_exploded(ex, "__id", n_hashes)
 
     cands = band_candidates(sigs, n_hashes=n_hashes, bands=bands, max_bucket_size=max_bucket_size)
     # Join shingle sets back by id (keeps the band join narrow).
