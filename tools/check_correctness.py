@@ -11,6 +11,7 @@ values stringified). Run:
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 from pathlib import Path
@@ -57,7 +58,21 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("correctness")
+    # SPARK_GRAFT_PLAIN=1 → run on an UNTUNED session exactly like the
+    # external driver builds (default shuffle partitions, default
+    # broadcast threshold, 1g heap, no Arrow/AQE overrides). Queries
+    # whose results depend on session config — tie-breaking under a
+    # different partition count, range-partitioner boundary sampling —
+    # pass the tuned gate and fail only at the driver; this replica
+    # closes that blind spot.
+    if os.environ.get("SPARK_GRAFT_PLAIN") == "1":
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName(
+            "correctness_plain"
+        ).getOrCreate()
+    else:
+        spark = get_spark("correctness")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
