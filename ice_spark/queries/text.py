@@ -229,8 +229,14 @@ def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(drop shingles shared by >K docs) — not needed at these SFs.",
 )
 def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", T.shingle_hashes("text").alias("sh")
+    # Shingle arrays feed FOUR consumers (sizes twice via sa/sb, both
+    # explode sides); the lazy localCheckpoint computes the char-walk
+    # hashing once and every consumer scans the materialized blocks
+    # (same shape as operators/dedup.minhash_lsh_pairs).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", T.shingle_hashes("text").alias("sh"))
+        .localCheckpoint(eager=False)
     )
     sizes = docs.select("doc_id", F.size("sh").alias("n"))
     ex = docs.select("doc_id", F.explode("sh").alias("s"))
@@ -240,12 +246,18 @@ def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("doc_id").alias("doc_a"), F.col("doc_b_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # No broadcast hint on the size lookups: `sizes` is one row per
+    # document, so it GROWS with the corpus — forcing a broadcast here
+    # is exactly the relation-that-grows-with-data hazard (g02's
+    # shuffle_hash lesson). AQE still broadcasts it at small SF where
+    # it measures small; at 100 TB this becomes a keyed shuffle join
+    # against the (much smaller) verified-pair set.
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     jacc = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("a_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("b_id"))
+        pairs.join(sa, F.col("doc_a") == F.col("a_id"))
+        .join(sb, F.col("doc_b") == F.col("b_id"))
         .where(jacc >= 0.8)
         .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
     )
