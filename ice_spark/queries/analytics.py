@@ -54,9 +54,11 @@ def w01(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation")
     # Aggregate per customer key FIRST (the shuffle moves only
-    # (custkey, partial-sum) longs), then attach nation by broadcast on
-    # the ~|customer| aggregate — the fact-table rows never carry
-    # dimension strings.
+    # (custkey, partial-sum) longs), then attach nation names to the
+    # ~|customer| aggregate — the fact-table rows never carry
+    # dimension strings. No broadcast hint on the customer-scaled
+    # sides: AQE broadcasts them at SFs where they measure small and
+    # keys the join at scale.
     # No forced broadcast on orders: it is a fact table (AQE
     # broadcasts it at small SF; at 100 TB this is a co-partitioned
     # shuffle join on orderkey).
@@ -70,7 +72,7 @@ def w01(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
     return (
-        rev.join(F.broadcast(dims), rev.o_custkey == dims.c_custkey)
+        rev.join(dims, rev.o_custkey == dims.c_custkey)
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
         .select("n_name", "c_custkey", "revenue", "rk")
@@ -134,7 +136,7 @@ def w03(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     rev = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_partkey")
         .agg(F.sum(rev_dec()).cast("double").alias("revenue"))
     )
@@ -192,7 +194,7 @@ def s02(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     base = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -373,7 +375,7 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )

@@ -116,7 +116,7 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1999-06-30"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(sum_rev_fast().alias("revenue"))
         .select(
@@ -185,9 +185,9 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -263,8 +263,8 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
         .where(
@@ -322,10 +322,10 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     vol = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
         .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
@@ -372,9 +372,9 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     nation = _t(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -414,7 +414,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(rev_dec()).cast("double").alias("revenue"))
@@ -505,7 +505,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     promo = F.when(F.col("p_type") == "PROMO", rev_dec()).otherwise(F.lit(0).cast(_REV_TYPE))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (100.0 * F.sum(promo).cast("double") / F.sum(rev_dec()).cast("double"))
             .cast("double")
@@ -542,7 +542,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     return (
         revenue.join(F.broadcast(max_rev), revenue.total_revenue == F.col("m"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -565,15 +565,16 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
-    # Correlated scalar subquery = per-part average, computed once and
-    # broadcast — at 100 TB this is a map-side join against a ~part-
-    # cardinality aggregate, not a re-scan per row.
+    # Correlated scalar subquery = per-part average, computed once —
+    # not a re-scan per row. No broadcast hint: the aggregate has
+    # |part| rows, so it grows with the data; AQE broadcasts it where
+    # it measures small and keys the shuffle join otherwise.
     per_part_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
         (davg("l_quantity")).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(per_part_avg), li.l_partkey == F.col("avg_partkey"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part_avg, li.l_partkey == F.col("avg_partkey"))
         .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg((dsum("l_extendedprice") / 7.0).cast("double").alias("avg_yearly"))
     )
@@ -616,7 +617,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not the orders fact table (which wouldn't fit at 100 TB).
     return (
         orders.join(F.broadcast(per_order), per_order.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -666,7 +667,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .where(cond)
         .agg(F.sum(rev_dec()).cast("double").alias("revenue"))
     )
@@ -697,7 +698,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01"))
     )
     heavy = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast(MONEY)).alias("q"))
         .where(F.col("q") > 100)
@@ -735,7 +736,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         multi.join(orders, multi.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), multi.l_suppkey == supp.s_suppkey)
+        .join(supp, multi.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -828,10 +829,12 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
-    eu = supply.join(F.broadcast(eu_dims), supply.l_suppkey == eu_dims.s_suppkey)
+    # eu_dims is a supplier-scaled subset — no broadcast hint (AQE
+    # broadcasts at SFs where it measures small; keyed join at scale).
+    eu = supply.join(eu_dims, supply.l_suppkey == eu_dims.s_suppkey)
     w = Window.partitionBy("l_partkey")
     return (
-        eu.join(F.broadcast(part), eu.l_partkey == part.p_partkey)
+        eu.join(part, eu.l_partkey == part.p_partkey)
         .withColumn("min_cost", F.min("unit_cost").over(w))
         .where(F.col("unit_cost") == F.col("min_cost"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
@@ -870,7 +873,9 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = supp.join(
         F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
     ).select("s_suppkey")
-    national = li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey).select(
+    # dims is 1/|nations| of supplier — still supplier-scaled, so the
+    # broadcast decision belongs to AQE, not a hint.
+    national = li.join(dims, li.l_suppkey == dims.s_suppkey).select(
         "l_partkey", rev_u().alias("rev_u")
     )
     per_part = national.groupBy("l_partkey").agg(F.sum("rev_u").alias("v_u"))

@@ -901,8 +901,8 @@ def v13(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = cand.select(F.col("query_id").alias("qb"), F.col("cid").alias("cb"))
     pair = (
         ca.join(cb, (ca.query_id == cb.qb) & (F.col("ca") != F.col("cb")))
-        .join(F.broadcast(ea), F.col("ca") == F.col("a_id"))
-        .join(F.broadcast(eb), F.col("cb") == F.col("b_id"))
+        .join(ea, F.col("ca") == F.col("a_id"))
+        .join(eb, F.col("cb") == F.col("b_id"))
         .select(
             "query_id",
             "ca",
@@ -973,9 +973,9 @@ def v14(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
     ec = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vc"))
     trip = (
-        ids.join(F.broadcast(ea), F.col("q") == F.col("a_id"))
-        .join(F.broadcast(eb), F.col("q") + 5 == F.col("b_id"))
-        .join(F.broadcast(ec), F.col("q") + 10 == F.col("c_id"))
+        ids.join(ea, F.col("q") == F.col("a_id"))
+        .join(eb, F.col("q") + 5 == F.col("b_id"))
+        .join(ec, F.col("q") + 10 == F.col("c_id"))
     )
     tv = F.zip_with(
         F.zip_with("va", "vb", lambda a, b: a.cast("double") - b.cast("double")),
