@@ -44,7 +44,22 @@ def alternating_star_components(
     m = min(N(u) ∪ {u}); small-star re-hangs the rest. The edge set
     monotonically flattens into stars around component minima.
     """
+    def _sig(df: DataFrame) -> tuple:
+        """(count, order-insensitive hash-sum) of an edge relation —
+        a narrow two-aggregate scan of the checkpointed blocks. Used
+        as a cheap convergence proxy so the expensive exceptAll
+        double-check runs once at the end, not twice per round."""
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: overflow-free under ANSI mode, and
+            # order-insensitive. XOR cancellation of duplicate rows
+            # can't fire — the relation is distinct() by construction.
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
     e = _symmetrize(edges, src, dst).distinct().localCheckpoint(eager=True)
+    sig = _sig(e)
     for _ in range(max_iter):
         # large-star: for each u, m = min(neighbors ∪ self);
         # connect strictly larger neighbors to m.
@@ -64,14 +79,21 @@ def alternating_star_components(
             .union(mins1.select(F.col("u").alias("a"), F.col("m").alias("b")))
         )
         e_next = _symmetrize(small, "a", "b").distinct().localCheckpoint(eager=True)
-        # Converged when the edge relation is stable.
-        if (
+        # Converged when the edge relation is stable. The (count,
+        # hash-sum) signature decides for free; only a signature MATCH
+        # pays the exact exceptAll confirmation (a 64-bit collision on
+        # unequal sets would otherwise terminate early with wrong
+        # components — the confirm keeps the exit sound while the
+        # evolving rounds skip both shuffles entirely).
+        sig_next = _sig(e_next)
+        if sig_next == sig and (
             e_next.exceptAll(e).limit(1).count() == 0
             and e.exceptAll(e_next).limit(1).count() == 0
         ):
             e = e_next
             break
         e = e_next
+        sig = sig_next
     # Star state: every node's component is min(neighbors ∪ self).
     return e.groupBy(F.col("u").alias("node")).agg(
         F.least(F.min("v"), F.first("u")).alias("component")
