@@ -36,6 +36,17 @@ from ice_spark.functions import text as T
 # the worst single bucket at ~131k pairs — trivially bounded per task.
 DEFAULT_MAX_BUCKET = 512
 
+# Default cap on inverted-index posting-list length (docs per shingle /
+# per n-gram) before a pairwise candidate join. Same rationale as
+# DEFAULT_MAX_BUCKET: one boilerplate shingle shared by p documents
+# contributes p*(p-1)/2 pairs under a SINGLE join key — the
+# skewed-key quadratic blowup — so postings above the cap are dropped
+# from candidate generation and their mass is reportable via
+# lsh_dropped_bucket_mass. Test-SF posting maxima are ~25 (measured at
+# sf0.1), so the default never triggers there and capped pipelines
+# stay hash-identical to their oracles.
+DEFAULT_MAX_POSTING = 512
+
 
 def _cap_buckets(buckets: DataFrame, key_cols: list[str], max_bucket_size: int) -> DataFrame:
     """Drop buckets with more than `max_bucket_size` members.
@@ -57,6 +68,21 @@ def _cap_buckets(buckets: DataFrame, key_cols: list[str], max_bucket_size: int) 
         .where(F.col("__bsz") <= max_bucket_size)
         .drop("__bsz")
     )
+
+
+def cap_postings(
+    ex: DataFrame, key_cols: list[str], max_posting: int = DEFAULT_MAX_POSTING
+) -> DataFrame:
+    """Drop inverted-index postings whose list exceeds `max_posting`.
+
+    The public posting-list guard for the n-gram pair finders
+    (d02/d07/d08/d10): identical mechanics to the LSH bucket cap —
+    one window-count shuffle on the posting key, reused by the
+    candidate join that follows — applied to an exploded
+    (doc_id, key) index relation. Audit dropped mass with
+    ``lsh_dropped_bucket_mass(ex, key_cols, max_posting)``.
+    """
+    return _cap_buckets(ex, key_cols, max_posting)
 
 
 def lsh_dropped_bucket_mass(

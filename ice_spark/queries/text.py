@@ -225,10 +225,16 @@ def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Exact n-gram Jaccard near-dup pairs (J >= 0.8) via shingle-hash "
     "inverted index — explode + join on 8-byte hashes (not strings), "
-    "never a quadratic cross join. At 100 TB, cap posting-list length "
-    "(drop shingles shared by >K docs) — not needed at these SFs.",
+    "never a quadratic cross join. Posting lists are capped at "
+    "DEFAULT_MAX_POSTING (one hot shingle shared by p docs is p²/2 "
+    "pairs under a single join key); the cap never triggers at test "
+    "SF (max posting ~25 at sf0.1), so results equal the uncapped "
+    "oracle — audit dropped mass at scale with "
+    "operators.dedup.lsh_dropped_bucket_mass.",
 )
 def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.dedup import cap_postings
+
     # Shingle arrays feed FOUR consumers (sizes twice via sa/sb, both
     # explode sides); the lazy localCheckpoint computes the char-walk
     # hashing once and every consumer scans the materialized blocks
@@ -239,7 +245,9 @@ def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     sizes = docs.select("doc_id", F.size("sh").alias("n"))
-    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    # The window count shuffles on s — the same key the candidate
+    # self-join hashes on, so the exchange is shared downstream.
+    ex = cap_postings(docs.select("doc_id", F.explode("sh").alias("s")), ["s"])
     ex2 = ex.select(F.col("doc_id").alias("doc_b_id"), F.col("s").alias("s2"))
     pairs = (
         ex.join(ex2, (ex.s == ex2.s2) & (ex.doc_id < ex2.doc_b_id))
@@ -1171,14 +1179,17 @@ def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Containment-coefficient near-dups (|A∩B| / min(|A|,|B|) >= "
     "0.9): catches a short document embedded inside a longer one, "
     "which Jaccard (d02) misses because the union is dominated by "
-    "the longer side. Same inverted-index join, different normalizer.",
+    "the longer side. Same inverted-index join, different normalizer, "
+    "same DEFAULT_MAX_POSTING cap on posting lists (no-op at test SF).",
 )
 def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.dedup import cap_postings
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", T.shingle_hashes("text").alias("sh")
     )
     sizes = docs.select("doc_id", F.size("sh").alias("n"))
-    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    ex = cap_postings(docs.select("doc_id", F.explode("sh").alias("s")), ["s"])
     ex2 = ex.select(F.col("doc_id").alias("doc_b_id"), F.col("s").alias("s2"))
     pairs = (
         ex.join(ex2, (ex.s == ex2.s2) & (ex.doc_id < ex2.doc_b_id))
@@ -1228,9 +1239,14 @@ def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB the same plan joins on xxhash64(gram) — 8-byte shuffle "
     "keys, identical shape (cf. the d02 inverted shingle index). "
     "Both sides dedup grams per doc BEFORE the join (the inverted "
-    "index explodes once per distinct gram, not per occurrence).",
+    "index explodes once per distinct gram, not per occurrence). "
+    "Each side's gram posting list is capped at DEFAULT_MAX_POSTING "
+    "(a gram in every doc would join |eval|×|train| rows under one "
+    "key); the cap never triggers at test SF.",
 )
 def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.dedup import cap_postings
+
     doc = load_table(spark, sf_dir, "documents")
     toks = T.tokens_sql("text")
     base = doc.select(
@@ -1251,11 +1267,17 @@ def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).distinct()
-    ev = grams.where(F.col("split") == "eval").select(
-        F.col("doc_id").alias("eval_doc"), "g"
+    ev = cap_postings(
+        grams.where(F.col("split") == "eval").select(
+            F.col("doc_id").alias("eval_doc"), "g"
+        ),
+        ["g"],
     )
-    tr = grams.where(F.col("split") == "train").select(
-        F.col("doc_id").alias("train_doc"), "g"
+    tr = cap_postings(
+        grams.where(F.col("split") == "train").select(
+            F.col("doc_id").alias("train_doc"), "g"
+        ),
+        ["g"],
     )
     return (
         ev.join(tr, "g")
@@ -1380,14 +1402,18 @@ def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boilerplate-heavy documents rather than a pair list. Shape: "
     "inverted shingle index, two hash aggregations + one join on "
     "8-byte keys, no pairwise expansion anywhere — at 100 TB this is "
-    "the same one-pass posting-count plan, optionally with a "
-    "frequency cap on degenerate shingles.",
+    "the same one-pass posting-count plan. Degenerate shingles are "
+    "dropped by the DEFAULT_MAX_POSTING cap (the ex⋈freq join is "
+    "linear, but a hot key still lands its whole posting list on one "
+    "reducer); no-op at test SF.",
 )
 def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.dedup import cap_postings
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", T.shingle_hashes("text").alias("sh")
     )
-    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    ex = cap_postings(docs.select("doc_id", F.explode("sh").alias("s")), ["s"])
     freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("nd"))
     per = (
         ex.join(freq, "s")
