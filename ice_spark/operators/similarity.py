@@ -88,15 +88,24 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
     return vals
 
 
-def lsh_bucket(vec, dim: int, n_planes: int = 8):
-    """Sign-bit bucket id from n random hyperplanes (Column expr)."""
+def lsh_bucket(vec, dim: int, n_planes: int = 8, seed0: int = 1):
+    """Sign-bit bucket id from n random hyperplanes (Column expr).
+
+    `seed0` selects the first plane seed so multiple independent
+    BANDS can be derived from the same generator (band b at
+    seed0 = b * n_planes + 1 uses disjoint planes).
+    """
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = _hyperplane(dim, seed=p + 1)
+        plane = _hyperplane(dim, seed=seed0 + p)
         proj = F.aggregate(
+            # ONE nested-list literal per plane (the IVF centroid
+            # idiom): a per-element F.lit array costs dim py4j round
+            # trips per plane — ~2k driver calls for a 4x8 banding —
+            # measured 6s of plan-build time on v04 before this.
             F.zip_with(
                 vec,
-                F.array(*[F.lit(v) for v in plane]),
+                F.lit(plane),
                 lambda x, y: x.cast("double") * y,
             ),
             F.lit(0.0),
@@ -159,6 +168,111 @@ def lsh_topk(
 # boundary deterministic.
 
 SRP_MOD = 1_000_000_007
+
+
+def banded_lsh_buckets(
+    df: DataFrame, id_col: str, vec_col: str, *, dim: int, n_planes: int, bands: int
+) -> DataFrame:
+    """(id, band, key) exploded banded sign-bit bucket relation.
+
+    Band b projects onto planes seeded b*n_planes+1 .. (b+1)*n_planes,
+    so bands are independent; one output row per (vector, band). All
+    bands are computed in a single projection (array of structs +
+    explode) — one corpus scan.
+    """
+    # All bands*n_planes projections in ONE expression with ONE
+    # nested-list plane-matrix literal: per-plane Column construction
+    # (bands * n_planes lsh_bucket calls) costs ~80ms of py4j each —
+    # 2.6s of driver time for a 4x8 banding — while this builds in
+    # ~0.1s and yields an identical result (same plane seeds, same
+    # sequential dot fold, same 2^p sign-bit weights as lsh_bucket).
+    planes = [
+        _hyperplane(dim, seed=b * n_planes + p + 1)
+        for b in range(bands)
+        for p in range(n_planes)
+    ]
+    keys = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"aggregate(sequence(0, {n_planes - 1}), CAST(0 AS BIGINT), (acc, p) -> "
+        f"acc + IF(aggregate(zip_with({vec_col}, "
+        f"element_at(__planes, b * {n_planes} + p + 1), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), "
+        f"(a, v) -> a + v) > 0, shiftleft(CAST(1 AS BIGINT), p), "
+        f"CAST(0 AS BIGINT))))"
+    )
+    return (
+        df.withColumn("__planes", F.lit(planes))
+        .select(F.col(id_col), F.posexplode(keys).alias("band", "key"))
+    )
+
+
+def banded_cosine_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    n_planes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.9,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate embedding pairs via banded LSH + exact verify.
+
+    The d04 shape for vectors: candidates are pairs sharing a
+    sign-bit bucket in ANY band (equi-join on (band, key), never an
+    all-pairs join), buckets above `max_bucket_size` are dropped
+    before the self-join (hard per-bucket pair bound; audit dropped
+    mass with operators.dedup.lsh_dropped_bucket_mass), and every
+    candidate is verified with the exact rounded cosine — so results
+    are deterministic and oracle-replayable even though candidate
+    generation is approximate. O(candidates) work, O(bands · n)
+    bucket rows; survives corpus scale-up where an exact all-pairs
+    join is unconditionally quadratic.
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b, cos >= threshold.
+    """
+    from ice_spark.operators.dedup import DEFAULT_MAX_BUCKET, _cap_buckets
+
+    cap = DEFAULT_MAX_BUCKET if max_bucket_size is None else max_bucket_size
+    # Three consumers (bucket pass + both verify sides): materialize
+    # the corpus once, like d02's shingle relation.
+    corpus = corpus.select(id_col, vec_col).localCheckpoint(eager=False)
+    bk = _cap_buckets(
+        banded_lsh_buckets(
+            corpus, id_col, vec_col, dim=dim, n_planes=n_planes, bands=bands
+        ),
+        ["band", "key"],
+        cap,
+    )
+    left = bk.select(F.col(id_col).alias("__ida"), "band", "key")
+    right = bk.select(F.col(id_col).alias("__idb"), F.col("band").alias("__band2"), F.col("key").alias("__key2"))
+    cand = (
+        left.join(
+            right,
+            (left.band == right.__band2)
+            & (left.key == right.__key2)
+            & (F.col("__ida") < F.col("__idb")),
+        )
+        .select("__ida", "__idb")
+        .distinct()
+    )
+    # No broadcast hints: the corpus sides grow with the data — keyed
+    # equi-joins, AQE picks broadcast at small SF where it measures
+    # small.
+    ca = corpus.select(F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va"))
+    cb = corpus.select(F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb"))
+    cos = cosine(F.col("__va"), F.col("__vb"))
+    return (
+        cand.join(ca, "__ida")
+        .join(cb, "__idb")
+        .where(cos >= threshold)
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
 
 
 def srp_weight_sql(p_sql: str, d_sql: str) -> str:
