@@ -576,6 +576,87 @@ class EtcdCatalog:
         if not ok:
             raise CommitConflictError(f"rename lost race: {ident} -> {new_ident}")
 
+    def commit_transaction(
+        self, items: list[tuple["EtcdTable", dict, int]]
+    ) -> list[int]:
+        """Atomically commit N tables in ONE etcd transaction.
+
+        `items` is a list of (table, new_metadata, expected_version).
+        This is the reference's actual multi-table atomicity model —
+        the single-table version-CAS of EtcdCatalog.java:588-640
+        generalized to N pointer keys in one If(ver_a==x, ver_b==y)
+        .Then(put_a, put_b) transaction — which a filesystem/SQLite
+        catalog cannot express (those keep the validate→apply→
+        compensate saga in rest/server.py). The reference's
+        multi-table lock ordering (etcd/CommitLock.java:69-146 orders
+        acquisition by key to avoid deadlock) reduces here to a
+        deterministic sort of the compare list: with one txn there is
+        nothing to deadlock on.
+
+        Either every pointer swings or none does; attempt metadata
+        files are uuid-unique and deleted on a lost race, so a failed
+        transaction leaves no observable state anywhere.
+        """
+        items = sorted(items, key=lambda it: it[0].key)
+        keys = [t.key for t, _, _ in items]
+        if len(set(keys)) != len(keys):
+            raise ValueError("duplicate table in transaction")
+        compares: list[tuple[str, int]] = []
+        ops: list[tuple] = []
+        written: list[tuple[EtcdTable, str, dict, int]] = []
+        try:
+            for t, meta, expected in items:
+                ent = self.kv.get(t.key)
+                kv_version = ent.version if ent else 0
+                current = 0
+                prev_location = ""
+                if ent is not None:
+                    prev_location = json.loads(ent.value)["metadata_location"]
+                    current = _version_of(prev_location)
+                if current != expected:
+                    raise CommitConflictError(
+                        f"expected v{expected}, found v{current} at {t.key}"
+                    )
+                new_version = expected + 1
+                fname = f"v{new_version}-{_uuid.uuid4().hex[:12]}.metadata.json"
+                meta.setdefault("metadata_log", []).append(
+                    {"timestamp_ms": _now_ms(), "metadata_file": fname}
+                )
+                path = os.path.join(t.metadata_dir, fname)
+                t.io.write_atomic(path, json.dumps(meta, indent=1))
+                written.append((t, path, meta, new_version))
+                compares.append((t.key, kv_version))
+                ops.append(
+                    (
+                        "put",
+                        t.key,
+                        json.dumps(
+                            {
+                                "table_type": "ICEBERG",
+                                "metadata_location": path,
+                                "previous_metadata_location": prev_location,
+                            }
+                        ),
+                    )
+                )
+            if not self.kv.txn(compares, ops):
+                raise CommitConflictError(
+                    f"lost multi-table pointer CAS over {keys}"
+                )
+        except Exception:
+            # no pointer moved — clean up every attempt file
+            for t, path, _, _ in written:
+                try:
+                    t.io.delete(path)
+                except OSError:  # pragma: no cover - cleanup best-effort
+                    pass
+            raise
+        for t, path, meta, new_version in written:
+            t._pointer = path
+            t._version = new_version
+            t._meta = meta
+        return [v for _, _, _, v in written]
+
     def register_table(
         self, ident: str, metadata_file: str, overwrite: bool = False
     ) -> EtcdTable:

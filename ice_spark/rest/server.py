@@ -605,15 +605,26 @@ class RestCatalogServer:
         }
 
     def rt_commit_transaction(self, body: dict):
-        """Multi-table commit: validate every table's requirements
-        first, then apply in order, compensating (restoring the
-        pre-commit metadata content as a NEW version) on failure —
-        the saga shape of catalog/transaction.py, surfaced over REST."""
+        """Multi-table commit. On the etcd backend this is truly
+        atomic: ONE etcd transaction compares every table's pointer
+        version and puts every new pointer (EtcdCatalog.
+        commit_transaction — the reference's actual atomicity model,
+        EtcdCatalog.java:588-640 generalized to N keys). Filesystem/
+        SQLite catalogs can't express a multi-key CAS, so they keep
+        the honest validate→apply→compensate saga (restoring the
+        pre-commit metadata content as a NEW version on failure — the
+        shape of catalog/transaction.py, surfaced over REST)."""
         changes = body.get("table-changes", [])
         plan = []
+        seen: set[str] = set()
         for ch in changes:
             ident_obj = ch.get("identifier", {})
             ident = ".".join(ident_obj.get("namespace", []) + [ident_obj.get("name", "")])
+            if ident in seen:
+                raise _ApiError(
+                    400, "BadRequestException", f"duplicate table in transaction: {ident}"
+                )
+            seen.add(ident)
             try:
                 t = self.catalog.load_table(ident)
             except (NoSuchTableError, NamespaceError) as e:
@@ -622,6 +633,9 @@ class RestCatalogServer:
             if fail:
                 raise _ApiError(409, "CommitFailedException", f"{ident}: {fail}")
             plan.append((ident, t, ch))
+
+        if hasattr(self.catalog, "commit_transaction"):
+            return self._commit_transaction_atomic(plan)
 
         committed: list[tuple[str, Table, dict, int]] = []
         for ident, t, ch in plan:
@@ -657,6 +671,73 @@ class RestCatalogServer:
                     e.code, "CommitFailedException", json.dumps(detail)
                 )
         return 204, None
+
+    def _commit_transaction_atomic(self, plan: list[tuple[str, Table, dict]]):
+        """All-or-nothing multi-table commit for catalogs exposing a
+        multi-key CAS (EtcdCatalog.commit_transaction). Per-attempt:
+        refresh every member, re-check every requirement against
+        fresh metadata, apply updates, then ONE registry transaction.
+        A lost CAS retries the whole cycle (same budget as the
+        single-table path); requirement failures abort immediately
+        with no state change anywhere. Per-table commit locks, when
+        configured, are acquired in sorted identifier order — the
+        reference's multi-table ordering (etcd/CommitLock.java:69-146)
+        — so two transactions over overlapping table sets can't
+        deadlock."""
+        from contextlib import ExitStack
+
+        retries = self.config.commit_retries
+        t0 = time.monotonic()
+        with ExitStack() as stack:
+            if self.config.commit_lock is not None:
+                from ice_spark.rest.commit_lock import LockTimeout
+
+                for ident, _, _ in sorted(plan, key=lambda p: p[0]):
+                    try:
+                        stack.enter_context(self.config.commit_lock.acquire(ident))
+                    except LockTimeout as e:
+                        raise _ApiError(503, "ServiceUnavailableException", str(e))
+            for attempt in range(retries + 1):
+                items = []
+                for ident, t, ch in plan:
+                    t.refresh()
+                    meta = json.loads(json.dumps(t.meta))
+                    fail = check_requirements(meta, ch.get("requirements", []))
+                    if fail:
+                        raise _ApiError(
+                            409, "CommitFailedException", f"{ident}: {fail}"
+                        )
+                    meta = apply_updates(meta, ch.get("updates", []))
+                    items.append((t, meta, t._version))
+                try:
+                    self.catalog.commit_transaction(items)
+                except CommitConflictError:
+                    self.metrics.inc(
+                        "iceberg_commit_retries_total",
+                        {"catalog": self.config.prefix},
+                        help_="server-side retries after a commit CAS conflict",
+                    )
+                    if attempt == retries:
+                        raise _ApiError(
+                            409, "CommitFailedException", "CAS retry budget exhausted"
+                        )
+                    time.sleep(min(0.02 * (2**attempt), 1.0))
+                    continue
+                for ident, t, _ in plan:
+                    ns, _, name = ident.rpartition(".")
+                    self.metrics.inc(
+                        "iceberg_commits_total",
+                        {"catalog": self.config.prefix, "namespace": ns, "table": name},
+                        help_="table commits",
+                    )
+                self.metrics.observe(
+                    "iceberg_commit_duration_seconds",
+                    time.monotonic() - t0,
+                    {"catalog": self.config.prefix},
+                    help_="commit duration",
+                )
+                return 204, None
+        raise AssertionError("unreachable")
 
     def rt_report_metrics(self, ns: str, name: str, body: dict):
         """Store the raw report AND convert it into Prometheus
