@@ -720,6 +720,85 @@ class EtcdCatalog:
                 self.register_table(ident, meta_path, overwrite=overwrite)
         return actions
 
+    # ---------- registry snapshot / restore ----------
+
+    def registry_snapshot(self) -> dict:
+        """Raw registry snapshot: every namespace/table/view KV with
+        its value AND etcd version — the seam-level analog of the
+        reference's ``etcdctl snapshot save`` registry backup
+        (docs/etcd-backup-restore-upgrade-3-node.md; only n/ and t/
+        keys matter there too because table data lives on object
+        storage). Versions are recorded so a restore can prove the
+        source state and so operators can audit drift between backup
+        and restore time."""
+        keys = []
+        for kind in (self.NAMESPACE_PREFIX, self.TABLE_PREFIX, self.VIEW_PREFIX):
+            for e in self.kv.get_prefix(self._prefix(kind)):
+                keys.append({"key": e.key, "value": e.value, "version": e.version})
+        return {
+            "format": "ice-etcd-registry/1",
+            "catalog": self.catalog_name,
+            "taken_ms": _now_ms(),
+            "keys": sorted(keys, key=lambda k: k["key"]),
+        }
+
+    def registry_restore(
+        self, snapshot: dict, overwrite: bool = False, dry_run: bool = False
+    ) -> list[str]:
+        """Restore a registry snapshot in ONE CAS-guarded etcd
+        transaction — all-or-nothing, like the rest of the backend.
+
+        Fresh mode (default): every key must be ABSENT (version
+        compare 0); any pre-existing key — including one a concurrent
+        writer just created — fails the whole transaction with the
+        conflicting keys listed. Overwrite mode: each existing key is
+        CAS'd against the version observed NOW, so a writer that
+        lands between the read and the transaction still fails the
+        restore instead of being silently clobbered (the lost-update
+        guard the reference gets from stopping ice-rest-catalog
+        during migration; we get it transactionally instead).
+
+        Restored keys restart etcd's per-key version counter at 1 —
+        version history is a server-side counter that cannot be
+        forged through puts; the snapshot's recorded versions are for
+        audit. Real etcd caps a transaction at --max-txn-ops
+        (128 default); registries beyond that need the server-side
+        limit raised, exactly like the reference's etcdutl path."""
+        fmt = snapshot.get("format")
+        if fmt != "ice-etcd-registry/1":
+            raise ValueError(f"not a registry snapshot: format={fmt!r}")
+        entries = snapshot.get("keys", [])
+        actions = []
+        compares: list[tuple[str, int]] = []
+        ops: list[tuple] = []
+        conflicts = []
+        for ent in entries:
+            key = ent["key"]
+            cur = self.kv.get(key)
+            if cur is None:
+                compares.append((key, 0))
+                actions.append(f"create {key}")
+            elif overwrite:
+                compares.append((key, cur.version))
+                actions.append(f"overwrite {key} (was version {cur.version})")
+            else:
+                conflicts.append(key)
+                continue
+            ops.append(("put", key, ent["value"]))
+        if conflicts:
+            raise CommitConflictError(
+                f"registry keys already exist (use overwrite): {conflicts}"
+            )
+        if dry_run or not ops:
+            return actions
+        if not self.kv.txn(compares, ops):
+            raise CommitConflictError(
+                "registry restore lost a CAS race (a writer changed the "
+                "registry between snapshot validation and the transaction); "
+                "re-run the restore"
+            )
+        return actions
+
     # -- raw KV admin surface (reference admin API parity:
     #    EtcdCatalog.listAllNamespaceKvs/listAllTableKvs/putCatalogKv,
     #    EtcdCatalog.java:121-173) --

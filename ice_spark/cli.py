@@ -253,6 +253,26 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--overwrite", action="store_true")
     sp.add_argument("--dry-run", action="store_true")
 
+    sp = sub.add_parser(
+        "registry-snapshot",
+        help="dump the etcd registry (keys+values+versions) to a JSON "
+        "file — the seam-level analog of the reference's etcdctl "
+        "snapshot backup (docs/etcd-backup-restore-upgrade-3-node.md); "
+        "requires --registry-etcd",
+    )
+    sp.add_argument("snapshot_file")
+
+    sp = sub.add_parser(
+        "registry-restore",
+        help="restore a registry-snapshot file in one CAS-guarded etcd "
+        "transaction (all-or-nothing; conflicts with concurrent "
+        "writers are detected, never clobbered); requires "
+        "--registry-etcd",
+    )
+    sp.add_argument("snapshot_file")
+    sp.add_argument("--overwrite", action="store_true")
+    sp.add_argument("--dry-run", action="store_true")
+
     sp = sub.add_parser("perform-maintenance")
     sp.add_argument("table", nargs="?")
     sp.add_argument("--dry-run", dest="dry_run", action="store_true", default=True)
@@ -969,6 +989,20 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "catalog-import":
         with open(args.registry_file) as f:
             out = cat.import_registry(
+                json.load(f), overwrite=args.overwrite, dry_run=args.dry_run
+            )
+    elif args.cmd == "registry-snapshot":
+        if not hasattr(cat, "registry_snapshot"):
+            raise SystemExit("registry-snapshot needs an etcd registry (--registry-etcd)")
+        snap = cat.registry_snapshot()
+        with open(args.snapshot_file, "w") as f:
+            json.dump(snap, f, indent=1)
+        out = {"keys": len(snap["keys"]), "file": args.snapshot_file}
+    elif args.cmd == "registry-restore":
+        if not hasattr(cat, "registry_restore"):
+            raise SystemExit("registry-restore needs an etcd registry (--registry-etcd)")
+        with open(args.snapshot_file) as f:
+            out = cat.registry_restore(
                 json.load(f), overwrite=args.overwrite, dry_run=args.dry_run
             )
     elif args.cmd == "rollback":
