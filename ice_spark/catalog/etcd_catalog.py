@@ -172,8 +172,46 @@ class Etcd3KV(EtcdKV):
                 "etcd registry requires the 'etcd3' package (pip install etcd3); "
                 "endpoints given: " + endpoints
             ) from e
-        host, _, port = endpoints.split(",")[0].replace("http://", "").partition(":")
-        self._client = etcd3.client(host=host, port=int(port or 2379))
+        host, port, secure = self._parse_endpoint(endpoints)
+        kwargs = {"host": host, "port": port}
+        if secure:
+            # https scheme → TLS gRPC channel; python-etcd3 builds
+            # secure channel credentials when a CA bundle is given
+            ca = os.environ.get("ETCD_CA_CERT") or os.environ.get("ETCDCTL_CACERT")
+            if ca:
+                kwargs["ca_cert"] = ca
+            else:
+                raise ValueError(
+                    "https etcd endpoint needs ETCD_CA_CERT (path to the CA "
+                    "bundle) for the TLS channel"
+                )
+        self._client = etcd3.client(**kwargs)
+
+    @staticmethod
+    def _parse_endpoint(endpoints: str) -> tuple[str, int, bool]:
+        """Parse the FIRST endpoint with urlsplit (http:// and
+        https:// both work; bare host:port too). Extra endpoints are
+        rejected loudly: python-etcd3 connects to a single endpoint,
+        and silently ignoring the rest would hide a failover
+        misconfiguration (ADVICE r7)."""
+        import urllib.parse
+
+        eps = [e.strip() for e in endpoints.split(",") if e.strip()]
+        if len(eps) != 1:
+            raise ValueError(
+                "Etcd3KV supports exactly one endpoint (python-etcd3 is "
+                f"single-endpoint); got {len(eps)}: {eps}. Point at a "
+                "load-balanced/VIP address for multi-node clusters."
+            )
+        ep = eps[0]
+        if "//" not in ep:
+            ep = "//" + ep  # bare host:port → netloc form
+        parts = urllib.parse.urlsplit(ep)
+        if parts.scheme not in ("", "http", "https"):
+            raise ValueError(f"unsupported etcd endpoint scheme: {parts.scheme!r}")
+        if not parts.hostname:
+            raise ValueError(f"cannot parse etcd endpoint: {endpoints!r}")
+        return parts.hostname, parts.port or 2379, parts.scheme == "https"
 
     def get(self, key: str) -> KVEntry | None:  # pragma: no cover - needs etcd
         value, meta = self._client.get(key)
@@ -278,7 +316,13 @@ class EtcdTable(Table):
 
     # -- commit --
 
-    def _write_metadata(self, meta: dict, expected_version: int) -> int:
+    def _write_metadata(
+        self,
+        meta: dict,
+        expected_version: int,
+        extra_compares: list[tuple[str, int]] = (),
+        extra_ops: list[tuple] = (),
+    ) -> int:
         ent = self.kv.get(self.key)
         kv_version = ent.version if ent else 0
         current = 0
@@ -306,7 +350,10 @@ class EtcdTable(Table):
                 "previous_metadata_location": prev_location,
             }
         )
-        if not self.kv.txn([(self.key, kv_version)], [("put", self.key, value)]):
+        if not self.kv.txn(
+            [(self.key, kv_version), *extra_compares],
+            [("put", self.key, value), *extra_ops],
+        ):
             # lost the race: remove the orphaned attempt file
             # (EtcdCatalog.java:631-639's finally-cleanup)
             try:
@@ -434,18 +481,30 @@ class EtcdCatalog:
         raise CommitConflictError(f"namespace property CAS kept losing: {ns}")
 
     def delete_namespace(self, ns: str) -> None:
-        ent = self.kv.get(self._ns_key(ns))
-        if ent is None:
-            raise NamespaceError(f"no such namespace: {ns}")
+        # Check-then-delete via a version-CAS txn: create_table's
+        # registration txn bumps the namespace key version, so a
+        # table committed between our emptiness check and the delete
+        # fails the CAS here instead of being orphaned under a
+        # deleted namespace (the reference guards this with the same
+        # etcd transaction). CAS failure → re-observe and retry; the
+        # re-check then sees the new table and reports not-empty.
         ns_path = "/".join(_split_ident(ns))
-        children = self.kv.get_prefix(
-            self._prefix(self.NAMESPACE_PREFIX) + ns_path + "/"
-        )
-        tables = self.kv.get_prefix(self._prefix(self.TABLE_PREFIX) + ns_path + "/")
-        views = self.kv.get_prefix(self._prefix(self.VIEW_PREFIX) + ns_path + "/")
-        if children or tables or views:
-            raise NamespaceError(f"namespace not empty: {ns}")
-        self.kv.delete(self._ns_key(ns))
+        for attempt in range(5):
+            ent = self.kv.get(self._ns_key(ns))
+            if ent is None:
+                raise NamespaceError(f"no such namespace: {ns}")
+            children = self.kv.get_prefix(
+                self._prefix(self.NAMESPACE_PREFIX) + ns_path + "/"
+            )
+            tables = self.kv.get_prefix(self._prefix(self.TABLE_PREFIX) + ns_path + "/")
+            views = self.kv.get_prefix(self._prefix(self.VIEW_PREFIX) + ns_path + "/")
+            if children or tables or views:
+                raise NamespaceError(f"namespace not empty: {ns}")
+            if self.kv.txn(
+                [(self._ns_key(ns), ent.version)], [("delete", self._ns_key(ns))]
+            ):
+                return
+        raise CommitConflictError(f"delete_namespace {ns}: namespace key kept moving")
 
     def list_namespaces(self, parent: str | None = None) -> list[str]:
         prefix = self._prefix(self.NAMESPACE_PREFIX)
@@ -532,15 +591,40 @@ class EtcdCatalog:
         meta = Table.new_table_metadata(
             loc, schema, partition_spec, sort_order, properties
         )
-        try:
-            # creation is linearized by the pointer's version==0 CAS
-            # (EtcdCatalog.java:598-600,618-623)
-            t._write_metadata(meta, expected_version=0)
-        except CommitConflictError:
-            if exist_ok:
-                return self.load_table(ident)
-            raise ValueError(f"table exists: {ident}")
-        return t
+        # creation is linearized by the pointer's version==0 CAS
+        # (EtcdCatalog.java:598-600,618-623), and the SAME txn
+        # re-puts the namespace key: it both proves the namespace
+        # still exists at commit time (a racing delete-namespace
+        # empties the compare) and bumps the namespace version so a
+        # racing delete-namespace's own ns-version CAS fails — the
+        # reference closes this window with the equivalent etcd
+        # transaction. A sibling create bumping the ns version is the
+        # one benign conflict, hence the short retry loop.
+        for attempt in range(5):
+            ns_ent = self.kv.get(self._ns_key(ns))
+            if ns_ent is None:
+                raise NamespaceError(f"no such namespace: {ns}")
+            try:
+                t._write_metadata(
+                    # fresh copy per attempt: _write_metadata appends
+                    # the metadata_log entry in place
+                    json.loads(json.dumps(meta)),
+                    expected_version=0,
+                    extra_compares=[(ns_ent.key, ns_ent.version)],
+                    extra_ops=[("put", ns_ent.key, ns_ent.value)],
+                )
+                return t
+            except CommitConflictError:
+                if self.table_exists(ident):
+                    if exist_ok:
+                        return self.load_table(ident)
+                    raise ValueError(f"table exists: {ident}")
+                # ns key moved (sibling create / property update /
+                # delete) — re-observe and retry
+                continue
+        raise CommitConflictError(
+            f"create_table {ident}: namespace key kept moving"
+        )
 
     def drop_table(self, ident: str, purge: bool = False) -> None:
         ent = self.kv.get(self._table_key(ident))
@@ -677,9 +761,25 @@ class EtcdCatalog:
         )
         if overwrite:
             self.kv.put(self._table_key(ident), value)
-        elif not self.kv.txn([(self._table_key(ident), 0)], [("put", self._table_key(ident), value)]):
-            raise ValueError(f"table exists: {ident}")
-        return self.load_table(ident)
+            return self.load_table(ident)
+        # same ns-guarded registration txn as create_table: proves the
+        # namespace survives to commit time and bumps its version so a
+        # racing delete-namespace CAS-fails
+        for attempt in range(5):
+            ns_ent = self.kv.get(self._ns_key(ns))
+            if ns_ent is None:
+                raise NamespaceError(f"no such namespace: {ns}")
+            if self.kv.txn(
+                [(self._table_key(ident), 0), (ns_ent.key, ns_ent.version)],
+                [
+                    ("put", self._table_key(ident), value),
+                    ("put", ns_ent.key, ns_ent.value),
+                ],
+            ):
+                return self.load_table(ident)
+            if self.kv.get(self._table_key(ident)) is not None:
+                raise ValueError(f"table exists: {ident}")
+        raise CommitConflictError(f"register_table {ident}: namespace key kept moving")
 
     def register_views(self, ns: str, prefix: str = "") -> list[str]:
         out = []

@@ -24,6 +24,7 @@ import json
 import os
 import shutil
 import sqlite3
+import time
 
 from pyspark.sql import SparkSession
 from pyspark.sql import types as SPT
@@ -39,7 +40,8 @@ CREATE TABLE IF NOT EXISTS namespaces (
 CREATE TABLE IF NOT EXISTS tables (
   ident TEXT PRIMARY KEY,
   ns TEXT NOT NULL,
-  location TEXT NOT NULL
+  location TEXT NOT NULL,
+  claimed_at REAL
 );
 CREATE TABLE IF NOT EXISTS views (
   ident TEXT PRIMARY KEY,
@@ -50,6 +52,11 @@ CREATE TABLE IF NOT EXISTS views (
 
 
 class SqliteCatalog:
+    # A claim row (create_table's short registration txn) whose
+    # storage never materialized is reclaimable after this grace —
+    # long enough that no live Table.create is still in flight.
+    STALE_CLAIM_GRACE_SEC = 300.0
+
     def __init__(self, spark: SparkSession, warehouse: str, db_path: str | None = None):
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
@@ -57,6 +64,12 @@ class SqliteCatalog:
         self.db_path = db_path or os.path.join(self.warehouse, "catalog.db")
         with self._conn() as con:
             con.executescript(_SCHEMA)
+            try:
+                # migration for pre-claim-timestamp registries; NULL
+                # claimed_at means "old enough to reclaim"
+                con.execute("ALTER TABLE tables ADD COLUMN claimed_at REAL")
+            except sqlite3.OperationalError:
+                pass  # column already present
 
     def _conn(self) -> sqlite3.Connection:
         # fresh connection per operation: thread-safe by construction,
@@ -203,11 +216,38 @@ class SqliteCatalog:
     def table_exists(self, ident: str) -> bool:
         return self._table_row(ident) is not None
 
+    def _is_stale_claim(self, location: str, claimed_at: float | None) -> bool:
+        """True when a registry row points at storage that was never
+        created and the claim is old enough that no Table.create can
+        still be in flight (a crash between the claim COMMIT and
+        Table.create orphans exactly this shape; NULL claimed_at =
+        pre-migration row = old)."""
+        if os.path.isdir(os.path.join(location, "metadata")):
+            return False
+        return claimed_at is None or time.time() - claimed_at > self.STALE_CLAIM_GRACE_SEC
+
     def load_table(self, ident: str) -> Table:
-        row = self._table_row(ident)
+        with self._conn() as con:
+            row = con.execute(
+                "SELECT location, claimed_at FROM tables WHERE ident = ?", (ident,)
+            ).fetchone()
         if row is None:
             raise NoSuchTableError(f"no such table: {ident}")
-        return Table(self.spark, row[0], ident).refresh()
+        try:
+            return Table(self.spark, row[0], ident).refresh()
+        except (NoSuchTableError, OSError, ValueError):
+            if self._is_stale_claim(row[0], row[1]):
+                # crashed create: reclaim the orphan row so the
+                # identifier becomes usable again (ADVICE r7)
+                with self._conn() as con:
+                    con.execute(
+                        "DELETE FROM tables WHERE ident = ? AND location = ?",
+                        (ident, row[0]),
+                    )
+                raise NoSuchTableError(
+                    f"no such table: {ident} (reclaimed stale claim at {row[0]})"
+                )
+            raise
 
     def create_table(
         self,
@@ -241,16 +281,25 @@ class SqliteCatalog:
                 is None
             ):
                 raise NamespaceError(f"no such namespace: {ns}")
-            if (
-                con.execute("SELECT 1 FROM tables WHERE ident = ?", (ident,)).fetchone()
-                is not None
-            ):
-                if exist_ok:
+            existing = con.execute(
+                "SELECT location, claimed_at FROM tables WHERE ident = ?", (ident,)
+            ).fetchone()
+            if existing is not None:
+                if self._is_stale_claim(existing[0], existing[1]):
+                    # a crashed create left a claim row with no
+                    # storage behind it — reclaim inside this same
+                    # write txn so the identifier is usable again
+                    con.execute(
+                        "DELETE FROM tables WHERE ident = ?", (ident,)
+                    )
+                elif exist_ok:
                     return self.load_table(ident)
-                raise ValueError(f"table exists: {ident}")
+                else:
+                    raise ValueError(f"table exists: {ident}")
             con.execute(
-                "INSERT INTO tables (ident, ns, location) VALUES (?, ?, ?)",
-                (ident, ns, loc),
+                "INSERT INTO tables (ident, ns, location, claimed_at) "
+                "VALUES (?, ?, ?, ?)",
+                (ident, ns, loc, time.time()),
             )
         loc_existed_before = os.path.isdir(loc)
         try:

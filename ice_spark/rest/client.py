@@ -36,6 +36,7 @@ class RestCatalogClient:
         prefix: str | None = None,
         access_delegation: bool = True,
         request_signer=None,
+        warehouse: str | None = None,
     ):
         self.uri = uri.rstrip("/")
         self.token = token
@@ -49,9 +50,21 @@ class RestCatalogClient:
         # reference client consumes them via VendedCredentialsProvider,
         # ice/.../aws/s3/VendedCredentialsProvider.java).
         self.access_delegation = access_delegation
-        # config handshake (RESTSessionCatalog.initialize does the same)
-        cfg = self._req("GET", "/v1/config")
-        self.prefix = prefix if prefix is not None else cfg.get("overrides", {}).get("prefix", "")
+        if prefix is not None:
+            # explicit prefix → no config handshake needed (S3Tables
+            # passes the bucket ARN here; probing /v1/config without
+            # the required ?warehouse param would fail against the
+            # managed endpoint before any verb ran)
+            self.prefix = prefix
+        else:
+            # config handshake (RESTSessionCatalog.initialize does the
+            # same, forwarding the warehouse as a query param when set)
+            cfg = self._req(
+                "GET",
+                "/v1/config",
+                query={"warehouse": warehouse} if warehouse else None,
+            )
+            self.prefix = cfg.get("overrides", {}).get("prefix", "")
 
     # ---------- plumbing ----------
 
@@ -87,7 +100,11 @@ class RestCatalogClient:
                 raise RestError(e.code, "HTTPError", raw.decode(errors="replace"))
 
     def _p(self, path: str) -> str:
-        pre = f"/{urllib.parse.quote(self.prefix)}" if self.prefix else ""
+        # The prefix is ONE path segment: fully %-encode it, '/'
+        # included (Iceberg RESTUtil.encodeString semantics — an
+        # S3Tables ARN's 'bucket/<name>' slash must become %2F, or
+        # the managed endpoint sees a different route)
+        pre = f"/{urllib.parse.quote(self.prefix, safe='')}" if self.prefix else ""
         return f"/v1{pre}{path}"
 
     @staticmethod

@@ -97,7 +97,14 @@ class CommitLock:
     def _renew_loop(self, path: str, token: str, stop: threading.Event) -> None:
         """Extend the lease every ttl/3 while held (etcd keepAlive).
         Renewing at ttl/3 means the lease is always ≥2/3·ttl from
-        expiry when we rewrite it, so no breaker races the replace."""
+        expiry when we rewrite it, so no breaker races the replace
+        under normal scheduling. The check-then-replace is NOT atomic,
+        so mutual exclusion is best-effort under clock stalls: a
+        renewer paused past the TTL (process freeze, slow disk) can
+        overwrite a breaker's fresh lease. That's acceptable — this
+        lock is an advisory throughput optimization layered over the
+        commit CAS, which stays the true linearization point; two
+        holders merely race the CAS like unlocked writers would."""
         while not stop.wait(self.ttl_sec / 3.0):
             if not self._owns(path, token):
                 return  # lease lost (broken externally) — stop renewing
@@ -111,7 +118,13 @@ class CommitLock:
                     os.unlink(tmp)
                     return
             except OSError:
-                return  # renewal is best-effort; holder falls back to TTL
+                # renewal is best-effort; holder falls back to TTL —
+                # but never leak the temp file
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                return
 
     @contextmanager
     def acquire(self, ident: str):

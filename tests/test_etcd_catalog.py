@@ -153,6 +153,63 @@ class TestNamespaces:
         with pytest.raises(NamespaceError):
             cat.list_tables("nope")
 
+    def test_delete_namespace_loses_race_to_create_table(self, cat, kv):
+        """A table committed BETWEEN delete_namespace's emptiness
+        check and its delete must fail the delete, not end up
+        registered under a deleted namespace: create_table's txn
+        bumps the ns key version, so the delete's version-CAS fails
+        and the retry's re-check reports not-empty (the reference
+        closes this window with the same etcd transaction)."""
+        cat.create_namespace("ns")
+
+        class RacingKV:
+            def __init__(self, inner, fire):
+                self.inner = inner
+                self.fire = fire
+                self.fired = False
+
+            def __getattr__(self, n):
+                return getattr(self.inner, n)
+
+            def txn(self, compares, ops):
+                if not self.fired and any(op[0] == "delete" for op in ops):
+                    self.fired = True
+                    self.fire()  # racer lands between check and CAS
+                return self.inner.txn(compares, ops)
+
+        cat.kv = RacingKV(kv, lambda: cat.create_table("ns.sneaky", schema=SCHEMA))
+        with pytest.raises(NamespaceError, match="not empty"):
+            cat.delete_namespace("ns")
+        # nothing orphaned: namespace still present, table loadable
+        assert cat.namespace_exists("ns")
+        assert cat.load_table("ns.sneaky").current_version() == 1
+
+    def test_create_table_loses_race_to_delete_namespace(self, cat, kv):
+        """The mirror race: delete_namespace lands between
+        create_table's namespace check and its registration txn — the
+        txn's ns-version compare sees the deleted key and create
+        fails with no orphan key."""
+        cat.create_namespace("ns")
+
+        class RacingKV:
+            def __init__(self, inner):
+                self.inner = inner
+                self.fired = False
+
+            def __getattr__(self, n):
+                return getattr(self.inner, n)
+
+            def txn(self, compares, ops):
+                if not self.fired and any(op[0] == "put" for op in ops):
+                    self.fired = True
+                    self.inner.delete("n/ns")
+                return self.inner.txn(compares, ops)
+
+        cat.kv = RacingKV(kv)
+        with pytest.raises(NamespaceError, match="no such namespace"):
+            cat.create_table("ns.t", schema=SCHEMA)
+        assert kv.get("t/ns/t") is None
+
 
 class TestTables:
     def test_create_load_drop(self, cat, tmp_path):
@@ -384,3 +441,20 @@ class TestEtcd3Binding:
     def test_kventry_shape(self):
         e = KVEntry("k", "v", 3)
         assert (e.key, e.value, e.version) == ("k", "v", 3)
+
+    def test_endpoint_parsing(self):
+        """ADVICE r7: 'https://host:2379' used to parse to
+        host='https://host' (never connects); extra endpoints were
+        silently dropped. urlsplit-based parsing handles both schemes
+        and bare host:port, and rejects multi-endpoint lists loudly."""
+        from ice_spark.catalog.etcd_catalog import Etcd3KV
+
+        p = Etcd3KV._parse_endpoint
+        assert p("http://h1:2379") == ("h1", 2379, False)
+        assert p("https://h1:2379") == ("h1", 2379, True)
+        assert p("h1:2380") == ("h1", 2380, False)
+        assert p("h1") == ("h1", 2379, False)
+        with pytest.raises(ValueError, match="exactly one endpoint"):
+            p("http://h1:2379,http://h2:2379")
+        with pytest.raises(ValueError, match="scheme"):
+            p("grpc://h1:2379")

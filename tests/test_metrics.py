@@ -250,6 +250,24 @@ class TestCommitLock:
                 with lock.acquire("ns.t"):
                     pass
 
+    def test_failed_renewal_does_not_leak_tmp_file(self, tmp_path, monkeypatch):
+        """ADVICE r7: an OSError during the lease renewal's os.replace
+        must not leave the .renew-<token> temp file behind."""
+        import glob
+        import os as _os
+
+        from ice_spark.rest import commit_lock as cl
+
+        def boom(src, dst):
+            raise OSError("disk says no")
+
+        lock = CommitLock(str(tmp_path), ttl_sec=0.15, acquire_timeout_sec=1)
+        with lock.acquire("ns.t"):
+            monkeypatch.setattr(cl.os, "replace", boom)
+            time.sleep(0.3)  # let at least one renewal cycle fire
+            assert glob.glob(str(tmp_path / "*.renew-*")) == []
+            monkeypatch.undo()
+
     def test_release_does_not_unlink_foreign_lease(self, tmp_path):
         """ADVICE r6 TOCTOU: if the holder's lease was lost and re-taken
         by another writer, exiting the context must NOT unlink the new

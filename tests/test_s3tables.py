@@ -130,6 +130,37 @@ class TestS3TablesClient:
         with pytest.raises(RuntimeError, match="credentials"):
             S3TablesClient(ARN)
 
+    def test_arn_prefix_is_one_fully_encoded_segment(self):
+        """RESTUtil semantics: the prefix path segment is fully
+        %-encoded — the ARN's 'bucket/<name>' slash must become %2F
+        (a raw slash splits the route on the real AWS endpoint)."""
+        c = S3TablesClient(ARN, access_key="AKID", secret_key="secret",
+                           uri="http://127.0.0.1:1")
+        path = c._p("/namespaces")
+        assert "%2F" in path and "%3A" in path
+        seg = path[len("/v1/"):-len("/namespaces")]
+        assert "/" not in seg and ":" not in seg
+
+    def test_explicit_prefix_skips_config_handshake(self):
+        """The constructor must not probe GET /v1/config when the
+        prefix is explicit: the managed endpoint 400s a config call
+        without ?warehouse=<arn>, which used to kill __init__ before
+        any verb ran. A dead endpoint proves no request is issued."""
+        c = S3TablesClient(ARN, access_key="AKID", secret_key="secret",
+                           uri="http://127.0.0.1:1")
+        assert c.prefix == ARN
+
+    def test_handshake_forwards_warehouse_param(self, tmp_path):
+        from ice_spark.rest import RestCatalogClient
+
+        cat = SqliteCatalog(None, str(tmp_path / "wh"))
+        srv = RestCatalogServer(cat, ServerConfig(anonymous=True)).start()
+        try:
+            c = RestCatalogClient(srv.url, warehouse="arn:aws:s3tables:x")
+            assert c.prefix == "ice"  # handshake still resolves prefix
+        finally:
+            srv.stop()
+
     def test_signed_round_trip_and_namespace_quirk(self, tmp_path):
         """Full client flow against a local REST server standing in
         for the AWS endpoint: every request carries SigV4 headers, and

@@ -74,6 +74,60 @@ class TestTables:
         with pytest.raises(NoSuchTableError):
             cat.load_table("ns.t1")
 
+    def test_stale_claim_reclaimed(self, cat, tmp_path):
+        """A crash between the claim COMMIT and Table.create leaves a
+        registry row whose storage doesn't exist. Once past the grace
+        period the row is a stale claim: load_table reclaims it
+        (NoSuchTableError, row gone) and create_table can re-use the
+        identifier (ADVICE r7)."""
+        import sqlite3 as _sq
+
+        cat.create_namespace("ns")
+        with _sq.connect(cat.db_path) as con:
+            con.execute(
+                "INSERT INTO tables (ident, ns, location, claimed_at) "
+                "VALUES ('ns.ghost', 'ns', ?, 1.0)",  # claimed long ago
+                (str(tmp_path / "wh" / "ns" / "ghost"),),
+            )
+        with pytest.raises(NoSuchTableError, match="reclaimed stale claim"):
+            cat.load_table("ns.ghost")
+        # the row is gone; the identifier is creatable again
+        t = cat.create_table("ns.ghost", schema=SCHEMA)
+        assert cat.load_table("ns.ghost").meta == t.meta
+
+    def test_stale_claim_reclaimed_by_create_directly(self, cat, tmp_path):
+        import sqlite3 as _sq
+
+        cat.create_namespace("ns")
+        with _sq.connect(cat.db_path) as con:
+            con.execute(
+                "INSERT INTO tables (ident, ns, location, claimed_at) "
+                "VALUES ('ns.ghost', 'ns', ?, 1.0)",
+                (str(tmp_path / "wh" / "ns" / "ghost"),),
+            )
+        t = cat.create_table("ns.ghost", schema=SCHEMA)
+        assert t.identifier == "ns.ghost"
+
+    def test_fresh_claim_is_not_reclaimed(self, cat, tmp_path):
+        """A claim inside the grace window may belong to an in-flight
+        Table.create in another process — it must NOT be stolen."""
+        import sqlite3 as _sq
+        import time as _t
+
+        cat.create_namespace("ns")
+        with _sq.connect(cat.db_path) as con:
+            con.execute(
+                "INSERT INTO tables (ident, ns, location, claimed_at) "
+                "VALUES ('ns.busy', 'ns', ?, ?)",
+                (str(tmp_path / "wh" / "ns" / "busy"), _t.time()),
+            )
+        with pytest.raises(ValueError, match="table exists"):
+            cat.create_table("ns.busy", schema=SCHEMA)
+        with pytest.raises(NoSuchTableError):
+            cat.load_table("ns.busy")
+        # the row survived (no reclaim message, still registered)
+        assert cat.table_exists("ns.busy")
+
     def test_duplicate_create_rejected(self, cat):
         cat.create_namespace("ns")
         cat.create_table("ns.t1", schema=SCHEMA)
