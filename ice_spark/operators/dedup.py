@@ -45,6 +45,20 @@ DEFAULT_MAX_BUCKET = 512
 # lsh_dropped_bucket_mass. Test-SF posting maxima are ~25 (measured at
 # sf0.1), so the default never triggers there and capped pipelines
 # stay hash-identical to their oracles.
+#
+# Regime note, measured on the 50x-replicated sf5 probe corpus (every
+# document is a 50-way near-dup group, so dup-group shingles carry
+# postings of ~50-1250 — adversarially close to the cap): with the
+# cap at 512 those shingles are dropped and d02's recall on that
+# corpus collapses to zero (honestly reported: 6.56M of 13.26M
+# posting rows in dropped mass); raising it to 2048 restores recall
+# but admits ~8 BILLION intermediate pair increments (10k keys x
+# ~780k pairs, 99.9% cross-group waste) — an 8g heap OOMs and a
+# cluster would just burn the same work. The cap is a BOILERPLATE
+# guard, not a dup-group mechanism: corpora whose duplicate groups
+# are themselves cap-sized belong on the MinHash-LSH path
+# (minhash_lsh_pairs / d04 — banding cost doesn't grow with
+# posting², and it finds that corpus's 6.7M pairs in ~19s at sf5).
 DEFAULT_MAX_POSTING = 512
 
 

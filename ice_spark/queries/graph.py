@@ -210,8 +210,13 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oriented edges), so no side is safely broadcastable — pin shuffle
     # joins instead of letting AQE's pre-execution estimates attempt a
     # driver-memory broadcast of a million-row build side (observed to
-    # OOM the broadcast at sf0.1 without the hints).
-    du, dv = deg.hint("shuffle_hash").alias("du"), deg.hint("shuffle_hash").alias("dv")
+    # OOM the broadcast at sf0.1 without the hints). The hint is MERGE,
+    # not shuffle_hash: a hub node keys all its oriented edges into one
+    # partition, and the per-task hash build of a skewed partition has
+    # no spill path — shuffle_hash OOMed the sf5 probe ("can't acquire
+    # 128MB to build hash relation") while sort-merge spills and lets
+    # AQE split skewed partitions.
+    du, dv = deg.hint("merge").alias("du"), deg.hint("merge").alias("dv")
     ann = e.join(du, F.col("u") == F.col("du.node")).join(dv, F.col("v") == F.col("dv.node"))
     u_first = (F.col("du.d") < F.col("dv.d")) | (
         (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
@@ -221,7 +226,7 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv.d")).otherwise(F.col("du.d")).alias("dst_d"),
     )
-    oriented = oriented.cache().hint("shuffle_hash")
+    oriented = oriented.cache().hint("merge")
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,

@@ -124,7 +124,10 @@ def test_latest_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
     "name,max_exchanges",
     [
         ("t11_pii_scrub", 1),  # map-only regex + one final agg
-        ("d08_contamination", 4),  # gram dedup + 2-sided join + agg
+        # r8: +3 exchanges for the per-side posting caps (each side's
+        # window count hash-partitions on g; the skew guard is worth
+        # the extra posting-relation shuffles)
+        ("d08_contamination", 7),  # gram dedup + caps + 2-sided join + agg
         ("v10_semantic_dedup", 3),  # assign is narrow; join + pairs
         ("v11_pq_adc_ann", 2),  # encode+ADC narrow; top-k window only
     ],
@@ -157,7 +160,9 @@ def test_lsh_cap_single_bucket_shuffle(spark, sf_dir):
         # the months x priorities rollup — bounded rows at any scale)
         ("w06_value_window_functions", 3),
         ("f13_array_ordinality", 1),  # per-order collect; posexplode is narrow
-        ("d10_duplicate_shingle_fraction", 2),  # posting count + per-doc agg
+        # r8: +2 for the posting cap's window (hash-partition on s +
+        # the freq join's re-exchange of the capped relation)
+        ("d10_duplicate_shingle_fraction", 4),  # cap + posting count + per-doc agg
     ],
 )
 def test_round4_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
@@ -314,13 +319,17 @@ def test_g02_triangle_joins_never_broadcast_graph_relations(spark, sf_dir):
     self-joins must be shuffle joins — a broadcast of the oriented
     relation OOMs the driver at scale (observed at sf0.1 pre-hint)."""
     a = _audit(spark, sf_dir, "g02_copurchase_triangles")
-    assert a.sort_merge_joins == 0, a.plan[:1500]
-    assert a.plan.count("ShuffledHashJoin") >= 3, a.plan[:1500]
+    assert a.sort_merge_joins >= 3, a.plan[:1500]
+    assert a.plan.count("ShuffledHashJoin") == 0, a.plan[:1500]
     # The static (pre-AQE) plan may still broadcast the lineitem
     # self-join side — AQE re-plans that from runtime sizes. What must
     # never be broadcast are the hinted graph relations; the hints are
-    # load-bearing (removing them OOMs the sf0.1 broadcast), and the
-    # ShuffledHashJoin count above is the observable they produce.
+    # load-bearing (removing them OOMs the sf0.1 broadcast), and they
+    # are MERGE hints, not shuffle_hash: the r8 sf5 probe showed the
+    # per-task hash build of a hub-skewed partition has no spill path
+    # (hard "can't acquire memory" crash), while sort-merge spills,
+    # AQE splits the skewed partitions, and the sf1 probe ran 3x
+    # faster (29s -> 9.6s). The SortMergeJoin count is the observable.
 
 
 def test_dq01_single_pass_per_table(spark, sf_dir):
