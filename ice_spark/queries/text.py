@@ -1918,6 +1918,114 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s13_oracle() -> str:
+    # Reuse d04's exact banded-MinHash pair spec as the edge source:
+    # take its oracle up to (and including) the `ver` CTE, then run
+    # the s11 split tail over those pairs. String surgery rather than
+    # a shared helper so d04's FROZEN oracle string stays
+    # byte-identical.
+    d04 = _d04_oracle()
+    ctes = d04[: d04.rindex("SELECT doc_a")].rstrip().rstrip(",")
+    ctes = ctes.replace("WITH docs AS", "WITH RECURSIVE docs AS", 1)
+    return f"""{ctes},
+    pairs AS (SELECT doc_a, doc_b FROM ver WHERE j >= 0.8),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u
+    ),
+    allc AS (
+      SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    sp AS (
+      SELECT doc_id, rep,
+             CASE WHEN list_reduce(list_prepend(CAST(7 AS BIGINT),
+                    list_transform(string_split(CAST(rep AS VARCHAR), ''),
+                                   ch -> CAST(ascii(ch) AS BIGINT))),
+                    (a, x) -> (a * 131 + x) % 1000000007) % 10000 < 1000
+                  THEN 'heldout' ELSE 'train' END AS split
+      FROM allc
+    ),
+    leaky AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_clusters
+      FROM (SELECT rep FROM sp GROUP BY rep HAVING COUNT(DISTINCT split) > 1)
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+           (SELECT n_leaky_clusters FROM leaky) AS n_leaky_clusters
+    FROM sp
+    GROUP BY split
+    ORDER BY split
+    """
+
+
+@register(
+    "s13_cluster_split_lsh",
+    _s13_oracle(),
+    doc="Leakage-safe train/heldout split over the MinHash-LSH pair "
+    "graph — s11's split tail composed with d04's banded candidate "
+    "generation instead of d02's inverted index. This IS the "
+    "100 TB composition for duplication-heavy corpora: the r8 sf5 "
+    "probe showed the inverted index's posting cap must choose "
+    "between zero recall and quadratic waste when duplicate groups "
+    "are cap-sized, while banding's cost is O(candidates) regardless "
+    "of posting skew (6.7M pairs in ~19s at sf5). The oracle reuses "
+    "d04's exact permutation/banding spec, replays the transitive "
+    "closure, and pins the split assignment and the zero-leak audit "
+    "bit-for-bit.",
+)
+def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.cluster import alternating_star_components
+    from ice_spark.operators.dedup import minhash_lsh_pairs
+    from ice_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", n_hashes=16, bands=8, threshold=0.8
+    )
+    comp = alternating_star_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("c_doc"), F.col("component").alias("rep0")
+    )
+    allc = docs.select("doc_id").join(
+        comp, F.col("doc_id") == F.col("c_doc"), "left"
+    ).select("doc_id", F.coalesce(F.col("rep0"), F.col("doc_id")).alias("rep"))
+    sp = allc.select(
+        "doc_id",
+        "rep",
+        F.when(hash_bucket(F.col("rep")) < 1000, F.lit("heldout"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    leaky = (
+        sp.groupBy("rep")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_leaky_clusters")
+        )
+    )
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("rep").alias("n_clusters"),
+        )
+        .crossJoin(leaky)
+        .select("split", "n_docs", "n_clusters", "n_leaky_clusters")
+        .orderBy("split")
+    )
+
+
 @register(
     "p03_dataset_card",
     f"""

@@ -59,6 +59,7 @@ AUDITED_BNLJ = {
     "s08_mixture_weights": 1,
     "s09_temperature_sampling": 1,
     "s11_cluster_disjoint_split": 1,
+    "s13_cluster_split_lsh": 1,  # 1-row leaky-audit aggregate crossJoin
     "t07_tfidf_top_terms": 1,
     "t08_unigram_logprob": 1,
     "t13_collocations": 1,

@@ -37,6 +37,7 @@ SENSITIVE = [
     "d04_minhash_lsh_pairs",  # banded LSH + shingle localCheckpoint
     "j02_salted_hot_key_join",  # salt fan-out must not change results
     "s11_cluster_disjoint_split",  # iterative connected components
+    "s13_cluster_split_lsh",  # CC over LSH pairs (same sensitivity)
 ]
 
 
