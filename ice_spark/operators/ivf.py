@@ -47,8 +47,12 @@ def _sq_dist(a, b):
 
 
 # Knuth multiplicative-hash constant for id-based seed selection.
-# NOTE: id * KNUTH must stay inside int64 — fine for ids < ~2^32; at
-# larger id spaces reduce the id mod 2^31 first.
+# The id is reduced mod 2^31 BEFORE the multiply: (id % 2^31) * KNUTH
+# tops out at ~5.7e18 < int64 max, so 64-bit ids (snowflake-style, or
+# the 49e9 ids of the 50x probe corpus) can't overflow ANSI
+# arithmetic — the r8 sf5 probe crashed v06/v10/v11 on exactly this
+# before the guard. For ids < 2^31 the reduction is the identity, so
+# every gate-SF result (ids <= 2000) is bit-identical.
 _SEED_HASH_MULT = 2654435761
 _SEED_HASH_MOD = 2147483648
 
@@ -82,7 +86,9 @@ def train_centroids(
     if id_col:
         seed_rows = (
             vecs.withColumn(
-                "__h", (F.col("__sid") * F.lit(_SEED_HASH_MULT)) % F.lit(_SEED_HASH_MOD)
+                "__h",
+                ((F.col("__sid") % F.lit(_SEED_HASH_MOD)) * F.lit(_SEED_HASH_MULT))
+                % F.lit(_SEED_HASH_MOD),
             )
             .orderBy("__h", "__sid")
             .limit(n_lists)

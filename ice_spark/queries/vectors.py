@@ -301,7 +301,7 @@ def _v06_oracle() -> str:
       SELECT lid, embedding FROM (
         SELECT vec_id, embedding,
                ROW_NUMBER() OVER (
-                 ORDER BY (vec_id * {_SEED_HASH_MULT}) % {_SEED_HASH_MOD}, vec_id
+                 ORDER BY ((vec_id % {_SEED_HASH_MOD}) * {_SEED_HASH_MULT}) % {_SEED_HASH_MOD}, vec_id
                ) - 1 AS lid
         FROM embeddings) t WHERE lid < 8
     ),
@@ -574,7 +574,7 @@ def _v10_oracle() -> str:
       SELECT lid, embedding FROM (
         SELECT vec_id, embedding,
                ROW_NUMBER() OVER (
-                 ORDER BY (vec_id * {_SEED_HASH_MULT}) % {_SEED_HASH_MOD}, vec_id
+                 ORDER BY ((vec_id % {_SEED_HASH_MOD}) * {_SEED_HASH_MULT}) % {_SEED_HASH_MOD}, vec_id
                ) - 1 AS lid
         FROM embeddings) t WHERE lid < 8
     ),
@@ -682,7 +682,7 @@ def _v11_oracle() -> str:
       SELECT kid, embedding FROM (
         SELECT vec_id, embedding,
                ROW_NUMBER() OVER (
-                 ORDER BY (vec_id * {_SEED_HASH_MULT}) % {_SEED_HASH_MOD}, vec_id
+                 ORDER BY ((vec_id % {_SEED_HASH_MOD}) * {_SEED_HASH_MULT}) % {_SEED_HASH_MOD}, vec_id
                ) - 1 AS kid
         FROM embeddings) t WHERE kid < {K}
     ),
