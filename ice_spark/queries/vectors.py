@@ -627,18 +627,31 @@ def _v10_oracle() -> str:
     "the candidate space to sum(cluster^2) — the standard embedding-"
     "dedup shape for a 100 TB corpus, where n_lists grows with n to "
     "keep clusters bounded. Pairs split across clusters are missed "
-    "by construction (documented SemDeDup trade).",
+    "by construction (documented SemDeDup trade). r8: clusters above "
+    "DEFAULT_MAX_BUCKET are dropped from the pair join — n_lists IS "
+    "the scale knob (size it to n/target_cluster so clusters sit "
+    "under the cap; n_lists*dim <= 1e7 per the IVF ceiling), and the "
+    "cap turns a mis-sized n_lists into bounded work + reported "
+    "dropped mass instead of a quadratic blowup (the r8 sf5 probe at "
+    "n_lists=8 ran 625M in-cluster cosines past the 590s budget; "
+    "capped, the worst case is 8 x 512²/2). No-op at gate SFs "
+    "(largest cluster 275 at sf0.1 — oracle untouched).",
 )
 def v10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.dedup import DEFAULT_MAX_BUCKET, _cap_buckets
     from ice_spark.operators.ivf import assign_lists, train_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = train_centroids(
         emb, "embedding", n_lists=8, iterations=1, id_col="vec_id"
     )
-    assigned = assign_lists(
-        emb.select("vec_id", "embedding"), "embedding", cents
-    ).select(F.col("__list").alias("lid"), "vec_id", "embedding")
+    assigned = _cap_buckets(
+        assign_lists(
+            emb.select("vec_id", "embedding"), "embedding", cents
+        ).select(F.col("__list").alias("lid"), "vec_id", "embedding"),
+        ["lid"],
+        DEFAULT_MAX_BUCKET,
+    )
     a = assigned.select(
         "lid", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("__va")
     )

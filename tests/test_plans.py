@@ -430,3 +430,27 @@ def test_round6_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
     assert a.shuffles <= max_exchanges, f"{name}: {a.shuffles} shuffles\n{a.plan[:2000]}"
     assert a.sort_merge_joins == 0
     assert "CartesianProduct" not in a.plan
+
+
+def test_v04_banded_neardup_is_keyed_not_allpairs(spark, sf_dir):
+    """v04 (r8 re-spec): candidates must come from (band, bucket)
+    equi-joins — zero BroadcastNestedLoopJoin (the old all-pairs
+    plan), zero CartesianProduct, zero SortMergeJoin at this SF, and
+    the bucket cap's window present."""
+    a = _audit(spark, sf_dir, "v04_cosine_neardup_pairs")
+    assert "BroadcastNestedLoopJoin" not in a.plan
+    assert "CartesianProduct" not in a.plan
+    assert a.sort_merge_joins == 0, a.plan[:1500]
+    assert a.shuffles <= 6, f"{a.shuffles} shuffles\n{a.plan[:2000]}"
+    assert "__bsz" in a.plan  # the banded-bucket cap
+
+
+def test_s13_lsh_split_shuffle_budget(spark, sf_dir):
+    """s13: d04's banding + one CC round's static plan + the split
+    tail. The only BNLJ is the 1-row leaky-audit aggregate crossJoin;
+    everything else is keyed."""
+    spark.catalog.clearCache()
+    a = _audit(spark, sf_dir, "s13_cluster_split_lsh")
+    assert "CartesianProduct" not in a.plan
+    assert a.plan.count("BroadcastNestedLoopJoin") <= 1
+    assert a.shuffles <= 11, f"{a.shuffles} shuffles\n{a.plan[:2000]}"
