@@ -316,6 +316,7 @@ def incremental_lsh_admission(
     bands: int = 8,
     threshold: float = 0.8,
     shingle_n: int = 3,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Admission-control dedup: decide, per incoming batch document,
     whether it is a near-duplicate of the EXISTING corpus (reference
@@ -329,7 +330,11 @@ def incremental_lsh_admission(
     side is small, and the join is batch-keys ⋈ corpus-keys on
     (band, key) — shuffle proportional to the BATCH, with the corpus
     side pruned to colliding keys. No batch-batch or corpus-corpus
-    pairs are ever formed."""
+    pairs are ever formed. The corpus side's degenerate band buckets
+    (boilerplate signatures shared by > max_bucket_size docs — a
+    B_k × C_k blowup under one join key) are dropped like d04's,
+    no-op at gate SFs; a batch doc colliding only there reports
+    fewer candidates, through its other bands otherwise."""
     assert n_hashes % bands == 0
     r = n_hashes // bands
 
@@ -348,7 +353,10 @@ def incremental_lsh_admission(
 
     cands = (
         bucketize(batch, "__id")
-        .join(bucketize(corpus, "__cid"), ["band", "key"])
+        .join(
+            _cap_buckets(bucketize(corpus, "__cid"), ["band", "key"], max_bucket_size),
+            ["band", "key"],
+        )
         .select("__id", "__cid")
         .distinct()
     )

@@ -2448,6 +2448,7 @@ def c03(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ice_spark.functions.text import char_hash
+    from ice_spark.operators.dedup import cap_postings
 
     docs = load_table(spark, sf_dir, "documents")
     from ice_spark.functions.text import tokens
@@ -2457,7 +2458,13 @@ def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(7).cast("long"),
         lambda acc, h: (acc * 1000003 + h) % 1_000_000_007,
     )
-    fps = docs.select("doc_id", "source", prefix_fp.alias("fp"))
+    # A boilerplate 8-token opening shared by p docs is p²/2 pairs
+    # under one fp key — same skew class as the shingle postings, so
+    # same cap (no-op at every test SF: max fp group is 4 even on the
+    # 50x probe corpus).
+    fps = cap_postings(
+        docs.select("doc_id", "source", prefix_fp.alias("fp")), ["fp"]
+    )
     a = fps.select(
         F.col("doc_id").alias("id_a"), F.col("source").alias("source_a"), F.col("fp")
     )
