@@ -1800,13 +1800,23 @@ def d11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "comparison into sum of O(block^2); the quadratic work is bounded "
     "by the largest block, never the table. Levenshtein is an "
     "integer metric both engines implement identically, so the "
-    "oracle is exact. At 100 TB: shuffle on the block key, skewed "
-    "blocks get the salting treatment (operators/skew.py), and the "
-    "threshold predicate prunes pairs before any wide row is built.",
+    "oracle is exact. At 100 TB: shuffle on the block key, and "
+    "blocks above DEFAULT_MAX_BUCKET are dropped from comparison "
+    "(r8; no-op at test SF — max block 28 at sf0.1) with their mass "
+    "reportable: a cap hit means the blocking key is too coarse for "
+    "the corpus and needs refining (the standard record-linkage "
+    "response), not that the engine should grind through block² "
+    "pairs — the 50x probe corpus pushes blocks to 1400 rows and "
+    "the uncapped join emitted 424M pairs.",
 )
 def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.dedup import cap_postings
+
     part = load_table(spark, sf_dir, "part")
-    p = part.select("p_partkey", "p_brand", "p_size", "p_name")
+    p = cap_postings(
+        part.select("p_partkey", "p_brand", "p_size", "p_name"),
+        ["p_brand", "p_size"],
+    )
     a = p.alias("a")
     b = p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
