@@ -163,7 +163,7 @@ def build_parser() -> argparse.ArgumentParser:
                     "main does not advance until `publish`")
     sp.add_argument("--compression", default="gzip")
     sp.add_argument("--format", dest="input_format", default="parquet",
-                    choices=["parquet", "csv", "json"])
+                    choices=["parquet", "csv", "json", "orc", "avro"])
     sp.add_argument("--file-naming", dest="file_naming", default="default",
                     choices=["default", "preserve"],
                     help="preserve = keep source basenames (PRESERVE_ORIGINAL)")

@@ -46,7 +46,7 @@ COMPRESSIONS = {"gzip", "zstd", "snappy", "lz4", "uncompressed", "none"}
 # beyond-reference convenience for landing raw exports (large-scale
 # corpora routinely arrive as ORC from Hive-era pipelines). Data
 # always lands in the table as Parquet regardless of input format.
-FORMATS = {"parquet", "csv", "json", "orc"}
+FORMATS = {"parquet", "csv", "json", "orc", "avro"}
 
 
 def read_input(spark, path: str, fmt: str = "parquet"):
@@ -59,7 +59,69 @@ def read_input(spark, path: str, fmt: str = "parquet"):
         return spark.read.json(path)
     if fmt == "orc":
         return spark.read.orc(path)
+    if fmt == "avro":
+        return _read_avro(spark, path)
     raise ValueError(f"unsupported input format {fmt!r} (one of {sorted(FORMATS)})")
+
+
+def _read_avro(spark, path: str):
+    """Avro container ingest through the repo's own pure-Python codec
+    (sources/avro_io.py — no spark-avro package in this environment).
+    The schema comes from the container header on the driver (KBs);
+    record decode runs EXECUTOR-side: binaryFile ships each file's
+    bytes to a task and mapInPandas decodes there, so the driver
+    never holds row data and multiple input files decode in
+    parallel. One file = one decode task (fine for the ingest
+    surface, where inputs are file-sized; the data plane stays
+    parquet after ingest)."""
+    import pandas as pd
+
+    from ice_spark.sources.avro_io import avro_schema_to_spark, read_container_bytes
+
+    schema_json, _, _ = _avro_header(path)
+    spark_schema = avro_schema_to_spark(schema_json)
+    names = [f.name for f in spark_schema.fields]
+
+    def decode(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                _, _, records = read_container_bytes(bytes(row["content"]))
+                yield pd.DataFrame(
+                    {n: [r.get(n) for r in records] for n in names}
+                )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .mapInPandas(decode, schema=spark_schema)
+    )
+
+
+def _avro_header(path: str):
+    """Container header only (schema + metadata) — no record decode."""
+    import io as _io
+    import json as _json
+
+    from ice_spark.sources.avro_io import MAGIC, read_bytes, read_long
+
+    with open(path, "rb") as f:
+        head = f.read(1 << 20)  # header is KBs; 1MB is generous
+    buf = _io.BytesIO(head)
+    if buf.read(4) != MAGIC:
+        raise ValueError(f"{path}: not an avro container file")
+    meta = {}
+    while True:
+        n = read_long(buf)
+        if n == 0:
+            break
+        if n < 0:
+            read_long(buf)
+            n = -n
+        for _ in range(n):
+            k = read_bytes(buf).decode("utf-8")
+            meta[k] = read_bytes(buf)
+    return _json.loads(meta["avro.schema"].decode("utf-8")), meta, None
 
 
 class DuplicateInputError(ValueError):

@@ -322,3 +322,70 @@ def read_container(path: str) -> tuple[dict, dict[str, bytes], list[dict]]:
         if marker != sync:
             raise ValueError(f"{path}: bad sync marker")
     return schema, meta, records
+
+
+def read_container_bytes(data: bytes) -> tuple[dict, dict[str, bytes], list[dict]]:
+    """read_container over in-memory bytes (executor-side decode path:
+    ingest --format avro ships file bytes to tasks via binaryFile and
+    decodes there, keeping the driver out of the data plane)."""
+    import tempfile
+
+    # reuse the file reader's logic without duplicating it
+    with tempfile.NamedTemporaryFile(suffix=".avro") as tmp:
+        tmp.write(data)
+        tmp.flush()
+        return read_container(tmp.name)
+
+
+def avro_schema_to_spark(schema):
+    """Map the codec's Avro schema subset onto a Spark type.
+
+    Supports what write_datum/read_datum support: primitives,
+    record/array/map/fixed/enum, and 2-branch unions with null
+    (nullable fields). Anything else raises — the ingest gate should
+    fail loudly, not guess.
+    """
+    from pyspark.sql import types as T
+
+    def conv(s):
+        if isinstance(s, list):  # union
+            branches = [b for b in s if b != "null"]
+            if len(branches) != 1:
+                raise ValueError(f"unsupported avro union: {s}")
+            t, _ = conv(branches[0])
+            return t, True
+        if isinstance(s, dict):
+            typ = s["type"]
+            if typ == "record":
+                fields = []
+                for f in s["fields"]:
+                    t, nullable = conv(f["type"])
+                    fields.append(T.StructField(f["name"], t, nullable))
+                return T.StructType(fields), False
+            if typ == "array":
+                t, nullable = conv(s["items"])
+                return T.ArrayType(t, containsNull=nullable), False
+            if typ == "map":
+                t, nullable = conv(s["values"])
+                return T.MapType(T.StringType(), t, valueContainsNull=nullable), False
+            if typ == "fixed":
+                return T.BinaryType(), False
+            if typ == "enum":
+                return T.StringType(), False
+            return conv(typ)
+        prim = {
+            "null": T.NullType(),
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "bytes": T.BinaryType(),
+            "string": T.StringType(),
+        }
+        if s in prim:
+            return prim[s], s == "null"
+        raise ValueError(f"unsupported avro type: {s!r}")
+
+    t, _ = conv(schema)
+    return t
