@@ -322,7 +322,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("table")
     sp.add_argument("dest")
     sp.add_argument("--format", dest="out_format", default="parquet",
-                    choices=["parquet", "csv", "json"])
+                    choices=["parquet", "csv", "json", "avro"])
     sp.add_argument("--snapshot", type=int, default=None)
     sp.add_argument("--compression", default="zstd")
 
@@ -782,11 +782,19 @@ def main(argv: list[str] | None = None) -> int:
         codec = args.compression
         if args.out_format != "parquet" and codec == "zstd":
             codec = "gzip"  # text codecs: Spark csv/json writers lack zstd
-        w = df.write.mode("overwrite").option("compression", codec)
-        if args.out_format == "csv":
-            w = w.option("header", "true")
-        getattr(w, args.out_format)(args.dest)
-        out = {"exported": args.table, "dest": args.dest, "format": args.out_format}
+        if args.out_format == "avro":
+            # own-codec container shards, executor-side (no spark-avro)
+            from ice_spark.sources.avro_io import export_avro
+
+            n = export_avro(df, args.dest)
+            out = {"exported": args.table, "dest": args.dest,
+                   "format": "avro", "shards": n}
+        else:
+            w = df.write.mode("overwrite").option("compression", codec)
+            if args.out_format == "csv":
+                w = w.option("header", "true")
+            getattr(w, args.out_format)(args.dest)
+            out = {"exported": args.table, "dest": args.dest, "format": args.out_format}
     elif args.cmd == "export-iceberg":
         from ice_spark.catalog.iceberg_export import export_iceberg
 

@@ -78,7 +78,20 @@ def _read_avro(spark, path: str):
 
     from ice_spark.sources.avro_io import avro_schema_to_spark, read_container_bytes
 
-    schema_json, _, _ = _avro_header(path)
+    # the schema comes from the first matching file's header (ingest
+    # inputs share a schema — the schema gate enforces it downstream);
+    # binaryFile handles the glob itself for the data read
+    header_path = path
+    if not os.path.isfile(header_path):
+        import glob as _glob
+
+        matches = sorted(_glob.glob(path)) or sorted(
+            _glob.glob(os.path.join(path, "*.avro"))
+        )
+        if not matches:
+            raise FileNotFoundError(f"no avro input matches {path!r}")
+        header_path = matches[0]
+    schema_json, _, _ = _avro_header(header_path)
     spark_schema = avro_schema_to_spark(schema_json)
     names = [f.name for f in spark_schema.fields]
 

@@ -389,3 +389,95 @@ def avro_schema_to_spark(schema):
 
     t, _ = conv(schema)
     return t
+
+
+def spark_schema_to_avro(schema, name: str = "row") -> dict:
+    """Reverse of avro_schema_to_spark: map a Spark StructType onto
+    the codec's Avro subset. Nullable fields become ["null", T]
+    unions; timestamps/dates become long/int with the standard
+    logicalType annotations (annotation-only for this codec — the
+    binary encoding is the underlying primitive)."""
+    from pyspark.sql import types as T
+
+    counter = [0]
+
+    def conv(t, nullable: bool):
+        if isinstance(t, T.StructType):
+            counter[0] += 1
+            s = {
+                "type": "record",
+                "name": f"{name}_{counter[0]}",
+                "fields": [
+                    {"name": f.name, "type": conv(f.dataType, f.nullable)}
+                    for f in t.fields
+                ],
+            }
+        elif isinstance(t, T.ArrayType):
+            s = {"type": "array", "items": conv(t.elementType, t.containsNull)}
+        elif isinstance(t, T.MapType):
+            if not isinstance(t.keyType, T.StringType):
+                raise ValueError("avro maps need string keys")
+            s = {"type": "map", "values": conv(t.valueType, t.valueContainsNull)}
+        elif isinstance(t, T.LongType):
+            s = "long"
+        elif isinstance(t, T.IntegerType) or isinstance(t, T.ShortType):
+            s = "int"
+        elif isinstance(t, T.DoubleType):
+            s = "double"
+        elif isinstance(t, T.FloatType):
+            s = "float"
+        elif isinstance(t, T.BooleanType):
+            s = "boolean"
+        elif isinstance(t, T.StringType):
+            s = "string"
+        elif isinstance(t, T.BinaryType):
+            s = "bytes"
+        elif isinstance(t, T.TimestampType):
+            s = {"type": "long", "logicalType": "timestamp-micros"}
+        elif isinstance(t, T.DateType):
+            s = {"type": "int", "logicalType": "date"}
+        else:
+            raise ValueError(f"unsupported spark type for avro export: {t}")
+        return ["null", s] if nullable else s
+
+    fields = [
+        {"name": f.name, "type": conv(f.dataType, f.nullable)} for f in schema.fields
+    ]
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def export_avro(df, dest: str) -> int:
+    """Write a DataFrame as Avro container shards through this codec
+    (no spark-avro package). EXECUTOR-side: each partition writes its
+    own `part-<pid>.avro` under `dest` — the driver never holds row
+    data; shard count = partition count, the usual Spark sink
+    contract. Returns the number of shards written."""
+    import datetime
+    import os as _os
+
+    schema = spark_schema_to_avro(df.schema)
+    _os.makedirs(dest, exist_ok=True)
+
+    def _plain(v):
+        if isinstance(v, datetime.datetime):
+            return int(v.timestamp() * 1_000_000)
+        if isinstance(v, datetime.date):
+            return (v - datetime.date(1970, 1, 1)).days
+        if isinstance(v, dict):
+            return {k: _plain(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [_plain(x) for x in v]
+        return v
+
+    def write_shard(pid, rows):
+        records = [
+            {k: _plain(v) for k, v in r.asDict(recursive=True).items()} for r in rows
+        ]
+        if not records:
+            return iter([])
+        path = _os.path.join(dest, f"part-{pid:05d}.avro")
+        write_container(path, schema, records)
+        return iter([path])
+
+    written = df.rdd.mapPartitionsWithIndex(write_shard).collect()
+    return len(written)
