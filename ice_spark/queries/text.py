@@ -1212,7 +1212,7 @@ def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
       SELECT doc_id,
-             CASE WHEN (doc_id * 2654435761) % 2147483648 % 10 = 0
+             CASE WHEN ((doc_id % 2147483648) * 2654435761) % 2147483648 % 10 = 0
                   THEN 'eval' ELSE 'train' END AS split,
              list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS t
       FROM documents
@@ -1242,7 +1242,12 @@ def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
     "index explodes once per distinct gram, not per occurrence). "
     "Each side's gram posting list is capped at DEFAULT_MAX_POSTING "
     "(a gram in every doc would join |eval|×|train| rows under one "
-    "key); the cap never triggers at test SF.",
+    "key); the cap never triggers at test SF. The split hash "
+    "reduces doc_id mod 2^31 BEFORE the Knuth multiply (identity "
+    "for ids < 2^31, so gate-SF results are bit-identical) so the "
+    "product stays under 2^62 and cannot overflow int64 under ANSI "
+    "even for snowflake-scale 64-bit ids — same guard as the "
+    "v06/v10/v11 seed hash (operators/ivf.py:50).",
 )
 def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ice_spark.operators.dedup import cap_postings
@@ -1252,7 +1257,7 @@ def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = doc.select(
         "doc_id",
         F.expr(
-            "CASE WHEN (doc_id * 2654435761) % 2147483648 % 10 = 0 "
+            "CASE WHEN ((doc_id % 2147483648) * 2654435761) % 2147483648 % 10 = 0 "
             "THEN 'eval' ELSE 'train' END"
         ).alias("split"),
         F.expr(toks).alias("t"),

@@ -30,8 +30,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 # Known-heavy at 50x: the d02-pair consumers are workload-bound
-# (240-360s each, measured r8) and d08 has the documented frozen-
-# oracle id-hash ceiling — skip them by default in --sweep.
+# (240-360s each, measured r8) — skip them by default in --sweep.
+# d08 left the skip list in r9: its split hash now carries the
+# (id % 2^31) * KNUTH overflow guard and runs clean at 49e9-id scale.
 DEFAULT_SWEEP_SKIP = {
     "d02_ngram_jaccard_pairs",
     "d07_containment_pairs",
@@ -39,7 +40,6 @@ DEFAULT_SWEEP_SKIP = {
     "d06_neardup_clusters",
     "d09_canonical_selection",
     "d16_dedup_policy_simulator",
-    "d08_contamination",
 }
 
 
