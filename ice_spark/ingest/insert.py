@@ -85,30 +85,45 @@ def _read_avro(spark, path: str):
     if not os.path.isfile(header_path):
         import glob as _glob
 
-        matches = sorted(_glob.glob(path)) or sorted(
-            _glob.glob(os.path.join(path, "*.avro"))
-        )
+        if os.path.isdir(path):
+            matches = sorted(_glob.glob(os.path.join(path, "*.avro")))
+        else:
+            # a glob pattern; a literal match on a directory falls
+            # through to that directory's *.avro files
+            matches = [
+                p
+                for p in sorted(_glob.glob(path))
+                if os.path.isfile(p)
+            ] or sorted(_glob.glob(os.path.join(path, "*.avro")))
         if not matches:
             raise FileNotFoundError(f"no avro input matches {path!r}")
         header_path = matches[0]
     schema_json, _, _ = _avro_header(header_path)
     spark_schema = avro_schema_to_spark(schema_json)
     names = [f.name for f in spark_schema.fields]
+    from ice_spark.sources.avro_io import has_logical_types
+
+    logical = has_logical_types(schema_json)
 
     def decode(batches):
+        from ice_spark.sources.avro_io import decode_logical
+
         for pdf in batches:
             for _, row in pdf.iterrows():
                 _, _, records = read_container_bytes(bytes(row["content"]))
+                if logical:
+                    records = [decode_logical(r, schema_json) for r in records]
                 yield pd.DataFrame(
                     {n: [r.get(n) for r in records] for n in names}
                 )
 
-    return (
-        spark.read.format("binaryFile")
-        .load(path)
-        .select("content")
-        .mapInPandas(decode, schema=spark_schema)
-    )
+    reader = spark.read.format("binaryFile")
+    if os.path.isdir(path):
+        # match the header-selection glob: a directory input may hold
+        # non-avro files (_SUCCESS markers, .crc) that would fail the
+        # whole decode with a bad-magic error
+        reader = reader.option("pathGlobFilter", "*.avro")
+    return reader.load(path).select("content").mapInPandas(decode, schema=spark_schema)
 
 
 def _avro_header(path: str):

@@ -230,6 +230,78 @@ def read_datum(buf: io.BytesIO, schema, named: dict | None = None):
 # ---------------------------------------------------------------------------
 
 
+class ContainerWriter:
+    """Streaming Avro object-container writer: header up front, then
+    one data block per `append_block` call, close() publishes the file
+    atomically (tmp + rename). Memory is bounded by one block's
+    records — the whole point for executor-side data exports, where a
+    partition can be hundreds of MBs but an Arrow batch is ~10k rows.
+
+    `sync` is derivable from the path for deterministic output
+    (tests); callers that need uniqueness pass their own."""
+
+    def __init__(
+        self,
+        path: str,
+        schema: dict,
+        metadata: dict[str, str] | None = None,
+        codec: str = "deflate",
+        sync: bytes | None = None,
+    ) -> None:
+        if codec not in ("deflate", "null"):
+            raise ValueError(f"unsupported codec {codec!r}")
+        if sync is None:
+            # deterministic but path-dependent; any 16 bytes are legal
+            import hashlib
+
+            sync = hashlib.sha256(path.encode()).digest()[:16]
+        self.path = path
+        self.schema = schema
+        self.codec = codec
+        self.sync = sync
+        self._named: dict = {}
+        self._tmp = f"{path}.tmp.{os.getpid()}"
+        self._f = open(self._tmp, "wb")
+        header = io.BytesIO()
+        header.write(MAGIC)
+        meta = {"avro.schema": json.dumps(schema), "avro.codec": codec}
+        meta.update(metadata or {})
+        write_long(header, len(meta))
+        for k, v in meta.items():
+            write_bytes(header, k.encode("utf-8"))
+            write_bytes(header, v.encode("utf-8") if isinstance(v, str) else v)
+        write_long(header, 0)
+        header.write(sync)
+        self._f.write(header.getvalue())
+
+    def append_block(self, records: list[dict]) -> None:
+        if not records:
+            return
+        payload = io.BytesIO()
+        for rec in records:
+            write_datum(payload, self.schema, rec, self._named)
+        raw = payload.getvalue()
+        if self.codec == "deflate":
+            raw = zlib.compress(raw)[2:-4]  # avro: raw deflate, no zlib wrapper
+        block = io.BytesIO()
+        write_long(block, len(records))
+        write_long(block, len(raw))
+        block.write(raw)
+        block.write(self.sync)
+        self._f.write(block.getvalue())
+
+    def close(self) -> None:
+        self._f.close()
+        os.replace(self._tmp, self.path)
+
+    def abort(self) -> None:
+        self._f.close()
+        try:
+            os.unlink(self._tmp)
+        except OSError:
+            pass
+
+
 def write_container(
     path: str,
     schema: dict,
@@ -238,47 +310,15 @@ def write_container(
     codec: str = "deflate",
     sync: bytes | None = None,
 ) -> None:
-    """Write an Avro object container file. `sync` is derivable from
-    the path for deterministic output (tests); callers that need
-    uniqueness pass their own."""
-    if sync is None:
-        # deterministic but path-dependent; any 16 bytes are legal
-        import hashlib
-
-        sync = hashlib.sha256(path.encode()).digest()[:16]
-    header = io.BytesIO()
-    header.write(MAGIC)
-    meta = {"avro.schema": json.dumps(schema), "avro.codec": codec}
-    meta.update(metadata or {})
-    write_long(header, len(meta))
-    for k, v in meta.items():
-        write_bytes(header, k.encode("utf-8"))
-        write_bytes(header, v.encode("utf-8") if isinstance(v, str) else v)
-    write_long(header, 0)
-    header.write(sync)
-
-    payload = io.BytesIO()
-    named: dict = {}
-    for rec in records:
-        write_datum(payload, schema, rec, named)
-    raw = payload.getvalue()
-    if codec == "deflate":
-        raw = zlib.compress(raw)[2:-4]  # avro: raw deflate, no zlib header/crc
-    elif codec != "null":
-        raise ValueError(f"unsupported codec {codec!r}")
-
-    body = io.BytesIO()
-    if records:
-        write_long(body, len(records))
-        write_long(body, len(raw))
-        body.write(raw)
-        body.write(sync)
-
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "wb") as f:
-        f.write(header.getvalue())
-        f.write(body.getvalue())
-    os.replace(tmp, path)
+    """Write an Avro object container file in one block (metadata-plane
+    convenience over ContainerWriter; manifests are KBs-to-MBs)."""
+    w = ContainerWriter(path, schema, metadata=metadata, codec=codec, sync=sync)
+    try:
+        w.append_block(records)
+    except BaseException:
+        w.abort()
+        raise
+    w.close()
 
 
 def read_container(path: str) -> tuple[dict, dict[str, bytes], list[dict]]:
@@ -356,6 +396,11 @@ def avro_schema_to_spark(schema):
             return t, True
         if isinstance(s, dict):
             typ = s["type"]
+            lt = s.get("logicalType")
+            if lt in ("timestamp-micros", "timestamp-millis") and typ == "long":
+                return T.TimestampType(), False
+            if lt == "date" and typ == "int":
+                return T.DateType(), False
             if typ == "record":
                 fields = []
                 for f in s["fields"]:
@@ -389,6 +434,61 @@ def avro_schema_to_spark(schema):
 
     t, _ = conv(schema)
     return t
+
+
+def has_logical_types(s) -> bool:
+    """True when the schema carries any timestamp/date logicalType the
+    reader must decode (lets hot paths skip the converter entirely)."""
+    if isinstance(s, list):
+        return any(has_logical_types(b) for b in s)
+    if isinstance(s, dict):
+        if s.get("logicalType") in ("timestamp-micros", "timestamp-millis", "date"):
+            return True
+        typ = s["type"]
+        if typ == "record":
+            return any(has_logical_types(f["type"]) for f in s["fields"])
+        if typ == "array":
+            return has_logical_types(s["items"])
+        if typ == "map":
+            return has_logical_types(s["values"])
+        return has_logical_types(typ)
+    return False
+
+
+def decode_logical(v, s):
+    """Recursively convert logical-typed raw values (epoch micros/
+    millis longs, epoch-day ints) into datetime/date objects, guided
+    by the schema. Identity for everything else."""
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(s, list):
+        s = next(x for x in s if x != "null")
+    if isinstance(s, dict):
+        lt = s.get("logicalType")
+        if lt == "timestamp-micros":
+            return datetime.datetime.fromtimestamp(v // 1_000_000) + datetime.timedelta(
+                microseconds=v % 1_000_000
+            )
+        if lt == "timestamp-millis":
+            return datetime.datetime.fromtimestamp(v // 1_000) + datetime.timedelta(
+                milliseconds=v % 1_000
+            )
+        if lt == "date":
+            return datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+        typ = s["type"]
+        if typ == "record":
+            return {
+                f["name"]: decode_logical(v.get(f["name"]), f["type"])
+                for f in s["fields"]
+            }
+        if typ == "array":
+            return [decode_logical(x, s["items"]) for x in v]
+        if typ == "map":
+            return {k: decode_logical(x, s["values"]) for k, x in v.items()}
+        return decode_logical(v, typ)
+    return v
 
 
 def spark_schema_to_avro(schema, name: str = "row") -> dict:
@@ -446,38 +546,161 @@ def spark_schema_to_avro(schema, name: str = "row") -> dict:
     return {"type": "record", "name": name, "fields": fields}
 
 
-def export_avro(df, dest: str) -> int:
-    """Write a DataFrame as Avro container shards through this codec
-    (no spark-avro package). EXECUTOR-side: each partition writes its
-    own `part-<pid>.avro` under `dest` — the driver never holds row
-    data; shard count = partition count, the usual Spark sink
-    contract. Returns the number of shards written."""
+def _avro_normalize(v, s):
+    """Map an Arrow-materialized Python value onto what write_datum
+    expects, guided by the Avro schema node: pyarrow 16 yields maps as
+    [(k, v), ...] tuple lists, timestamps as datetimes, dates as
+    date objects."""
     import datetime
-    import os as _os
+
+    if v is None:
+        return None
+    if isinstance(s, list):  # union — normalize against the non-null branch
+        s = next(x for x in s if x != "null")
+    t = s["type"] if isinstance(s, dict) else s
+    if t == "record":
+        return {
+            f["name"]: _avro_normalize(v.get(f["name"]), f["type"])
+            for f in s["fields"]
+        }
+    if t == "array":
+        return [_avro_normalize(x, s["items"]) for x in v]
+    if t == "map":
+        items = v.items() if isinstance(v, dict) else v
+        return {k: _avro_normalize(x, s["values"]) for k, x in items}
+    if t == "long" and isinstance(v, datetime.datetime):
+        return int(v.timestamp() * 1_000_000)
+    if t == "int" and isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    return v
+
+
+# Export destination routing: scheme -> (make_put, clear).
+#   make_put(dest) -> put(shard_name, data: bytes) -> url   (or None for
+#   direct local writes); the returned put must be PICKLABLE and build
+#   any provider client lazily INSIDE the call — it runs in the
+#   executor's Python worker, which re-imports this module fresh.
+#   clear(dest) removes pre-existing part-*.avro shards (Spark
+#   mode("overwrite") semantics — without it a re-export with fewer
+#   partitions leaves stale shards that re-ingest as duplicate rows).
+_EXPORT_SCHEMES: dict = {}
+
+
+def register_export_scheme(scheme: str, make_put, clear) -> None:
+    _EXPORT_SCHEMES[scheme] = (make_put, clear)
+
+
+def _local_dir(dest: str) -> str:
+    return dest[len("file://") :] if dest.startswith("file://") else dest
+
+
+def _clear_local(dest: str) -> None:
+    import glob as _glob
+
+    for p in _glob.glob(os.path.join(_local_dir(dest), "part-*.avro")):
+        os.unlink(p)
+
+
+def _s3_put_factory(dest: str):
+    def put(name: str, data: bytes) -> str:
+        from ice_spark.sources.s3 import new_s3_client, parse_s3_uri
+
+        url = dest.rstrip("/") + "/" + name
+        bp = parse_s3_uri(url)
+        new_s3_client().put_object(Bucket=bp.bucket, Key=bp.key, Body=data)
+        return url
+
+    return put
+
+
+def _s3_clear(dest: str) -> None:
+    from ice_spark.sources.s3 import list_wildcard, new_s3_client, parse_s3_uri
+
+    client = new_s3_client()
+    for url in list_wildcard(client, dest.rstrip("/") + "/part-*.avro"):
+        bp = parse_s3_uri(url)
+        client.delete_object(Bucket=bp.bucket, Key=bp.key)
+
+
+def export_avro(df, dest: str, codec: str = "deflate", overwrite: bool = True) -> int:
+    """Write a DataFrame as Avro container shards through this codec
+    (no spark-avro package). Arrow path end to end: `mapInArrow`
+    streams each partition's RecordBatches into a ContainerWriter —
+    one Avro block per Arrow batch, so executor memory is bounded by a
+    batch, never the partition — and the driver only ever sees one
+    (path, rows) row per shard. Destination is scheme-routed: bare /
+    file:// paths write executor-locally (single-node or shared-fs
+    deployments), s3:// (and any register_export_scheme scheme)
+    spools the shard to executor-local tmp then uploads, so `dest`
+    is NOT executor-local disk on a real cluster. `overwrite=True`
+    clears pre-existing part-*.avro first (Spark mode("overwrite")
+    semantics); overwrite=False refuses a dest that already has
+    shards. Returns the number of shards written (empty partitions
+    write none)."""
+    scheme = dest.split("://", 1)[0] if "://" in dest else "file"
+    if scheme in _EXPORT_SCHEMES:
+        make_put, clear = _EXPORT_SCHEMES[scheme]
+    elif scheme == "file":
+        make_put, clear = None, _clear_local
+    elif scheme == "s3":
+        make_put, clear = _s3_put_factory, _s3_clear
+    else:
+        raise ValueError(
+            f"unsupported avro export scheme {scheme!r} "
+            "(register one with register_export_scheme)"
+        )
+    if overwrite:
+        clear(dest)
+    elif make_put is None:
+        import glob as _glob
+
+        existing = _glob.glob(os.path.join(_local_dir(dest), "part-*.avro"))
+        if existing:
+            raise FileExistsError(
+                f"{dest} already has {len(existing)} avro shard(s); "
+                "pass overwrite=True to replace them"
+            )
 
     schema = spark_schema_to_avro(df.schema)
-    _os.makedirs(dest, exist_ok=True)
+    fields = [(f["name"], f["type"]) for f in schema["fields"]]
+    local_dir = _local_dir(dest) if make_put is None else None
+    put = make_put(dest) if make_put is not None else None
 
-    def _plain(v):
-        if isinstance(v, datetime.datetime):
-            return int(v.timestamp() * 1_000_000)
-        if isinstance(v, datetime.date):
-            return (v - datetime.date(1970, 1, 1)).days
-        if isinstance(v, dict):
-            return {k: _plain(x) for k, x in v.items()}
-        if isinstance(v, (list, tuple)):
-            return [_plain(x) for x in v]
-        return v
+    def write_partition(batches):
+        import pyarrow as pa
+        from pyspark import TaskContext
 
-    def write_shard(pid, rows):
-        records = [
-            {k: _plain(v) for k, v in r.asDict(recursive=True).items()} for r in rows
-        ]
-        if not records:
-            return iter([])
-        path = _os.path.join(dest, f"part-{pid:05d}.avro")
-        write_container(path, schema, records)
-        return iter([path])
+        name = f"part-{TaskContext.get().partitionId():05d}.avro"
+        writer = None
+        target = None
+        n = 0
+        for batch in batches:
+            rows = batch.to_pylist()
+            if not rows:
+                continue
+            if writer is None:
+                if put is None:
+                    os.makedirs(local_dir, exist_ok=True)
+                    target = os.path.join(local_dir, name)
+                else:
+                    import tempfile
 
-    written = df.rdd.mapPartitionsWithIndex(write_shard).collect()
-    return len(written)
+                    fd, target = tempfile.mkstemp(suffix=".avro")
+                    os.close(fd)
+                writer = ContainerWriter(target, schema, codec=codec)
+            writer.append_block(
+                [{k: _avro_normalize(r.get(k), s) for k, s in fields} for r in rows]
+            )
+            n += len(rows)
+        if writer is None:
+            return
+        writer.close()
+        url = target
+        if put is not None:
+            with open(target, "rb") as f:
+                url = put(name, f.read())
+            os.unlink(target)
+        yield pa.RecordBatch.from_pylist([{"path": url, "rows": n}])
+
+    out = df.mapInArrow(write_partition, "path string, rows long")
+    return out.count()
