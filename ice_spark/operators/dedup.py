@@ -111,6 +111,53 @@ def lsh_dropped_bucket_mass(
     )
 
 
+def dropped_posting_mass(
+    ex: DataFrame, key_cols: list[str], caps: list[int], index_name: str
+) -> DataFrame:
+    """The gated form of the cap audit (d17): ONE aggregate report row
+    per cap over a posting/bucket index, so capped recall loss is a
+    pipeline OUTPUT, not a docstring. For each cap: how many buckets
+    the cap would drop, how many posting rows they carry, and the
+    candidate-pair mass b*(b-1)/2 those buckets would have contributed
+    — the measured sf5 regime (d02 recall collapsing to zero on a
+    dup-heavy corpus, 6.56M/13.26M posting rows dropped) makes this
+    the number a 100 TB pipeline must look at before trusting a
+    capped finder's pair list.
+
+    Shape: one vocabulary-sized groupBy on the posting key (the same
+    shuffle the capped finder itself performs), then a 3-row explode
+    and a tiny O(len(caps)) aggregate. `dropped_pair_mass` is exact
+    int64; it overflows (loudly, under ANSI — both engines) only if a
+    single bucket exceeds ~3e9 members, far past any sane cap.
+    """
+    counts = ex.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("b"))
+    capped = counts.withColumn(
+        "cap", F.explode(F.array(*[F.lit(int(c)).cast("long") for c in caps]))
+    )
+    over = F.col("b") > F.col("cap")
+    return (
+        capped.groupBy("cap")
+        .agg(
+            F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("buckets_over_cap"),
+            F.coalesce(F.sum(F.when(over, F.col("b"))), F.lit(0))
+            .cast("long")
+            .alias("dropped_posting_rows"),
+            F.coalesce(F.sum(F.when(over, F.expr("b * (b - 1) div 2"))), F.lit(0))
+            .cast("long")
+            .alias("dropped_pair_mass"),
+            F.sum("b").cast("long").alias("total_posting_rows"),
+        )
+        .select(
+            F.lit(index_name).alias("index_name"),
+            "cap",
+            "buckets_over_cap",
+            "dropped_posting_rows",
+            "dropped_pair_mass",
+            "total_posting_rows",
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep exactly one row (min id) per distinct key tuple.
 
