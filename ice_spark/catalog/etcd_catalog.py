@@ -175,16 +175,30 @@ class Etcd3KV(EtcdKV):
         host, port, secure = self._parse_endpoint(endpoints)
         kwargs = {"host": host, "port": port}
         if secure:
-            # https scheme → TLS gRPC channel; python-etcd3 builds
-            # secure channel credentials when a CA bundle is given
+            # https scheme → TLS gRPC channel. With ETCD_CA_CERT /
+            # ETCDCTL_CACERT set, that CA bundle pins the channel
+            # (self-signed cluster certs, the common k8s deployment);
+            # without it, fall back to the certifi / system trust
+            # store so endpoints with publicly-trusted certs work
+            # with zero configuration (ADVICE r8) — python-etcd3
+            # only builds a secure channel when ca_cert is given, so
+            # the default store is passed explicitly.
             ca = os.environ.get("ETCD_CA_CERT") or os.environ.get("ETCDCTL_CACERT")
-            if ca:
-                kwargs["ca_cert"] = ca
-            else:
+            if not ca:
+                try:
+                    import certifi
+
+                    ca = certifi.where()
+                except ImportError:
+                    import ssl
+
+                    ca = ssl.get_default_verify_paths().cafile
+            if not ca:
                 raise ValueError(
-                    "https etcd endpoint needs ETCD_CA_CERT (path to the CA "
-                    "bundle) for the TLS channel"
+                    "https etcd endpoint: no CA bundle found — set "
+                    "ETCD_CA_CERT (or install certifi)"
                 )
+            kwargs["ca_cert"] = ca
         self._client = etcd3.client(**kwargs)
 
     @staticmethod
@@ -934,8 +948,6 @@ class EtcdCatalog:
     ) -> dict:
         parts = _split_ident(ident)
         ns = ".".join(parts[:-1])
-        if not self.namespace_exists(ns):
-            raise NamespaceError(f"no such namespace: {ns}")
         view = {
             "name": parts[-1],
             "sql": sql,
@@ -943,11 +955,33 @@ class EtcdCatalog:
             "created_ms": _now_ms(),
         }
         key = self._view_key(ident)
-        if replace:
-            self.kv.put(key, json.dumps(view))
-        elif not self.kv.txn([(key, 0)], [("put", key, json.dumps(view))]):
-            raise ValueError(f"view exists: {ident}")
-        return view
+        # Same commit-time namespace guard as create_table: the txn
+        # compares the observed ns-key version and re-puts its value,
+        # so a view created between delete_namespace's emptiness check
+        # and its delete txn fails THAT txn's ns-version CAS instead
+        # of being orphaned under a deleted namespace. Benign ns-key
+        # bumps (sibling creates) retry.
+        for attempt in range(5):
+            ns_ent = self.kv.get(self._ns_key(ns))
+            if ns_ent is None:
+                raise NamespaceError(f"no such namespace: {ns}")
+            cur = self.kv.get(key)
+            if cur is not None and not replace:
+                raise ValueError(f"view exists: {ident}")
+            if self.kv.txn(
+                [
+                    (key, 0 if cur is None else cur.version),
+                    (ns_ent.key, ns_ent.version),
+                ],
+                [
+                    ("put", key, json.dumps(view)),
+                    ("put", ns_ent.key, ns_ent.value),
+                ],
+            ):
+                return view
+            if not replace and self.kv.get(key) is not None:
+                raise ValueError(f"view exists: {ident}")
+        raise CommitConflictError(f"create_view {ident}: namespace key kept moving")
 
     def load_view(self, ident: str) -> dict:
         ent = self.kv.get(self._view_key(ident))

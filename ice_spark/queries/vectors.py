@@ -190,8 +190,13 @@ def _v04_oracle(bands: int = 4, n_planes: int = 8) -> str:
     "DEFAULT_MAX_BUCKET), then every candidate is exact-verified "
     "with the rounded cosine — the d04 shape for vectors. The oracle "
     "inlines the 32 hyperplane literals and replays seeding, "
-    "banding, candidate join, and verify bit-for-bit, so the "
-    "approximate candidate set is itself oracle-pinned. Re-specced "
+    "banding, candidate join, and verify; the bucket cap is the one "
+    "Spark-side guard the oracle does NOT replay, and like the "
+    "posting caps it is a no-op at test SF (max (band,key) bucket "
+    "well under 512), so gate results are bit-identical — at larger "
+    "SF an over-cap bucket diverges plan from oracle by design "
+    "(bounded recall loss, reportable via the d17 audit idiom). "
+    "Re-specced "
     "in r8 from an exact all-pairs self-join (O(n²) "
     "BroadcastNestedLoopJoin — the one unconditionally quadratic "
     "gated plan; VERDICT r7): this plan is O(candidates) with a hard "

@@ -400,6 +400,60 @@ class TestViews:
         with pytest.raises(ValueError):
             cat.load_view("ns.v1")
 
+    def test_delete_namespace_loses_race_to_create_view(self, cat, kv):
+        """ADVICE r8: create_view's txn now compares AND bumps the ns
+        key exactly like create_table, so a view created between
+        delete_namespace's emptiness check and its delete txn fails
+        the delete's ns-version CAS instead of being orphaned under a
+        deleted namespace."""
+        cat.create_namespace("ns")
+
+        class RacingKV:
+            def __init__(self, inner, fire):
+                self.inner = inner
+                self.fire = fire
+                self.fired = False
+
+            def __getattr__(self, n):
+                return getattr(self.inner, n)
+
+            def txn(self, compares, ops):
+                if not self.fired and any(op[0] == "delete" for op in ops):
+                    self.fired = True
+                    self.fire()
+                return self.inner.txn(compares, ops)
+
+        cat.kv = RacingKV(kv, lambda: cat.create_view("ns.sneaky", "SELECT 1 AS o"))
+        with pytest.raises(NamespaceError, match="not empty"):
+            cat.delete_namespace("ns")
+        assert cat.namespace_exists("ns")
+        assert cat.load_view("ns.sneaky")["sql"] == "SELECT 1 AS o"
+
+    def test_create_view_loses_race_to_delete_namespace(self, cat, kv):
+        """The mirror race: delete_namespace lands between
+        create_view's namespace check and its txn — the ns-version
+        compare sees the deleted key and create fails, no orphan."""
+        cat.create_namespace("ns")
+
+        class RacingKV:
+            def __init__(self, inner):
+                self.inner = inner
+                self.fired = False
+
+            def __getattr__(self, n):
+                return getattr(self.inner, n)
+
+            def txn(self, compares, ops):
+                if not self.fired and any(op[0] == "put" for op in ops):
+                    self.fired = True
+                    self.inner.delete("n/ns")
+                return self.inner.txn(compares, ops)
+
+        cat.kv = RacingKV(kv)
+        with pytest.raises(NamespaceError, match="no such namespace"):
+            cat.create_view("ns.v", "SELECT 1 AS o")
+        assert kv.get("v/ns/v") is None
+
 
 class TestRestOverEtcd:
     def test_rest_server_duck_types(self, tmp_path):
