@@ -56,3 +56,68 @@ def stratified_hash_sample(
     if expr is None:
         return df
     return df.where(~expr)
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+    heldout_buckets: int = 1000,
+) -> DataFrame:
+    """Leakage-safe split report over a near-dup pair graph — the
+    shared tail of s11 (pairs from d02's inverted shingle index) and
+    s13 (pairs from d04's banded MinHash-LSH): connected components
+    over `pairs`, split assigned ATOMICALLY per cluster by hashing the
+    component representative (so a doc and its near-duplicates can
+    never straddle train/heldout), plus an in-query audit that zero
+    clusters span splits.
+
+    Which pair source to feed it is a measured regime choice (PERF.md
+    r8): the inverted-index route (s11) is right for boilerplate-light
+    corpora; for duplication-heavy corpora whose dup groups approach
+    DEFAULT_MAX_POSTING the posting cap would zero its recall, and the
+    banded-LSH route (s13) is the 100 TB composition (sf5: 60.5s full
+    recall vs 356.8s on a capped-out index).
+
+    Scale shape: the split adds one hash + one left join over the
+    component map to the clustering cost; singleton docs never enter
+    the pair graph; the report is O(#splits) rows.
+    """
+    from ice_spark.operators.cluster import alternating_star_components
+
+    comp = alternating_star_components(pairs, pair_a, pair_b).select(
+        F.col("node").alias("c_doc"), F.col("component").alias("rep0")
+    )
+    allc = (
+        docs.select(id_col)
+        .join(comp, F.col(id_col) == F.col("c_doc"), "left")
+        .select(id_col, F.coalesce(F.col("rep0"), F.col(id_col)).alias("rep"))
+    )
+    sp = allc.select(
+        id_col,
+        "rep",
+        F.when(hash_bucket(F.col("rep")) < heldout_buckets, F.lit("heldout"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    leaky = (
+        sp.groupBy("rep")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_leaky_clusters")
+        )
+    )
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("rep").alias("n_clusters"),
+        )
+        .crossJoin(leaky)
+        .select("split", "n_docs", "n_clusters", "n_leaky_clusters")
+        .orderBy("split")
+    )

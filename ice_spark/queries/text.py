@@ -1988,43 +1988,22 @@ def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counts plus an in-query audit that zero clusters span splits. "
     "Scale: the split adds one hash + one broadcast-size join over "
     "the component map to the d06 clustering cost; singleton docs "
-    "never enter the pair graph at all.",
+    "never enter the pair graph at all. REGIME FORK (measured, "
+    "PERF.md r8): this inverted-index pair source is the right tool "
+    "for boilerplate-light corpora; on duplication-heavy corpora "
+    "whose dup groups approach DEFAULT_MAX_POSTING, the posting cap "
+    "zeroes its recall (sf5: 356.8s on a capped-out index) — use "
+    "s13_cluster_split_lsh, the same split tail "
+    "(operators.sampling.cluster_safe_split) over d04's banded "
+    "pairs (sf5: 60.5s, full recall).",
 )
 def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ice_spark.operators.cluster import alternating_star_components
-    from ice_spark.operators.sampling import hash_bucket
+    from ice_spark.operators.sampling import cluster_safe_split
     from ice_spark.queries.registry import QUERIES
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = QUERIES["d02_ngram_jaccard_pairs"].spark_fn(spark, sf_dir)
-    comp = alternating_star_components(pairs, "doc_a", "doc_b").select(
-        F.col("node").alias("c_doc"), F.col("component").alias("rep0")
-    )
-    allc = docs.select("doc_id").join(comp, F.col("doc_id") == F.col("c_doc"), "left").select(
-        "doc_id", F.coalesce(F.col("rep0"), F.col("doc_id")).alias("rep")
-    )
-    sp = allc.select(
-        "doc_id",
-        "rep",
-        F.when(hash_bucket(F.col("rep")) < 1000, F.lit("heldout"))
-        .otherwise(F.lit("train"))
-        .alias("split"),
-    )
-    leaky = (
-        sp.groupBy("rep")
-        .agg(F.countDistinct("split").alias("ns"))
-        .agg(F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)).cast("long").alias("n_leaky_clusters"))
-    )
-    return (
-        sp.groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("rep").alias("n_clusters"),
-        )
-        .crossJoin(leaky)
-        .select("split", "n_docs", "n_clusters", "n_leaky_clusters")
-        .orderBy("split")
-    )
+    return cluster_safe_split(docs, pairs)
 
 
 def _s13_oracle() -> str:
@@ -2090,49 +2069,20 @@ def _s13_oracle() -> str:
     "of posting skew (6.7M pairs in ~19s at sf5). The oracle reuses "
     "d04's exact permutation/banding spec, replays the transitive "
     "closure, and pins the split assignment and the zero-leak audit "
-    "bit-for-bit.",
+    "bit-for-bit. Shares its split tail with s11 "
+    "(operators.sampling.cluster_safe_split); pick the pair source "
+    "by corpus regime — s11's measured numbers are at its "
+    "docstring.",
 )
 def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ice_spark.operators.cluster import alternating_star_components
     from ice_spark.operators.dedup import minhash_lsh_pairs
-    from ice_spark.operators.sampling import hash_bucket
+    from ice_spark.operators.sampling import cluster_safe_split
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
         docs, id_col="doc_id", text_col="text", n_hashes=16, bands=8, threshold=0.8
     )
-    comp = alternating_star_components(pairs, "doc_a", "doc_b").select(
-        F.col("node").alias("c_doc"), F.col("component").alias("rep0")
-    )
-    allc = docs.select("doc_id").join(
-        comp, F.col("doc_id") == F.col("c_doc"), "left"
-    ).select("doc_id", F.coalesce(F.col("rep0"), F.col("doc_id")).alias("rep"))
-    sp = allc.select(
-        "doc_id",
-        "rep",
-        F.when(hash_bucket(F.col("rep")) < 1000, F.lit("heldout"))
-        .otherwise(F.lit("train"))
-        .alias("split"),
-    )
-    leaky = (
-        sp.groupBy("rep")
-        .agg(F.countDistinct("split").alias("ns"))
-        .agg(
-            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_leaky_clusters")
-        )
-    )
-    return (
-        sp.groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("rep").alias("n_clusters"),
-        )
-        .crossJoin(leaky)
-        .select("split", "n_docs", "n_clusters", "n_leaky_clusters")
-        .orderBy("split")
-    )
+    return cluster_safe_split(docs, pairs)
 
 
 @register(
