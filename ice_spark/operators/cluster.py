@@ -35,6 +35,55 @@ def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
+class _CheckpointPool:
+    """Tracked eager localCheckpoints with explicit block release.
+
+    localCheckpoint(eager=True) caches the relation's RDD blocks and
+    TRUNCATES lineage — the blocks are the only copy, and Spark only
+    frees them when the GC + ContextCleaner get around to the dead
+    RDD. In an iterative loop that checkpoints every round (connected
+    components: O(log² n) rounds over an edge set), the stale rounds'
+    blocks pile up faster than the cleaner runs and OOM the executor
+    storage region — measured at the sf10 probe (25M-edge relation,
+    8g heap: round blocks ~¾ GB each; the run died in round ~7).
+    checkpoint() records which persistent-RDD ids a relation owns;
+    release(ids) drops exactly those blocks the moment the loop
+    proves it will never touch that round again. Single-session
+    bookkeeping: the before/after diff assumes no concurrent
+    checkpointing job in this SparkSession (true for the operators
+    here; worst case a foreign id is attributed to us and released
+    late, never early, because release only ever frees ids the pool
+    itself recorded)."""
+
+    def __init__(self, df: DataFrame):
+        self._jsc = df.sparkSession.sparkContext._jsc
+
+    def _ids(self) -> set:
+        return {int(k) for k in self._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def checkpoint(self, df: DataFrame) -> tuple[DataFrame, set]:
+        from pyspark import StorageLevel
+
+        before = self._ids()
+        # DISK_ONLY, deliberately: iterative-round relations are
+        # written once and scanned 1-2 times, and keeping them OUT of
+        # the unified memory region leaves the whole execution pool to
+        # the rounds' own shuffles. With the default MEMORY_AND_DISK
+        # the sf10 probe died with UNABLE_TO_ACQUIRE_MEMORY — round
+        # blocks pinned the storage region while the next round's
+        # shuffle starved. Local-disk sequential IO is not the
+        # bottleneck of a CC round; the shuffles are.
+        out = df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        return out, self._ids() - before
+
+    def release(self, ids: set) -> None:
+        m = self._jsc.getPersistentRDDs()
+        for k in ids:
+            r = m.get(k)
+            if r is not None:
+                r.unpersist(False)
+
+
 def alternating_star_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
 ) -> DataFrame:
@@ -58,7 +107,8 @@ def alternating_star_components(
         ).collect()[0]
         return (r["n"], r["h"])
 
-    e = _symmetrize(edges, src, dst).distinct().localCheckpoint(eager=True)
+    pool = _CheckpointPool(edges)
+    e, e_ids = pool.checkpoint(_symmetrize(edges, src, dst).distinct())
     sig = _sig(e)
     for _ in range(max_iter):
         # large-star: for each u, m = min(neighbors ∪ self);
@@ -78,7 +128,7 @@ def alternating_star_components(
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .union(mins1.select(F.col("u").alias("a"), F.col("m").alias("b")))
         )
-        e_next = _symmetrize(small, "a", "b").distinct().localCheckpoint(eager=True)
+        e_next, next_ids = pool.checkpoint(_symmetrize(small, "a", "b").distinct())
         # Converged when the edge relation is stable. The (count,
         # hash-sum) signature decides for free; only a signature MATCH
         # pays the exact exceptAll confirmation (a 64-bit collision on
@@ -86,13 +136,17 @@ def alternating_star_components(
         # components — the confirm keeps the exit sound while the
         # evolving rounds skip both shuffles entirely).
         sig_next = _sig(e_next)
-        if sig_next == sig and (
+        converged = sig_next == sig and (
             e_next.exceptAll(e).limit(1).count() == 0
             and e.exceptAll(e_next).limit(1).count() == 0
-        ):
-            e = e_next
+        )
+        # the previous round's blocks are dead either way — free them
+        # NOW instead of waiting for the GC/ContextCleaner (stale
+        # rounds otherwise accumulate and OOM at scale; sf10 probe)
+        pool.release(e_ids)
+        e, e_ids = e_next, next_ids
+        if converged:
             break
-        e = e_next
         sig = sig_next
     # Star state: every node's component is min(neighbors ∪ self).
     return e.groupBy(F.col("u").alias("node")).agg(
@@ -104,12 +158,12 @@ def label_propagation_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
 ) -> DataFrame:
     """(node, component) by min-label flooding (rounds = diameter)."""
-    sym = _symmetrize(edges, src, dst).distinct().localCheckpoint(eager=True)
-    labels = (
+    pool = _CheckpointPool(edges)
+    sym, _sym_ids = pool.checkpoint(_symmetrize(edges, src, dst).distinct())
+    labels, label_ids = pool.checkpoint(
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -117,15 +171,13 @@ def label_propagation_components(
             .groupBy("u")
             .agg(F.min("component").alias("nbr_comp"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.u, "left")
-            .select(
+        new_labels, new_ids = pool.checkpoint(
+            labels.join(nbr_min, labels.node == nbr_min.u, "left").select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "node")
@@ -133,7 +185,8 @@ def label_propagation_components(
             .limit(1)
             .count()
         )
-        labels = new_labels
+        pool.release(label_ids)
+        labels, label_ids = new_labels, new_ids
         if changed == 0:
             break
     return labels

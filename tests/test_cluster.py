@@ -63,3 +63,30 @@ def test_dedup_keep_canonical(spark):
     kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs, "doc_id").collect())
     # clusters {1,2,4} -> keep 1; {3,5} -> keep 3; singletons 0
     assert kept == [0, 1, 3]
+
+
+@pytest.mark.parametrize(
+    "fn", [alternating_star_components, label_propagation_components]
+)
+def test_stale_round_checkpoints_are_freed(spark, fn):
+    """Every CC round eagerly localCheckpoints a new relation; the
+    stale rounds' blocks must be released explicitly — relying on the
+    GC + ContextCleaner let them pile up and OOM the sf10 probe
+    (25M-edge relation x O(log² n) rounds on an 8g heap)."""
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+
+    def persistent_ids():
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    # long chain -> several rounds, so stale checkpoints would accrue
+    # (40 stays under label propagation's max_iter=50 diameter bound)
+    edges = [(i, i + 1) for i in range(40)]
+    before = persistent_ids()
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r["component"] for r in fn(df).collect()}
+    assert out == _union_find(edges)
+    leaked = persistent_ids() - before
+    # at most the FINAL round's relations may still be pinned (the
+    # returned DataFrame scans them); every earlier round must be gone
+    assert len(leaked) <= 2, f"stale checkpointed rounds leaked: {leaked}"
