@@ -130,6 +130,9 @@ def test_latest_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
         ("d08_contamination", 7),  # gram dedup + caps + 2-sided join + agg
         ("v10_semantic_dedup", 3),  # assign is narrow; join + pairs
         ("v11_pq_adc_ann", 2),  # encode+ADC narrow; top-k window only
+        # r9: 3 index branches x (posting-key agg + O(#caps) agg) +
+        # union ordering — vocabulary-keyed shuffles only, no joins
+        ("d17_dropped_posting_mass", 8),
     ],
 )
 def test_round3_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
