@@ -78,8 +78,12 @@ def _pr_oracle() -> str:
 def g01(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
+    # orders GROWS with the corpus — never let AQE broadcast it (the
+    # size estimate is compressed parquet bytes; the deserialized
+    # LongHashedRelation of 15M orders at the sf10 probe was the
+    # heap OOM). SMJ on the already-sorted-by-key fact join spills.
     e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
         .select(
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
@@ -88,25 +92,40 @@ def g01(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bidir = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = bidir.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
-    # Edge list annotated with source out-degree, cached: every
-    # iteration re-reads this relation, and without the cache the
-    # unrolled plan replays the edge-build subtree once per iteration
+    # Edge list annotated with source out-degree, persisted: every
+    # iteration re-reads this relation, and without it the unrolled
+    # plan replays the edge-build subtree once per iteration
     # (N iterations -> N scans of lineitem). This is the standard
     # Spark iterative-algorithm shape (GraphX/MLlib persist exactly
-    # this way); at 100 TB persist(DISK_ONLY) instead of memory.
+    # this way). DISK_ONLY, not cache(): the edge relation GROWS with
+    # the corpus while the unified memory region doesn't — at the
+    # sf10 probe (~100M bidirectional edges) the in-memory cache
+    # OOMed the heap, while a disk-persisted edge list is one
+    # sequential columnar read per iteration and leaves execution
+    # memory to the iteration shuffles. At gate SF the write+read
+    # costs milliseconds.
     # Lifecycle: no explicit unpersist is possible here (the returned
     # plan hasn't executed yet); once the caller drops the result,
-    # Spark's ContextCleaner reclaims the unreferenced cached RDD
+    # Spark's ContextCleaner reclaims the unreferenced persisted RDD
     # (spark.cleaner.referenceTracking, on by default), so repeated
     # invocations don't accumulate storage.
+    from pyspark import StorageLevel
+
+    # MERGE hints on every growing-side join (the g02 lesson, which
+    # g01 re-learned at the sf10 probe): deg and pr are node-count
+    # relations and ed is the edge list — ALL grow with the corpus,
+    # and AQE happily builds a LongHashedRelation broadcast of the
+    # rank side per unrolled iteration when it measures small at the
+    # current SF; ten of those live at once OOMed the 8g heap at
+    # ~3.3M nodes. Sort-merge spills, and AQE can still skew-split it.
     ed = (
-        bidir.join(deg, bidir.src == deg.node)
+        bidir.join(deg.hint("merge"), bidir.src == deg.node)
         .select("src", "dst", "outdeg")
-        .cache()
+        .persist(StorageLevel.DISK_ONLY)
     )
     pr = deg.select("node", F.lit(PR_INIT).cast("long").alias("rank"))
     for _ in range(PR_ITERS):
-        contrib = pr.join(ed, pr.node == ed.src).select(
+        contrib = pr.hint("merge").join(ed, pr.node == ed.src).select(
             "dst", F.expr("rank div outdeg").alias("c")
         )
         pr = contrib.groupBy(F.col("dst").alias("node")).agg(

@@ -287,10 +287,18 @@ def test_g01_pagerank_iteration_shuffles(spark, sf_dir):
     InMemoryRelation reference, so the shuffle count here is an
     explain-string artifact; at runtime the subtree executes once and
     each iteration costs one scatter/gather shuffle pair. We pin the
-    cache's presence and the absence of cartesians."""
+    cache's presence and the absence of cartesians. r9 additions
+    (the sf10 probe's heap-OOM lesson): every join side in this plan
+    GROWS with the corpus — orders, deg, pr — so no BroadcastHashJoin
+    may appear anywhere (AQE's compressed-parquet size estimate says
+    'small' right up until the deserialized LongHashedRelation OOMs
+    the heap), and the persisted edge relation is DISK_ONLY so the
+    unified memory region stays with the iteration shuffles."""
     a = _audit(spark, sf_dir, "g01_pagerank_order_network")
     assert "InMemoryTableScan" in a.plan or "InMemoryRelation" in a.plan, a.plan[:1500]
     assert "CartesianProduct" not in a.plan
+    assert "BroadcastHashJoin" not in a.plan, a.plan[:2000]
+    assert "disk" in a.plan and "StorageLevel(disk" in a.plan, a.plan[:1500]
 
 
 def test_no_cartesian_in_any_registered_query(spark, sf_dir):
