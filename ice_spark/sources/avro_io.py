@@ -399,6 +399,8 @@ def avro_schema_to_spark(schema):
             lt = s.get("logicalType")
             if lt in ("timestamp-micros", "timestamp-millis") and typ == "long":
                 return T.TimestampType(), False
+            if lt == "local-timestamp-micros" and typ == "long":
+                return T.TimestampNTZType(), False
             if lt == "date" and typ == "int":
                 return T.DateType(), False
             if typ == "record":
@@ -442,7 +444,12 @@ def has_logical_types(s) -> bool:
     if isinstance(s, list):
         return any(has_logical_types(b) for b in s)
     if isinstance(s, dict):
-        if s.get("logicalType") in ("timestamp-micros", "timestamp-millis", "date"):
+        if s.get("logicalType") in (
+            "timestamp-micros",
+            "timestamp-millis",
+            "local-timestamp-micros",
+            "date",
+        ):
             return True
         typ = s["type"]
         if typ == "record":
@@ -471,6 +478,8 @@ def decode_logical(v, s):
             return datetime.datetime.fromtimestamp(v // 1_000_000) + datetime.timedelta(
                 microseconds=v % 1_000_000
             )
+        if lt == "local-timestamp-micros":
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=v)
         if lt == "timestamp-millis":
             return datetime.datetime.fromtimestamp(v // 1_000) + datetime.timedelta(
                 milliseconds=v % 1_000
@@ -534,6 +543,10 @@ def spark_schema_to_avro(schema, name: str = "row") -> dict:
             s = "bytes"
         elif isinstance(t, T.TimestampType):
             s = {"type": "long", "logicalType": "timestamp-micros"}
+        elif isinstance(t, T.TimestampNTZType):
+            # Avro spec: local-timestamp-micros = timezone-less wall
+            # time, micros since 1970-01-01T00:00:00 (no zone)
+            s = {"type": "long", "logicalType": "local-timestamp-micros"}
         elif isinstance(t, T.DateType):
             s = {"type": "int", "logicalType": "date"}
         else:
@@ -569,6 +582,11 @@ def _avro_normalize(v, s):
         items = v.items() if isinstance(v, dict) else v
         return {k: _avro_normalize(x, s["values"]) for k, x in items}
     if t == "long" and isinstance(v, datetime.datetime):
+        if isinstance(s, dict) and s.get("logicalType") == "local-timestamp-micros":
+            # timezone-less wall time: micros since the naive epoch,
+            # never interpreted through the local zone
+            delta = v.replace(tzinfo=None) - datetime.datetime(1970, 1, 1)
+            return delta.days * 86_400_000_000 + delta.seconds * 1_000_000 + delta.microseconds
         return int(v.timestamp() * 1_000_000)
     if t == "int" and isinstance(v, datetime.date):
         return (v - datetime.date(1970, 1, 1)).days

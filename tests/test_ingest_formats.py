@@ -456,3 +456,29 @@ def test_avro_export_timestamp_map_array_types(spark, tmp_path):
     # timestamp round-trips through the repo's own avro reader
     got = read_input(spark, str(dest), "avro").collect()
     assert {r.id: r.ts for r in got}[1] == ts
+
+
+def test_avro_export_timestamp_ntz_round_trip(spark, tmp_path):
+    """TIMESTAMP_NTZ (the testdata's native timestamp flavor) maps to
+    Avro local-timestamp-micros — timezone-less wall time, never
+    routed through the local zone — and round-trips with type
+    fidelity through the repo's own reader."""
+    import datetime
+
+    from ice_spark.ingest.insert import read_input
+    from ice_spark.sources.avro_io import export_avro
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("ts", T.TimestampNTZType()),
+        ]
+    )
+    ts = datetime.datetime(2024, 6, 15, 23, 59, 59, 999999)
+    df = spark.createDataFrame([(1, ts), (2, None)], schema).coalesce(1)
+    dest = tmp_path / "ntz"
+    assert export_avro(df, str(dest)) == 1
+    rb = read_input(spark, str(dest), "avro")
+    assert isinstance(rb.schema["ts"].dataType, T.TimestampNTZType)
+    got = {r.id: r.ts for r in rb.collect()}
+    assert got == {1: ts, 2: None}
