@@ -2606,6 +2606,112 @@ def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t15_repetition_scores",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS.format(col='text')} AS t FROM documents),
+    bg AS (
+      SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t)-1),
+             i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ),
+    bcnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    bagg AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS BIGINT) AS top_c,
+             CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_c
+      FROM bcnt GROUP BY 1
+    ),
+    tg AS (
+      SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t)-2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      FROM toks WHERE len(t) >= 3
+    ),
+    tcnt AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+    tagg AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+             CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_c3
+      FROM tcnt GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_bigrams,
+           ROUND(CAST(b.top_c AS DOUBLE) / b.n_bigrams, 6) AS top_bigram_frac,
+           ROUND(CAST(b.dup_c AS DOUBLE) / b.n_bigrams, 6) AS dup_bigram_frac,
+           ROUND(CAST(COALESCE(t.dup_c3, 0) AS DOUBLE)
+                 / CASE WHEN t.n_trigrams IS NULL OR t.n_trigrams = 0
+                        THEN 1 ELSE t.n_trigrams END, 6) AS dup_trigram_frac,
+           CAST(CASE WHEN CAST(b.top_c AS DOUBLE) / b.n_bigrams > 0.08
+                       OR CAST(b.dup_c AS DOUBLE) / b.n_bigrams > 0.18
+                     THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM bagg b LEFT JOIN tagg t ON b.doc_id = t.doc_id
+    """,
+    doc="Within-document repetition scores — the Gopher/MassiveText "
+    "repetition-filter family (Rae et al. 2021, table A1), adapted "
+    "to token-occurrence fractions since this corpus has no "
+    "line/paragraph structure: per doc, the fraction of bigram "
+    "occurrences claimed by the single most frequent bigram "
+    "(top_bigram_frac; Gopher's top-n-gram rule), and the fraction "
+    "of bigram/trigram occurrences whose gram repeats within the "
+    "document (dup_*_frac; Gopher's duplicate-n-gram rule). The "
+    "`flagged` column applies illustrative thresholds (0.08 / 0.18 "
+    "— Gopher's published cutoffs are character-fraction based; "
+    "documented deviation). Shape at 100 TB: explode + two "
+    "(doc_id, gram)-keyed hash aggregations per n — map-side "
+    "combine does most of the work because grams repeat within a "
+    "partition, the shuffle key space is per-doc so there is no hot "
+    "key by construction, and the result is one row per document.",
+)
+def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(T.tokens_sql("text")).alias("t")
+    )
+
+    def gram_agg(n: int, names: tuple[str, str, str]) -> DataFrame:
+        total, top, dup = names
+        grams = docs.where(F.expr(f"size(t) >= {n}")).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n - 1}), "
+                    f"i -> concat_ws(' ', slice(t, i, {n})))"
+                )
+            ).alias("g"),
+        )
+        cnt = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        return cnt.groupBy("doc_id").agg(
+            F.sum("c").cast("long").alias(total),
+            F.max("c").cast("long").alias(top),
+            F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias(dup),
+        )
+
+    b = gram_agg(2, ("n_bigrams", "top_c", "dup_c"))
+    t3 = gram_agg(3, ("n_trigrams", "top_c3", "dup_c3")).select(
+        F.col("doc_id").alias("t_doc"), "n_trigrams", "dup_c3"
+    )
+    top_frac = F.col("top_c").cast("double") / F.col("n_bigrams")
+    dup_frac = F.col("dup_c").cast("double") / F.col("n_bigrams")
+    tri_total = F.when(
+        F.col("n_trigrams").isNull() | (F.col("n_trigrams") == 0), F.lit(1)
+    ).otherwise(F.col("n_trigrams"))
+    return (
+        b.join(t3, b.doc_id == F.col("t_doc"), "left")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(top_frac, 6).alias("top_bigram_frac"),
+            F.round(dup_frac, 6).alias("dup_bigram_frac"),
+            F.round(
+                F.coalesce(F.col("dup_c3"), F.lit(0)).cast("double") / tri_total, 6
+            ).alias("dup_trigram_frac"),
+            F.when((top_frac > 0.08) | (dup_frac > 0.18), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("flagged"),
+        )
+    )
+
+
+@register(
     "d16_dedup_policy_simulator",
     f"""
     WITH RECURSIVE
