@@ -92,3 +92,29 @@ def test_lsh_dropped_bucket_mass_audit(spark):
     )
     dropped = lsh_dropped_bucket_mass(buckets, ["band", "key"], max_bucket_size=10).collect()
     assert len(dropped) == 1 and dropped[0].key == "hot" and dropped[0].bucket_size == 20
+
+
+def test_dropped_posting_mass_report(spark):
+    """The gated cap-audit aggregate (d17's engine): per cap, the
+    buckets a cap would drop, their posting rows, and the b*(b-1)/2
+    candidate-pair mass lost."""
+    from ice_spark.operators.dedup import dropped_posting_mass
+
+    # key 'hot' has 5 postings, 'warm' 3, 'cold' 1
+    rows = [(i, "hot") for i in range(5)]
+    rows += [(i, "warm") for i in range(3)]
+    rows += [(0, "cold")]
+    ex = spark.createDataFrame(rows, ["doc_id", "k"])
+    got = {
+        (r.cap): r.asDict()
+        for r in dropped_posting_mass(ex, ["k"], [2, 4, 100], "idx").collect()
+    }
+    assert got[2]["buckets_over_cap"] == 2  # hot + warm
+    assert got[2]["dropped_posting_rows"] == 8
+    assert got[2]["dropped_pair_mass"] == 10 + 3  # C(5,2) + C(3,2)
+    assert got[4]["buckets_over_cap"] == 1  # hot only
+    assert got[4]["dropped_pair_mass"] == 10
+    assert got[100]["buckets_over_cap"] == 0
+    assert got[100]["dropped_pair_mass"] == 0
+    assert all(r["total_posting_rows"] == 9 for r in got.values())
+    assert all(r["index_name"] == "idx" for r in got.values())
