@@ -83,6 +83,26 @@ def shingle_hashes_sql(col_sql: str, n: int = 3) -> str:
     )
 
 
+def span_hashes_sql(col_sql: str, w: int = 8) -> str:
+    """Positional w-token span hashes (same poly spec as shingles,
+    width w, duplicates KEPT and position preserved): element i of
+    the result hashes tokens [i+1 .. i+w] (1-based).  Unlike
+    shingle_hashes this is position-addressable, so a consumer can
+    map a shared hash back to the exact covered token interval —
+    the primitive for exact-substring dedup (Lee et al. 2022).
+    Docs shorter than w tokens yield an empty array.  Cost is
+    O(tokens * w) per doc with w constant — map-side, no shuffle."""
+    poly = str(HASH_INIT)
+    for j in range(w):
+        poly = f"(({poly} * {SHINGLE_MULT} + element_at(th, CAST(i + {j + 1} AS INT))) % {MOD})"
+    return (
+        f"element_at(transform(array({token_hashes_sql(col_sql)}), th -> "
+        f"CASE WHEN size(th) >= {w} THEN "
+        f"transform(sequence(0, size(th) - {w}), i -> {poly}) "
+        f"ELSE CAST(array() AS array<bigint>) END), 1)"
+    )
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization, empty tokens dropped."""
     if isinstance(text, str):

@@ -2807,3 +2807,145 @@ def d16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("policy")
     )
+
+
+# Positional 8-token span hashes (mirrors functions.text.span_hashes_sql):
+# pos is the 1-based index of the span's first token; th[pos:pos+7] is the
+# DuckDB inclusive slice of the 8 token hashes the span covers.
+_SQL_SPAN8 = (
+    "list_reduce(list_prepend(CAST(7 AS BIGINT), th[i:i+7]), "
+    "(a, b) -> (a * 1000003 + b) % 1000000007)"
+)
+
+
+@register(
+    "d18_duplicate_spans",
+    f"""
+    WITH th AS (
+      SELECT doc_id, source, {_SQL_TOKH} AS th
+      FROM (SELECT doc_id, source, {_SQL_TOKS.format(col='text')} AS toks
+            FROM documents)
+    ),
+    sp AS (
+      SELECT doc_id, source,
+             UNNEST(generate_series(1, len(th) - 7)) AS pos,
+             UNNEST(list_transform(generate_series(1, len(th) - 7),
+                    i -> {_SQL_SPAN8})) AS h
+      FROM th WHERE len(th) >= 8
+    ),
+    dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    occ AS (SELECT doc_id, source, pos, h FROM sp JOIN dup USING (h)),
+    cov AS (
+      SELECT doc_id, source, pos, h,
+             GREATEST(0, (pos + 7) - GREATEST(pos - 1,
+               COALESCE(MAX(pos + 7) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)))
+               AS contrib
+      FROM occ
+    ),
+    agg AS (
+      SELECT source,
+             COUNT(DISTINCT doc_id) AS n_dup_docs,
+             CAST(COUNT(*) AS BIGINT) AS dup_span_occurrences,
+             COUNT(DISTINCT h) AS distinct_dup_spans,
+             CAST(SUM(contrib) AS BIGINT) AS covered_tokens
+      FROM cov GROUP BY source
+    ),
+    base AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len({_SQL_TOKS.format(col='text')})) AS BIGINT)
+               AS total_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT b.source, b.n_docs,
+           CAST(COALESCE(a.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+           CAST(COALESCE(a.dup_span_occurrences, 0) AS BIGINT)
+             AS dup_span_occurrences,
+           CAST(COALESCE(a.distinct_dup_spans, 0) AS BIGINT)
+             AS distinct_dup_spans,
+           CAST(COALESCE(a.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           b.total_tokens,
+           ROUND(CAST(COALESCE(a.covered_tokens, 0) AS DOUBLE)
+                 / GREATEST(b.total_tokens, 1), 6) AS coverage_ratio
+    FROM base b LEFT JOIN agg a ON b.source = a.source
+    """,
+    doc="Exact-substring duplicate-span audit (the ExactSubstr dedup "
+    "family, Lee et al. 2022 'Deduplicating Training Data Makes "
+    "Language Models Better'): every 8-token window is rolling-"
+    "hashed WITH its position, windows whose hash appears in >= 2 "
+    "distinct documents are duplicate spans, and per source the "
+    "query reports how many docs carry one, the occurrence/distinct "
+    "span counts, and the fraction of token positions covered by at "
+    "least one duplicated span (interval-union via a per-doc "
+    "running-max window, NOT a w-times position explode). This is "
+    "the substring-level complement to the document-level d02/d04 "
+    "family: it measures how much text a suffix-array-style span "
+    "deduper would cut. Shape at 100 TB: hashing is map-side "
+    "O(tokens*8); the dup-hash groupBy and the occ join are both "
+    "keyed on the 8-byte span hash (linear posting lists, never "
+    "pair enumeration, so a hot boilerplate span costs rows not "
+    "rows^2); the coverage window partitions by doc_id — per-doc "
+    "key space, no hot key by construction.",
+)
+def d18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    W = 8
+    docs = load_table(spark, sf_dir, "documents")
+    sp = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.posexplode(F.expr(T.span_hashes_sql("text", W))).alias("pos0", "h"),
+        )
+        .select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "h")
+        .localCheckpoint(eager=False)
+    )
+    # Span hashes with >= 2 distinct docs. Grows with the corpus —
+    # no broadcast hint (AQE promotes it at small SF where it
+    # measures small; at scale it stays a keyed shuffle join on h).
+    dup = (
+        sp.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    occ = sp.join(dup, "h")
+    prev_end = F.max(F.col("pos") + (W - 1)).over(
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0),
+        (F.col("pos") + (W - 1))
+        - F.greatest(F.col("pos") - 1, F.coalesce(prev_end, F.lit(0))),
+    )
+    agg = (
+        occ.withColumn("contrib", contrib)
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("a_dup_docs"),
+            F.count(F.lit(1)).alias("a_occ"),
+            F.count_distinct("h").alias("a_spans"),
+            F.sum("contrib").alias("a_cov"),
+        )
+    )
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(T.tokens(F.col("text")))).cast("long").alias("total_tokens"),
+    )
+    cov = F.coalesce(F.col("a_cov"), F.lit(0)).cast("long")
+    return base.join(agg, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("a_dup_docs"), F.lit(0)).cast("long").alias("n_dup_docs"),
+        F.coalesce(F.col("a_occ"), F.lit(0)).cast("long").alias("dup_span_occurrences"),
+        F.coalesce(F.col("a_spans"), F.lit(0)).cast("long").alias("distinct_dup_spans"),
+        cov.alias("covered_tokens"),
+        "total_tokens",
+        F.round(
+            cov.cast("double") / F.greatest(F.col("total_tokens"), F.lit(1)), 6
+        ).alias("coverage_ratio"),
+    )

@@ -118,3 +118,40 @@ def test_dropped_posting_mass_report(spark):
     assert got[100]["dropped_pair_mass"] == 0
     assert all(r["total_posting_rows"] == 9 for r in got.values())
     assert all(r["index_name"] == "idx" for r in got.values())
+
+
+def test_span_hashes_positional_semantics(spark):
+    """span_hashes_sql keeps duplicates and positions: element i (0-based)
+    hashes tokens i..i+w-1 with the module's polynomial spec, count is
+    n_tokens - w + 1, and short docs yield an empty (not null) array."""
+    from ice_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(1, "aa bb cc aa bb cc"), (2, "aa bb"), (3, "")], ["id", "text"]
+    )
+    rows = {
+        r.id: r.sp
+        for r in df.select(
+            "id", F.expr(T.span_hashes_sql("text", 3)).alias("sp")
+        ).collect()
+    }
+    assert rows[2] == [] and rows[3] == []
+    sp = rows[1]
+    assert len(sp) == 4  # 6 tokens, w=3
+
+    def ch(s):
+        acc = 7
+        for c in s:
+            acc = (acc * 131 + ord(c)) % 1_000_000_007
+        return acc
+
+    def span(toks):
+        acc = 7
+        for t in toks:
+            acc = (acc * 1_000_003 + ch(t)) % 1_000_000_007
+        return acc
+
+    toks = "aa bb cc aa bb cc".split()
+    assert sp == [span(toks[i : i + 3]) for i in range(4)]
+    # the repeated window 'aa bb cc' hashes identically at both positions
+    assert sp[0] == sp[3]
