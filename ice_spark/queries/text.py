@@ -2902,16 +2902,20 @@ def d18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "h")
         .localCheckpoint(eager=False)
     )
-    # Span hashes with >= 2 distinct docs. Grows with the corpus —
-    # no broadcast hint (AQE promotes it at small SF where it
-    # measures small; at scale it stays a keyed shuffle join on h).
+    # Span hashes with >= 2 distinct docs. Grows with the corpus, so
+    # the membership join is pinned to sort-merge (the g01/g02
+    # lesson: AQE's post-agg size estimate promoted this side to a
+    # broadcast at the 100x probe corpus and the deserialized
+    # build map OOMed the driver; merge spills and AQE can still
+    # skew-split it). Semi join: dup is distinct on h, we only
+    # filter.
     dup = (
         sp.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .where(F.col("nd") >= 2)
         .select("h")
     )
-    occ = sp.join(dup, "h")
+    occ = sp.join(dup.hint("merge"), "h", "semi").select("doc_id", "source", "pos", "h")
     prev_end = F.max(F.col("pos") + (W - 1)).over(
         Window.partitionBy("doc_id")
         .orderBy("pos")

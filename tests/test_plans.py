@@ -133,10 +133,11 @@ def test_latest_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
         # r9: 3 index branches x (posting-key agg + O(#caps) agg) +
         # union ordering — vocabulary-keyed shuffles only, no joins
         ("d17_dropped_posting_mass", 8),
-        # r9: dup-hash agg + occ join (both keyed on h), per-doc
-        # coverage window, two source aggs + final source join —
-        # posting lists stay linear, never pair enumeration
-        ("d18_duplicate_spans", 6),
+        # r9: dup-hash agg + merge-pinned semi join (both keyed on
+        # h — the dup side OOMed as an AQE broadcast at the 100x
+        # probe), per-doc coverage window, two source aggs + final
+        # source join — posting lists stay linear, never pairs
+        ("d18_duplicate_spans", 7),
     ],
 )
 def test_round3_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
