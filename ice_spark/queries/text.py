@@ -2953,3 +2953,159 @@ def d18(spark: SparkSession, sf_dir: str) -> DataFrame:
             cov.cast("double") / F.greatest(F.col("total_tokens"), F.lit(1)), 6
         ).alias("coverage_ratio"),
     )
+
+
+@register(
+    "d19_span_dedup_cut",
+    f"""
+    WITH th AS (
+      SELECT doc_id, source, {_SQL_TOKH} AS th
+      FROM (SELECT doc_id, source, {_SQL_TOKS.format(col='text')} AS toks
+            FROM documents)
+    ),
+    sp AS (
+      SELECT doc_id, source,
+             UNNEST(generate_series(1, len(th) - 7)) AS pos,
+             UNNEST(list_transform(generate_series(1, len(th) - 7),
+                    i -> {_SQL_SPAN8})) AS h
+      FROM th WHERE len(th) >= 8
+    ),
+    dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    occ AS (SELECT doc_id, source, pos, h FROM sp JOIN dup USING (h)),
+    k1 AS (SELECT h, MIN(doc_id) AS d0 FROM occ GROUP BY h),
+    k2 AS (
+      SELECT o.h, o.doc_id AS d0, MIN(o.pos) AS p0
+      FROM occ o JOIN k1 ON o.h = k1.h AND o.doc_id = k1.d0
+      GROUP BY o.h, o.doc_id
+    ),
+    cut AS (
+      SELECT o.doc_id, o.source, o.pos
+      FROM occ o JOIN k2 ON o.h = k2.h
+      WHERE NOT (o.doc_id = k2.d0 AND o.pos = k2.p0)
+    ),
+    cov AS (
+      SELECT doc_id, source, pos,
+             GREATEST(0, (pos + 7) - GREATEST(pos - 1,
+               COALESCE(MAX(pos + 7) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)))
+               AS contrib
+      FROM cut
+    ),
+    agg AS (
+      SELECT source,
+             COUNT(DISTINCT doc_id) AS docs_cut,
+             CAST(COUNT(*) AS BIGINT) AS cut_occurrences,
+             CAST(SUM(contrib) AS BIGINT) AS tokens_cut
+      FROM cov GROUP BY source
+    ),
+    base AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len({_SQL_TOKS.format(col='text')})) AS BIGINT)
+               AS total_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT b.source, b.n_docs,
+           CAST(COALESCE(a.docs_cut, 0) AS BIGINT) AS docs_cut,
+           CAST(COALESCE(a.cut_occurrences, 0) AS BIGINT) AS cut_occurrences,
+           CAST(COALESCE(a.tokens_cut, 0) AS BIGINT) AS tokens_cut,
+           b.total_tokens,
+           ROUND(CAST(1 AS DOUBLE) - CAST(COALESCE(a.tokens_cut, 0) AS DOUBLE)
+                 / GREATEST(b.total_tokens, 1), 6) AS kept_ratio
+    FROM base b LEFT JOIN agg a ON b.source = a.source
+    """,
+    doc="Exact-substring dedup CUT plan (the action to d18's audit, "
+    "Lee et al. 2022 ExactSubstr semantics): for every duplicated "
+    "8-token span the globally first occurrence — smallest doc_id, "
+    "then smallest position — is the keeper, every other occurrence "
+    "(including later repeats inside the keeper document itself) is "
+    "cut, and the per-source summary reports docs touched, cut "
+    "occurrences, tokens removed (interval-union of the cut spans), "
+    "and the surviving-token ratio. Keeper selection is two keyed "
+    "aggregations (min doc per hash, then min pos within that doc) "
+    "— never a row_number window over the posting list, so a hot "
+    "boilerplate span costs two linear passes, not a single-task "
+    "sort, and never an (id*K + pos) key encoding, which is exactly "
+    "the 2^63 overflow trap the d08 split hash hit at "
+    "snowflake-scale ids. All joins are keyed on the 8-byte span "
+    "hash with the growing side merge-pinned (the d18/g01 AQE-"
+    "broadcast lesson).",
+)
+def d19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    W = 8
+    docs = load_table(spark, sf_dir, "documents")
+    sp = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.posexplode(F.expr(T.span_hashes_sql("text", W))).alias("pos0", "h"),
+        )
+        .select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "h")
+        .localCheckpoint(eager=False)
+    )
+    dup = (
+        sp.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    occ = (
+        sp.join(dup.hint("merge"), "h", "semi")
+        .select("doc_id", "source", "pos", "h")
+        .localCheckpoint(eager=False)
+    )
+    k1 = (
+        occ.groupBy("h")
+        .agg(F.min("doc_id").alias("d0"))
+        .select(F.col("h").alias("h1"), "d0")
+    )
+    k2 = (
+        occ.join(
+            k1.hint("merge"),
+            (F.col("h") == F.col("h1")) & (F.col("doc_id") == F.col("d0")),
+        )
+        .groupBy(F.col("h1").alias("kh"), "d0")
+        .agg(F.min("pos").alias("p0"))
+    )
+    cut = occ.join(k2.hint("merge"), F.col("h") == F.col("kh")).where(
+        ~((F.col("doc_id") == F.col("d0")) & (F.col("pos") == F.col("p0")))
+    )
+    prev_end = F.max(F.col("pos") + (W - 1)).over(
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0),
+        (F.col("pos") + (W - 1))
+        - F.greatest(F.col("pos") - 1, F.coalesce(prev_end, F.lit(0))),
+    )
+    agg = (
+        cut.select("doc_id", "source", "pos")
+        .withColumn("contrib", contrib)
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("a_docs"),
+            F.count(F.lit(1)).alias("a_occ"),
+            F.sum("contrib").alias("a_cut"),
+        )
+    )
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(T.tokens(F.col("text")))).cast("long").alias("total_tokens"),
+    )
+    tc = F.coalesce(F.col("a_cut"), F.lit(0)).cast("long")
+    return base.join(agg, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("a_docs"), F.lit(0)).cast("long").alias("docs_cut"),
+        F.coalesce(F.col("a_occ"), F.lit(0)).cast("long").alias("cut_occurrences"),
+        tc.alias("tokens_cut"),
+        "total_tokens",
+        F.round(
+            F.lit(1.0) - tc.cast("double") / F.greatest(F.col("total_tokens"), F.lit(1)),
+            6,
+        ).alias("kept_ratio"),
+    )

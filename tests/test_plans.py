@@ -138,6 +138,10 @@ def test_latest_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
         # probe), per-doc coverage window, two source aggs + final
         # source join — posting lists stay linear, never pairs
         ("d18_duplicate_spans", 7),
+        # r9: d18's machinery + keeper selection as TWO keyed aggs
+        # (min-doc, then min-pos) instead of a posting-list
+        # row_number window — linear passes, no single-task sort
+        ("d19_span_dedup_cut", 8),
     ],
 )
 def test_round3_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
