@@ -155,3 +155,27 @@ def test_span_hashes_positional_semantics(spark):
     assert sp == [span(toks[i : i + 3]) for i in range(4)]
     # the repeated window 'aa bb cc' hashes identically at both positions
     assert sp[0] == sp[3]
+
+
+def test_span_cut_bounded_by_span_coverage(spark, sf_dir):
+    """d19 (cut every non-first occurrence) must remove no more than
+    d18's duplicated-span coverage, and on a corpus where duplicate
+    spans exist it must remove strictly less: the keeper occurrence
+    survives, so per source tokens_cut <= covered_tokens, with
+    equality impossible wherever a keeper doc contributes coverage."""
+    from ice_spark.queries.registry import load_all
+
+    qs = load_all()
+    audit = {r.source: r for r in qs["d18_duplicate_spans"].spark_fn(spark, sf_dir).collect()}
+    cut = {r.source: r for r in qs["d19_span_dedup_cut"].spark_fn(spark, sf_dir).collect()}
+    assert set(audit) == set(cut)
+    total_cov = sum(a.covered_tokens for a in audit.values())
+    total_cut = sum(c.tokens_cut for c in cut.values())
+    assert total_cov > 0, "test corpus should contain duplicate spans"
+    assert total_cut < total_cov
+    for src, c in cut.items():
+        a = audit[src]
+        assert c.tokens_cut <= a.covered_tokens
+        assert c.docs_cut <= a.n_dup_docs
+        assert c.cut_occurrences <= a.dup_span_occurrences
+        assert c.total_tokens == a.total_tokens
