@@ -3109,3 +3109,60 @@ def d19(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kept_ratio"),
     )
+
+
+@register(
+    "s14_balanced_shards",
+    f"""
+    WITH d AS (
+      SELECT doc_id, len({_SQL_TOKS.format(col='text')}) AS n_toks
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_toks,
+             ROW_NUMBER() OVER (ORDER BY n_toks DESC, doc_id) AS rn
+      FROM d
+    )
+    SELECT CAST((rn - 1) % 8 AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(MAX(n_toks) AS BIGINT) AS max_doc_tokens,
+           CAST(MIN(n_toks) AS BIGINT) AS min_doc_tokens
+    FROM r
+    GROUP BY 1
+    ORDER BY shard
+    """,
+    doc="Deterministic size-balanced shard assignment for training "
+    "export (the LPT-flavored heuristic: rank every document by "
+    "descending token count with doc_id tiebreak, deal rank r to "
+    "shard (r-1) mod 8 — round-robin over the sorted order keeps "
+    "every shard within one document of even token mass, and the "
+    "assignment is a pure function of the corpus, so re-runs and "
+    "engines agree). The global rank comes from "
+    "operators/ranking.with_global_rank — repartitionByRange + "
+    "per-partition row numbers + broadcast partition offsets on a "
+    "checkpointed relation — never a single-task ORDER BY window; "
+    "the only other cost is one shard-keyed aggregation of 8 "
+    "groups. At 100 TB: one range exchange of (doc_id, n_toks) "
+    "pairs (16 bytes/row, not document bodies) + a map-side-"
+    "combined 8-group agg.",
+)
+def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.ranking import with_global_rank
+
+    K = 8
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(T.tokens(F.col("text"))).alias("n_toks")
+    )
+    r = with_global_rank(d, [F.col("n_toks").desc(), F.col("doc_id")], "rn")
+    return (
+        r.select(((F.col("rn") - 1) % K).cast("long").alias("shard"), "n_toks")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.max("n_toks").cast("long").alias("max_doc_tokens"),
+            F.min("n_toks").cast("long").alias("min_doc_tokens"),
+        )
+        .orderBy("shard")
+    )

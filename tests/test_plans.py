@@ -142,6 +142,9 @@ def test_latest_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
         # (min-doc, then min-pos) instead of a posting-list
         # row_number window — linear passes, no single-task sort
         ("d19_span_dedup_cut", 8),
+        # r9: with_global_rank (range exchange + offsets) + 8-group
+        # shard agg — no single-task sort window anywhere
+        ("s14_balanced_shards", 4),
     ],
 )
 def test_round3_query_shuffle_budget(spark, sf_dir, name, max_exchanges):

@@ -38,6 +38,8 @@ SENSITIVE = [
     "j02_salted_hot_key_join",  # salt fan-out must not change results
     "s11_cluster_disjoint_split",  # iterative connected components
     "s13_cluster_split_lsh",  # CC over LSH pairs (same sensitivity)
+    "s14_balanced_shards",  # with_global_rank round-robin dealing
+    "d18_duplicate_spans",  # span posting joins behind localCheckpoint
 ]
 
 
