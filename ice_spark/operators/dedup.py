@@ -439,3 +439,111 @@ def incremental_lsh_admission(
             .alias("admitted"),
         )
     )
+
+
+def duplicate_span_cut_positions(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", w: int = 8
+) -> DataFrame:
+    """(id, pos) of every NON-KEEPER occurrence of a cross-document
+    duplicated w-token span — ExactSubstr semantics (Lee et al. 2022):
+    the keeper is the globally first occurrence (smallest id, then
+    position). Same shape as the gated d19 summary: dup membership is
+    a merge-pinned semi join on the 8-byte span hash (the growing
+    side OOMed as an AQE broadcast at the 100x probe), and keeper
+    selection is two keyed min-aggregations — never a row_number
+    window over a posting list, never an (id*K + pos) encoding.
+    Output columns: `<id_col>`, `pos` (1-based first token)."""
+    sp = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.expr(T.span_hashes_sql(text_col, w))).alias(
+                "__pos0", "__h"
+            ),
+        )
+        .select("__id", (F.col("__pos0") + 1).alias("__pos"), "__h")
+        .localCheckpoint(eager=False)
+    )
+    dup = (
+        sp.groupBy("__h")
+        .agg(F.count_distinct("__id").alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("__h")
+    )
+    occ = (
+        sp.join(dup.hint("merge"), "__h", "semi")
+        .select("__id", "__pos", "__h")
+        .localCheckpoint(eager=False)
+    )
+    k1 = (
+        occ.groupBy("__h")
+        .agg(F.min("__id").alias("__d0"))
+        .select(F.col("__h").alias("__h1"), "__d0")
+    )
+    k2 = (
+        occ.join(
+            k1.hint("merge"),
+            (F.col("__h") == F.col("__h1")) & (F.col("__id") == F.col("__d0")),
+        )
+        .groupBy(F.col("__h1").alias("__kh"), "__d0")
+        .agg(F.min("__pos").alias("__p0"))
+    )
+    return (
+        occ.join(k2.hint("merge"), F.col("__h") == F.col("__kh"))
+        .where(~((F.col("__id") == F.col("__d0")) & (F.col("__pos") == F.col("__p0"))))
+        .select(F.col("__id").alias(id_col), F.col("__pos").alias("pos"))
+    )
+
+
+def span_cut_documents(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", w: int = 8
+) -> DataFrame:
+    """Apply the ExactSubstr cut: rebuild each document's text with
+    every non-keeper duplicated-span occurrence removed. Returns the
+    input columns plus `text_clean` and `tokens_cut` (so the caller
+    decides whether to drop the original text).
+
+    Shape at 100 TB: cut positions per doc collapse to a sorted
+    position list (collect_list is bounded by the doc's own token
+    count — per-doc state, the same envelope as chunking/packing),
+    positions merge into disjoint intervals with one aggregate()
+    fold, and the rebuild is a single JVM higher-order filter over
+    the token array testing membership against the MERGED intervals
+    — O(tokens x merged_intervals), and merging makes the interval
+    list tiny in both regimes (sparse dups -> few islands; a fully
+    duplicated doc -> ONE interval). No Python in the plan."""
+    ivs = (
+        duplicate_span_cut_positions(df, text_col, id_col, w)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__ps"))
+        .select(
+            F.col(id_col).alias("__cid"),
+            F.expr(
+                f"""aggregate(
+                  __ps,
+                  CAST(array() AS array<struct<s:int,e:int>>),
+                  (acc, p) -> CASE
+                    WHEN size(acc) > 0 AND p <= element_at(acc, -1).e + 1
+                    THEN concat(
+                      slice(acc, 1, size(acc) - 1),
+                      array(named_struct(
+                        's', element_at(acc, -1).s,
+                        'e', greatest(element_at(acc, -1).e, p + {w - 1}))))
+                    ELSE concat(acc, array(named_struct('s', p, 'e', p + {w - 1})))
+                  END)"""
+            ).alias("__iv"),
+        )
+    )
+    toks_sql = T.tokens_sql(text_col)
+    kept = (
+        f"filter(transform({toks_sql}, (t, i) -> named_struct('t', t, 'p', i + 1)), "
+        f"x -> __iv IS NULL OR NOT exists(__iv, v -> x.p >= v.s AND x.p <= v.e))"
+    )
+    return (
+        df.join(ivs.hint("merge"), F.col(id_col) == F.col("__cid"), "left")
+        .withColumn("text_clean", F.expr(f"array_join(transform({kept}, x -> x.t), ' ')"))
+        .withColumn(
+            "tokens_cut",
+            (F.size(F.expr(toks_sql)) - F.size(F.expr(kept))).cast("long"),
+        )
+        .drop("__cid", "__iv")
+    )

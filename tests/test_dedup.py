@@ -179,3 +179,51 @@ def test_span_cut_bounded_by_span_coverage(spark, sf_dir):
         assert c.docs_cut <= a.n_dup_docs
         assert c.cut_occurrences <= a.dup_span_occurrences
         assert c.total_tokens == a.total_tokens
+
+
+def test_span_cut_documents_hand_case(spark):
+    """Keeper doc unchanged; the later doc loses exactly the shared
+    8-token window; overlapping cut spans merge to one interval."""
+    from ice_spark.operators.dedup import span_cut_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i tail"),  # keeper: spans at pos 1..3
+            (2, "pre a b c d e f g h i post"),  # non-keeper: pos 2..4 merge
+            (3, "z1 z2 z3 z4 z5 z6 z7 z8"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in span_cut_documents(df).collect()}
+    assert out[1].text_clean == "a b c d e f g h i tail"
+    assert out[1].tokens_cut == 0
+    # doc 2: spans 'a..h' (pos 2), 'b..i' (pos 3) and 'c..i post'? no —
+    # shared spans are pos 2..4 windows of the 9 shared tokens; their
+    # union is tokens 2..10, one merged interval of 9 tokens.
+    assert out[2].text_clean == "pre post"
+    assert out[2].tokens_cut == 9
+    assert out[3].tokens_cut == 0
+
+
+def test_span_cut_documents_matches_d19(spark, sf_dir):
+    """The applied transform must remove EXACTLY the token mass the
+    gated d19 summary reports, per source (same keeper rule, same
+    interval union), and the cleaned corpus must keep every doc."""
+    from ice_spark.operators.dedup import span_cut_documents
+    from ice_spark.queries.registry import load_all
+    from ice_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = span_cut_documents(docs)
+    got = {
+        r.source: (r.n, r.cut)
+        for r in cleaned.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("tokens_cut").alias("cut"))
+        .collect()
+    }
+    want = {
+        r.source: (r.n_docs, r.tokens_cut)
+        for r in load_all()["d19_span_dedup_cut"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert sum(c for _, c in want.values()) > 0
