@@ -82,6 +82,7 @@ def _read_avro(spark, path: str):
     # inputs share a schema — the schema gate enforces it downstream);
     # binaryFile handles the glob itself for the data read
     header_path = path
+    load_path = path
     if not os.path.isfile(header_path):
         import glob as _glob
 
@@ -94,7 +95,13 @@ def _read_avro(spark, path: str):
                 p
                 for p in sorted(_glob.glob(path))
                 if os.path.isfile(p)
-            ] or sorted(_glob.glob(os.path.join(path, "*.avro")))
+            ]
+            if not matches:
+                # the pattern matched only directories — read their
+                # *.avro through the SAME glob that picked the header,
+                # so _SUCCESS/.crc files inside never reach the decoder
+                matches = sorted(_glob.glob(os.path.join(path, "*.avro")))
+                load_path = os.path.join(path, "*.avro")
         if not matches:
             raise FileNotFoundError(f"no avro input matches {path!r}")
         header_path = matches[0]
@@ -123,7 +130,9 @@ def _read_avro(spark, path: str):
         # non-avro files (_SUCCESS markers, .crc) that would fail the
         # whole decode with a bad-magic error
         reader = reader.option("pathGlobFilter", "*.avro")
-    return reader.load(path).select("content").mapInPandas(decode, schema=spark_schema)
+    return (
+        reader.load(load_path).select("content").mapInPandas(decode, schema=spark_schema)
+    )
 
 
 def _avro_header(path: str):

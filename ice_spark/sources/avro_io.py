@@ -465,7 +465,13 @@ def has_logical_types(s) -> bool:
 def decode_logical(v, s):
     """Recursively convert logical-typed raw values (epoch micros/
     millis longs, epoch-day ints) into datetime/date objects, guided
-    by the schema. Identity for everything else."""
+    by the schema. Identity for everything else.
+
+    timestamp-micros/millis decode as naive UTC wall time — NEVER
+    through the host zone (fromtimestamp without tz): the session pins
+    spark.sql.session.timeZone=UTC and reinterprets the naive result
+    as UTC, so a host-local decode silently shifts every ingested
+    timestamp on any non-UTC host."""
     import datetime
 
     if v is None:
@@ -475,14 +481,14 @@ def decode_logical(v, s):
     if isinstance(s, dict):
         lt = s.get("logicalType")
         if lt == "timestamp-micros":
-            return datetime.datetime.fromtimestamp(v // 1_000_000) + datetime.timedelta(
-                microseconds=v % 1_000_000
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                microseconds=v
             )
         if lt == "local-timestamp-micros":
             return datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=v)
         if lt == "timestamp-millis":
-            return datetime.datetime.fromtimestamp(v // 1_000) + datetime.timedelta(
-                milliseconds=v % 1_000
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                milliseconds=v
             )
         if lt == "date":
             return datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
@@ -587,13 +593,22 @@ def _avro_normalize(v, s):
             # never interpreted through the local zone
             delta = v.replace(tzinfo=None) - datetime.datetime(1970, 1, 1)
             return delta.days * 86_400_000_000 + delta.seconds * 1_000_000 + delta.microseconds
-        return int(v.timestamp() * 1_000_000)
+        # integer-safe epoch micros: float .timestamp()*1e6 cannot always
+        # represent microseconds at current epochs and int() truncates
+        # (values written 1 us low). Arrow hands tz-aware UTC datetimes;
+        # a naive datetime is treated as UTC wall time, matching
+        # decode_logical's naive-UTC convention.
+        if v.tzinfo is not None:
+            delta = v - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        else:
+            delta = v - datetime.datetime(1970, 1, 1)
+        return delta.days * 86_400_000_000 + delta.seconds * 1_000_000 + delta.microseconds
     if t == "int" and isinstance(v, datetime.date):
         return (v - datetime.date(1970, 1, 1)).days
     return v
 
 
-# Export destination routing: scheme -> (make_put, clear).
+# Export destination routing: scheme -> (make_put, clear, exists).
 #   make_put(dest) -> put(shard_name, data: bytes) -> url   (or None for
 #   direct local writes); the returned put must be PICKLABLE and build
 #   any provider client lazily INSIDE the call — it runs in the
@@ -601,11 +616,14 @@ def _avro_normalize(v, s):
 #   clear(dest) removes pre-existing part-*.avro shards (Spark
 #   mode("overwrite") semantics — without it a re-export with fewer
 #   partitions leaves stale shards that re-ingest as duplicate rows).
+#   exists(dest) -> bool probes for pre-existing shards so
+#   overwrite=False can refuse; a scheme registered without one makes
+#   overwrite=False an error (refusing silently-stale re-exports).
 _EXPORT_SCHEMES: dict = {}
 
 
-def register_export_scheme(scheme: str, make_put, clear) -> None:
-    _EXPORT_SCHEMES[scheme] = (make_put, clear)
+def register_export_scheme(scheme: str, make_put, clear, exists=None) -> None:
+    _EXPORT_SCHEMES[scheme] = (make_put, clear, exists)
 
 
 def _local_dir(dest: str) -> str:
@@ -640,6 +658,12 @@ def _s3_clear(dest: str) -> None:
         client.delete_object(Bucket=bp.bucket, Key=bp.key)
 
 
+def _s3_exists(dest: str) -> bool:
+    from ice_spark.sources.s3 import list_wildcard, new_s3_client
+
+    return bool(list_wildcard(new_s3_client(), dest.rstrip("/") + "/part-*.avro"))
+
+
 def export_avro(df, dest: str, codec: str = "deflate", overwrite: bool = True) -> int:
     """Write a DataFrame as Avro container shards through this codec
     (no spark-avro package). Arrow path end to end: `mapInArrow`
@@ -657,11 +681,11 @@ def export_avro(df, dest: str, codec: str = "deflate", overwrite: bool = True) -
     write none)."""
     scheme = dest.split("://", 1)[0] if "://" in dest else "file"
     if scheme in _EXPORT_SCHEMES:
-        make_put, clear = _EXPORT_SCHEMES[scheme]
+        make_put, clear, exists = _EXPORT_SCHEMES[scheme]
     elif scheme == "file":
-        make_put, clear = None, _clear_local
+        make_put, clear, exists = None, _clear_local, None
     elif scheme == "s3":
-        make_put, clear = _s3_put_factory, _s3_clear
+        make_put, clear, exists = _s3_put_factory, _s3_clear, _s3_exists
     else:
         raise ValueError(
             f"unsupported avro export scheme {scheme!r} "
@@ -669,13 +693,25 @@ def export_avro(df, dest: str, codec: str = "deflate", overwrite: bool = True) -
         )
     if overwrite:
         clear(dest)
-    elif make_put is None:
-        import glob as _glob
+    else:
+        # every scheme must refuse a dest that already has shards —
+        # otherwise a re-export with fewer partitions leaves stale
+        # part-*.avro that re-ingest as duplicate rows
+        if make_put is None:
+            import glob as _glob
 
-        existing = _glob.glob(os.path.join(_local_dir(dest), "part-*.avro"))
-        if existing:
+            occupied = bool(_glob.glob(os.path.join(_local_dir(dest), "part-*.avro")))
+        elif exists is not None:
+            occupied = exists(dest)
+        else:
+            raise ValueError(
+                f"scheme {scheme!r} was registered without an existence "
+                "probe; overwrite=False cannot be honored — pass "
+                "exists= to register_export_scheme or use overwrite=True"
+            )
+        if occupied:
             raise FileExistsError(
-                f"{dest} already has {len(existing)} avro shard(s); "
+                f"{dest} already has avro shard(s); "
                 "pass overwrite=True to replace them"
             )
 
@@ -700,12 +736,21 @@ def export_avro(df, dest: str, codec: str = "deflate", overwrite: bool = True) -
                 if put is None:
                     os.makedirs(local_dir, exist_ok=True)
                     target = os.path.join(local_dir, name)
+                    writer = ContainerWriter(target, schema, codec=codec)
                 else:
+                    import hashlib
                     import tempfile
 
                     fd, target = tempfile.mkstemp(suffix=".avro")
                     os.close(fd)
-                writer = ContainerWriter(target, schema, codec=codec)
+                    # derive the sync marker from the FINAL destination
+                    # URL, not the random mkstemp path — exported shard
+                    # bytes stay deterministic across runs (matching
+                    # local exports, whose sync hashes the stable path)
+                    sync = hashlib.sha256(
+                        (dest.rstrip("/") + "/" + name).encode()
+                    ).digest()[:16]
+                    writer = ContainerWriter(target, schema, codec=codec, sync=sync)
             writer.append_block(
                 [{k: _avro_normalize(r.get(k), s) for k, s in fields} for r in rows]
             )

@@ -482,3 +482,173 @@ def test_avro_export_timestamp_ntz_round_trip(spark, tmp_path):
     assert isinstance(rb.schema["ts"].dataType, T.TimestampNTZType)
     got = {r.id: r.ts for r in rb.collect()}
     assert got == {1: ts, 2: None}
+
+
+def test_decode_logical_is_host_timezone_independent():
+    """timestamp-micros/millis decode as naive UTC wall time, never
+    through the host zone: the session pins
+    spark.sql.session.timeZone=UTC and reinterprets the naive result
+    as UTC, so a fromtimestamp()-style host-local decode silently
+    shifts every ingested timestamp on a non-UTC host (r9 ADVICE,
+    high: 2024-06-01 12:00 read back as 08:00 under
+    TZ=America/New_York)."""
+    import datetime
+    import os as _os
+    import time as _time
+
+    from ice_spark.sources.avro_io import decode_logical
+
+    want = datetime.datetime(2024, 6, 1, 12, 0, 0, 123456)
+    micros = (want - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
+        microseconds=1
+    )
+    millis_want = want.replace(microsecond=123000)
+    millis = micros // 1000
+    old_tz = _os.environ.get("TZ")
+    _os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        got_us = decode_logical(
+            micros, {"type": "long", "logicalType": "timestamp-micros"}
+        )
+        got_ms = decode_logical(
+            millis, {"type": "long", "logicalType": "timestamp-millis"}
+        )
+    finally:
+        if old_tz is None:
+            del _os.environ["TZ"]
+        else:
+            _os.environ["TZ"] = old_tz
+        _time.tzset()
+    assert got_us == want
+    assert got_ms == millis_want
+
+
+def test_avro_normalize_timestamp_micros_integer_exact():
+    """Epoch-micros encoding is integer arithmetic, not
+    int(ts.timestamp()*1e6): float seconds at current epochs cannot
+    always represent microseconds exactly and int() truncates 1 us
+    low (r9 ADVICE)."""
+    import datetime
+
+    from ice_spark.sources.avro_io import _avro_normalize
+
+    s = {"type": "long", "logicalType": "timestamp-micros"}
+    epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+    for base_us in (1717243200000001, 1700000000000007, 946684800000003):
+        v = epoch + datetime.timedelta(microseconds=base_us)
+        assert _avro_normalize(v, s) == base_us
+        # naive datetimes are UTC wall time (decode_logical's convention)
+        assert _avro_normalize(v.replace(tzinfo=None), s) == base_us
+
+
+def test_avro_export_overwrite_false_refuses_on_registered_scheme(
+    spark, tmp_path
+):
+    """overwrite=False refuses an occupied dest on EVERY scheme, via
+    the scheme's exists probe; a scheme registered without one makes
+    overwrite=False an error instead of silently skipping the check
+    (r9 ADVICE, medium)."""
+    import pytest
+
+    from ice_spark.sources import avro_io
+    from ice_spark.sources.avro_io import export_avro
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def make_put(dest):
+        prefix = str(landing)
+
+        def put(name, data):
+            import os as _os
+
+            out = _os.path.join(prefix, name)
+            with open(out, "wb") as f:
+                f.write(data)
+            return "probed://" + name
+
+        return put
+
+    def clear(dest):
+        for p in landing.glob("part-*.avro"):
+            p.unlink()
+
+    def exists(dest):
+        return bool(list(landing.glob("part-*.avro")))
+
+    df = spark.createDataFrame([(1, "a", 0.5)], SCHEMA).coalesce(1)
+    avro_io.register_export_scheme("probed", make_put, clear, exists)
+    avro_io.register_export_scheme("unprobed", make_put, clear)
+    try:
+        # empty dest: overwrite=False writes fine through the probe
+        assert export_avro(df, "probed://bucket/out", overwrite=False) == 1
+        # occupied dest: refused
+        with pytest.raises(FileExistsError):
+            export_avro(df, "probed://bucket/out", overwrite=False)
+        # scheme without a probe: overwrite=False is an error, never
+        # a silent skip
+        with pytest.raises(ValueError, match="existence probe"):
+            export_avro(df, "unprobed://bucket/out", overwrite=False)
+        # overwrite=True still works for both
+        assert export_avro(df, "unprobed://bucket/out", overwrite=True) == 1
+    finally:
+        avro_io._EXPORT_SCHEMES.pop("probed", None)
+        avro_io._EXPORT_SCHEMES.pop("unprobed", None)
+
+
+def test_avro_export_scheme_shards_deterministic(spark, tmp_path):
+    """Scheme-routed shards spool through mkstemp but the sync marker
+    derives from the FINAL destination URL, so exported bytes are
+    identical across runs — matching local exports (r9 ADVICE)."""
+    from ice_spark.sources import avro_io
+    from ice_spark.sources.avro_io import export_avro
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def make_put(dest):
+        prefix = str(landing)
+
+        def put(name, data):
+            import os as _os
+
+            out = _os.path.join(prefix, name)
+            with open(out, "wb") as f:
+                f.write(data)
+            return "det://" + name
+
+        return put
+
+    def clear(dest):
+        for p in landing.glob("part-*.avro"):
+            p.unlink()
+
+    df = spark.createDataFrame([(1, "a", 0.5), (2, "b", 1.5)], SCHEMA).coalesce(1)
+    avro_io.register_export_scheme("det", make_put, clear)
+    try:
+        assert export_avro(df, "det://bucket/out") == 1
+        first = (landing / "part-00000.avro").read_bytes()
+        assert export_avro(df, "det://bucket/out") == 1
+        second = (landing / "part-00000.avro").read_bytes()
+    finally:
+        avro_io._EXPORT_SCHEMES.pop("det", None)
+    assert first == second
+
+
+def test_avro_glob_matching_directory_skips_non_avro(cat, spark, tmp_path):
+    """A glob pattern that matches only DIRECTORIES reads those
+    directories' *.avro through the same glob that picked the header —
+    _SUCCESS/.crc files inside must never reach the decoder (r9
+    ADVICE: the fallback branch used to load the bare directory with
+    no pathGlobFilter and fail with a bad-magic error)."""
+    from ice_spark.ingest.insert import read_input
+    from ice_spark.sources.avro_io import export_avro
+
+    d = tmp_path / "shard-0"
+    df = spark.createDataFrame([(1, "a", 0.5), (2, "b", 1.5)], SCHEMA).coalesce(1)
+    assert export_avro(df, str(d)) == 1
+    (d / "_SUCCESS").write_text("")
+    (d / "part-00000.avro.crc").write_bytes(b"\x00" * 8)
+    got = read_input(spark, str(tmp_path / "shard-*"), "avro").collect()
+    assert {(r.id, r.name, r.score) for r in got} == {(1, "a", 0.5), (2, "b", 1.5)}
