@@ -774,13 +774,19 @@ def e19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Signup-to-first-purchase conversion-delay distribution in "
     "deciles: per-user first signup, first subsequent purchase, "
-    "integer-second delay, tiebroken NTILE(10). The windows run on "
-    "the per-user conversion relation (one row per converting user); "
-    "delays and averages are exact integers. The product question "
-    "behind activation dashboards, expressed as three keyed "
-    "aggregations and one bounded window.",
+    "integer-second delay, tiebroken NTILE(10). The per-user "
+    "conversion relation GROWS with the corpus, so the decile "
+    "assignment goes through operators/ranking.global_ntile "
+    "(range-repartition + per-partition row numbers + broadcast "
+    "offsets) exactly like a05/e20/w10/s14 — never a partitionless "
+    "NTILE window, which serializes every converting user into one "
+    "task. Result is hash-identical to the oracle's NTILE by the "
+    "total order (delay_sec, user_id). Delays and averages are "
+    "exact integers.",
 )
 def e21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.ranking import global_ntile
+
     ev = load_table(spark, sf_dir, "events")
     s = (
         ev.where(F.col("event_type") == "signup")
@@ -800,10 +806,12 @@ def e21(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("first_purchase_ts") - F.unix_timestamp("signup_ts")
         ).cast("long").alias("delay_sec"),
     )
-    dec = delay.select(
-        "delay_sec",
-        F.ntile(10).over(Window.orderBy("delay_sec", "user_id")).alias("decile"),
-    )
+    dec = global_ntile(
+        delay,
+        [F.asc("delay_sec"), F.asc("user_id")],
+        10,
+        "decile",
+    ).select("delay_sec", "decile")
     return (
         dec.groupBy(F.col("decile").cast("long").alias("decile"))
         .agg(
