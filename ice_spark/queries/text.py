@@ -3166,3 +3166,65 @@ def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# p04 wraps d17's gated audit verbatim (the oracle string below embeds
+# the FROZEN d17 oracle unchanged via the registry) and turns it into
+# the corpus-health row a release pipeline acts on.
+from ice_spark.queries.registry import QUERIES as _QUERIES  # noqa: E402
+
+_D17_ORACLE = _QUERIES["d17_dropped_posting_mass"].oracle
+
+_P04_RECALL_RISK = (
+    "recall-risk: capped index drops candidate pairs; "
+    "use minhash-lsh (d04/s13) or span-cut (d19)"
+)
+_P04_OK = "ok: cap drops under 1% of posting rows"
+
+
+@register(
+    "p04_corpus_health_card",
+    f"""
+    WITH audit AS ({_D17_ORACLE})
+    SELECT index_name, cap, buckets_over_cap, dropped_posting_rows,
+           dropped_pair_mass, total_posting_rows,
+           CAST(COALESCE(dropped_posting_rows * 10000
+                // NULLIF(total_posting_rows, 0), 0) AS BIGINT) AS dropped_bp,
+           CASE WHEN COALESCE(dropped_posting_rows * 10000
+                     // NULLIF(total_posting_rows, 0), 0) >= 100
+                THEN '{_P04_RECALL_RISK}'
+                ELSE '{_P04_OK}' END AS recommendation
+    FROM audit
+    ORDER BY index_name, cap
+    """,
+    doc="Corpus health card: d17's dropped-posting-mass audit promoted "
+    "to the pipeline's decision row. p01/p02 (and build-corpus) "
+    "compose CAPPED near-dup finders; this card consumes the cap "
+    "audit they point at and emits, per posting index and cap, the "
+    "dropped share in basis points plus an explicit recommendation — "
+    "a dup-heavy corpus automatically surfaces 'recall-risk: use "
+    "minhash-lsh (d04/s13) or span-cut (d19)' instead of silently "
+    "shipping a zero-recall dedup (the r8 regime finding as pipeline "
+    "output; at the sf5 probe corpus the cap-512 shingle row crosses "
+    "the 1% threshold with 49% of posting rows dropped). Same shape "
+    "as d17 — one vocabulary-keyed shuffle, O(#caps) report rows — "
+    "plus integer basis-point arithmetic both engines replay "
+    "exactly. Observability-first posture per the reference's "
+    "metrics docs (ice/examples/grafana/METRICS.md).",
+)
+def p04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    audit = d17(spark, sf_dir)
+    dropped_bp = F.coalesce(
+        F.expr(
+            "CAST(dropped_posting_rows * 10000 "
+            "div nullif(total_posting_rows, 0) AS BIGINT)"
+        ),
+        F.lit(0).cast("long"),
+    )
+    out = audit.withColumn("dropped_bp", dropped_bp)
+    return out.withColumn(
+        "recommendation",
+        F.when(F.col("dropped_bp") >= 100, F.lit(_P04_RECALL_RISK)).otherwise(
+            F.lit(_P04_OK)
+        ),
+    ).orderBy("index_name", "cap")
