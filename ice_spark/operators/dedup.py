@@ -547,3 +547,80 @@ def span_cut_documents(
         )
         .drop("__cid", "__iv")
     )
+
+
+def span_incremental_admission(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    reject_bp: int = 5000,
+) -> DataFrame:
+    """Span-level admission gate for continuous ingest: for each
+    incoming batch document, measure how much of it is ALREADY
+    REPRESENTED in the indexed corpus at w-token-span granularity
+    (d18's index as the standing side) and admit it only when the
+    covered share stays under `reject_bp` basis points. d11 is this
+    gate at the document level (whole-doc near-dup); this is the
+    substring-level analog — the daily operator of a
+    continuously-ingesting pipeline, where yesterday's corpus is the
+    standing index and today's crawl is the batch.
+
+    Returns (id_col, n_toks, covered_tokens, covered_bp, admitted).
+
+    Scale shape: the standing index is the DISTINCT corpus span-hash
+    set (8 bytes per unique span; in production computed once at
+    ingest and stored). The membership join ships BATCH spans against
+    it as a merge-pinned semi join — the corpus side grows with the
+    corpus, which is exactly the relation AQE mis-promoted to a
+    broadcast at the 100x probe for d18/g01, so the pin is load-
+    bearing. Covered tokens use the same interval-union running-max
+    window as d18/d19, partitioned per batch doc (bounded by one
+    document's spans, never the corpus)."""
+    idx = (
+        corpus.select(
+            F.explode(F.expr(T.span_hashes_sql(text_col, w))).alias("__h")
+        )
+        .distinct()
+    )
+    b_sp = batch.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.expr(T.span_hashes_sql(text_col, w))).alias("__pos0", "__h"),
+    ).select("__id", (F.col("__pos0") + 1).alias("__pos"), "__h")
+    occ = b_sp.join(idx.hint("merge"), "__h", "semi").select("__id", "__pos")
+
+    from pyspark.sql import Window
+
+    prev_end = F.max(F.col("__pos") + (w - 1)).over(
+        Window.partitionBy("__id")
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0),
+        (F.col("__pos") + (w - 1))
+        - F.greatest(F.col("__pos") - 1, F.coalesce(prev_end, F.lit(0))),
+    )
+    per_doc = (
+        occ.withColumn("__c", contrib)
+        .groupBy("__id")
+        .agg(F.sum("__c").cast("long").alias("__cov"))
+    )
+    base = batch.select(
+        F.col(id_col).alias("__id"),
+        F.size(T.tokens(F.col(text_col))).cast("long").alias("n_toks"),
+    )
+    return (
+        base.join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_toks",
+            F.coalesce("__cov", F.lit(0)).cast("long").alias("covered_tokens"),
+        )
+        .withColumn(
+            "covered_bp",
+            F.expr("covered_tokens * 10000 div greatest(n_toks, 1)"),
+        )
+        .withColumn("admitted", F.col("covered_bp") < reject_bp)
+    )

@@ -3228,3 +3228,103 @@ def p04(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_P04_OK)
         ),
     ).orderBy("index_name", "cap")
+
+
+@register(
+    "d20_span_incremental_admission",
+    f"""
+    WITH th AS (
+      SELECT doc_id, source, doc_id % 10 = 0 AS is_batch, {_SQL_TOKH} AS th
+      FROM (SELECT doc_id, source, {_SQL_TOKS.format(col='text')} AS toks
+            FROM documents)
+    ),
+    sp AS (
+      SELECT doc_id, is_batch,
+             UNNEST(generate_series(1, len(th) - 7)) AS pos,
+             UNNEST(list_transform(generate_series(1, len(th) - 7),
+                    i -> {_SQL_SPAN8})) AS h
+      FROM th WHERE len(th) >= 8
+    ),
+    idx AS (SELECT DISTINCT h FROM sp WHERE NOT is_batch),
+    occ AS (SELECT doc_id, pos FROM sp JOIN idx USING (h) WHERE is_batch),
+    cov AS (
+      SELECT doc_id, pos,
+             GREATEST(0, (pos + 7) - GREATEST(pos - 1,
+               COALESCE(MAX(pos + 7) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)))
+               AS contrib
+      FROM occ
+    ),
+    perdoc AS (
+      SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS covered
+      FROM cov GROUP BY doc_id
+    ),
+    dec AS (
+      SELECT t.doc_id, t.source,
+             CAST(len(t.th) AS BIGINT) AS n_toks,
+             COALESCE(p.covered, 0) AS covered,
+             COALESCE(p.covered, 0) * 10000
+               // GREATEST(CAST(len(t.th) AS BIGINT), 1) < 5000 AS admitted
+      FROM th t LEFT JOIN perdoc p ON t.doc_id = p.doc_id
+      WHERE t.is_batch
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_batch_docs,
+           CAST(COUNT(*) FILTER (WHERE admitted) AS BIGINT) AS docs_admitted,
+           CAST(COUNT(*) FILTER (WHERE NOT admitted) AS BIGINT) AS docs_rejected,
+           CAST(SUM(covered) AS BIGINT) AS covered_tokens,
+           CAST(SUM(n_toks) AS BIGINT) AS batch_tokens,
+           CAST(SUM(covered) * 10000 // GREATEST(SUM(n_toks), 1) AS BIGINT)
+             AS covered_bp
+    FROM dec
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Span-level incremental admission (the substring analog of "
+    "d11's document-level gate, the operator a continuously-"
+    "ingesting pipeline runs daily): the standing corpus (doc_id % "
+    "10 <> 0) contributes its DISTINCT 8-token span-hash index — "
+    "d18's index as the standing side — and each incoming batch "
+    "document (doc_id % 10 = 0) is admitted only while under 50% of "
+    "its tokens are covered by corpus spans (interval-union "
+    "coverage, the d18/d19 running-max form). Reports per-source "
+    "admit/reject counts and covered token mass in exact integer "
+    "basis points. Scale: one distinct over corpus span hashes (8 "
+    "bytes per unique span, stored in production), one merge-pinned "
+    "semi join shipping only BATCH spans (the corpus side is "
+    "exactly the growing relation AQE mis-broadcast at the 100x "
+    "probe for d18/g01), one per-batch-doc bounded window. "
+    "operators/dedup.span_incremental_admission is the reusable "
+    "entry point.",
+)
+def d20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.dedup import span_incremental_admission
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    dec = span_incremental_admission(
+        corpus, batch, id_col="doc_id", text_col="text", w=8, reject_bp=5000
+    )
+    src = batch.select("doc_id", "source")
+    return (
+        dec.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch_docs"),
+            F.sum(F.when(F.col("admitted"), 1).otherwise(0))
+            .cast("long")
+            .alias("docs_admitted"),
+            F.sum(F.when(~F.col("admitted"), 1).otherwise(0))
+            .cast("long")
+            .alias("docs_rejected"),
+            F.sum("covered_tokens").cast("long").alias("covered_tokens"),
+            F.sum("n_toks").cast("long").alias("batch_tokens"),
+            F.expr(
+                "CAST(sum(covered_tokens) * 10000 "
+                "div greatest(sum(n_toks), 1) AS BIGINT)"
+            ).alias("covered_bp"),
+        )
+        .orderBy("source")
+    )

@@ -145,6 +145,14 @@ def test_latest_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
         # r9: with_global_rank (range exchange + offsets) + 8-group
         # shard agg — no single-task sort window anywhere
         ("s14_balanced_shards", 4),
+        # r10: corpus span-hash distinct + merge-pinned semi join
+        # (batch spans vs the growing index — the d18/g01 AQE-
+        # broadcast class), per-batch-doc coverage window, source
+        # join + final agg
+        ("d20_span_incremental_admission", 7),
+        # r10: d17's audit + two map-side derived columns + the
+        # final ORDER BY range exchange of the 6-row report
+        ("p04_corpus_health_card", 9),
     ],
 )
 def test_round3_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
