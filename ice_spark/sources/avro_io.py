@@ -280,11 +280,17 @@ class ContainerWriter:
         payload = io.BytesIO()
         for rec in records:
             write_datum(payload, self.schema, rec, self._named)
-        raw = payload.getvalue()
+        self.append_encoded(len(records), payload.getvalue())
+
+    def append_encoded(self, count: int, raw: bytes) -> None:
+        """Append a data block from already-encoded record bytes (the
+        vectorized avro_vec.encode_batch path)."""
+        if not count:
+            return
         if self.codec == "deflate":
             raw = zlib.compress(raw)[2:-4]  # avro: raw deflate, no zlib wrapper
         block = io.BytesIO()
-        write_long(block, len(records))
+        write_long(block, count)
         write_long(block, len(raw))
         block.write(raw)
         block.write(self.sync)
@@ -664,13 +670,22 @@ def _s3_exists(dest: str) -> bool:
     return bool(list_wildcard(new_s3_client(), dest.rstrip("/") + "/part-*.avro"))
 
 
-def export_avro(df, dest: str, codec: str = "deflate", overwrite: bool = True) -> int:
+def export_avro(
+    df,
+    dest: str,
+    codec: str = "deflate",
+    overwrite: bool = True,
+    vectorized: bool = True,
+) -> int:
     """Write a DataFrame as Avro container shards through this codec
     (no spark-avro package). Arrow path end to end: `mapInArrow`
     streams each partition's RecordBatches into a ContainerWriter —
     one Avro block per Arrow batch, so executor memory is bounded by a
     batch, never the partition — and the driver only ever sees one
-    (path, rows) row per shard. Destination is scheme-routed: bare /
+    (path, rows) row per shard. Record encoding is the vectorized
+    avro_vec.encode_batch (numpy varints + C++ binary_join, zero
+    per-row Python; byte-identical by property test), with a
+    per-datum fallback for constructs outside its subset. Destination is scheme-routed: bare /
     file:// paths write executor-locally (single-node or shared-fs
     deployments), s3:// (and any register_export_scheme scheme)
     spools the shard to executor-local tmp then uploads, so `dest`
@@ -724,13 +739,15 @@ def export_avro(df, dest: str, codec: str = "deflate", overwrite: bool = True) -
         import pyarrow as pa
         from pyspark import TaskContext
 
+        from ice_spark.sources import avro_vec
+
         name = f"part-{TaskContext.get().partitionId():05d}.avro"
         writer = None
         target = None
         n = 0
+        vec_ok = vectorized  # per-batch fallback: one Unsupported disables
         for batch in batches:
-            rows = batch.to_pylist()
-            if not rows:
+            if batch.num_rows == 0:
                 continue
             if writer is None:
                 if put is None:
@@ -751,6 +768,15 @@ def export_avro(df, dest: str, codec: str = "deflate", overwrite: bool = True) -
                         (dest.rstrip("/") + "/" + name).encode()
                     ).digest()[:16]
                     writer = ContainerWriter(target, schema, codec=codec, sync=sync)
+            if vec_ok:
+                try:
+                    count, payload = avro_vec.encode_batch(batch, schema)
+                    writer.append_encoded(count, payload)
+                    n += count
+                    continue
+                except avro_vec.Unsupported:
+                    vec_ok = False  # per-datum path from here on
+            rows = batch.to_pylist()
             writer.append_block(
                 [{k: _avro_normalize(r.get(k), s) for k, s in fields} for r in rows]
             )

@@ -1,0 +1,306 @@
+"""Vectorized Avro binary encoding over Arrow RecordBatches.
+
+The pure-Python datum encoder in avro_io.py is correct but per-core
+bound at ~19k rows/s on export (PERF.md): every row pays
+`to_pylist` + `_avro_normalize` + a recursive `write_datum` with
+BytesIO writes and a Python varint loop. This module encodes the
+SAME bytes with zero per-row Python:
+
+- each field becomes a `large_binary` Arrow array holding that
+  field's per-row Avro encoding, built column-at-a-time with numpy
+  (zigzag-varints via a (n, 10) byte matrix + boolean-mask
+  flattening; fixed-width floats/doubles/bools via `.view(uint8)`
+  reshape) and `pyarrow.compute` casts;
+- rows are stitched JVM^WC++-side with
+  `pc.binary_join_element_wise(field1, ..., fieldN, b"")`, and
+  variable-length children (array items, map entries) with
+  `pc.binary_join(list_of_encoded_items, b"")`;
+- the block payload is then a single contiguous slice of the join
+  result's data buffer.
+
+Output is byte-identical to `avro_io.write_datum` over the schema
+subset `spark_schema_to_avro` emits (records, 2-branch null unions,
+primitives, string/bytes, timestamp/date logical types, arrays,
+maps) — pinned by a hypothesis property test in
+tests/test_avro_vec.py. Constructs outside that subset raise
+`Unsupported`; callers fall back to the per-datum path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_LB = pa.large_binary()
+_SEP = pa.scalar(b"", type=_LB)
+_NULL_BYTE = pa.scalar(b"\x00", type=_LB)
+
+
+class Unsupported(ValueError):
+    """Schema/array construct the vectorized encoder does not cover."""
+
+
+def _lb(data: bytes, offsets: np.ndarray) -> pa.Array:
+    """large_binary array from a contiguous data blob + int64 offsets."""
+    return pa.Array.from_buffers(
+        _LB,
+        len(offsets) - 1,
+        [None, pa.py_buffer(offsets.astype(np.int64, copy=False).tobytes()), pa.py_buffer(data)],
+    )
+
+
+def _offsets_from_lengths(lengths: np.ndarray) -> np.ndarray:
+    off = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=off[1:])
+    return off
+
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64, copy=False)
+    return ((v << np.int64(1)) ^ (v >> np.int64(63))).view(np.uint64)
+
+
+def _varint_lb(
+    z: np.ndarray,
+    marker: np.ndarray | None = None,
+    live: np.ndarray | None = None,
+) -> pa.Array:
+    """Per-row varint encodings of zigzagged uint64 `z` as large_binary.
+
+    marker: optional per-row uint8 prepended before the varint (the
+    union branch byte). live: optional bool mask; dead rows emit the
+    marker alone (or nothing when marker is None) — used both for
+    null-union fields and for empty-array/map counts, where Avro
+    writes no count varint at all.
+    """
+    n = len(z)
+    if live is not None:
+        z = np.where(live, z, np.uint64(0))
+    shifts = np.arange(10, dtype=np.uint64) * np.uint64(7)
+    m = ((z[:, None] >> shifts[None, :]) & np.uint64(0x7F)).astype(np.uint8)
+    m |= 0x80
+    nb = np.ones(n, dtype=np.int64)
+    for k in range(1, 10):
+        nb += z >= (np.uint64(1) << np.uint64(7 * k))
+    if n:
+        m[np.arange(n), nb - 1] &= 0x7F
+    if marker is not None:
+        m = np.concatenate([marker.reshape(n, 1), m], axis=1)
+        total = nb + 1 if live is None else np.where(live, nb + 1, 1)
+        cols = 11
+    else:
+        total = nb if live is None else np.where(live, nb, 0)
+        cols = 10
+    mask = np.arange(cols)[None, :] < total[:, None]
+    if marker is not None and live is not None:
+        # dead rows keep only the marker byte
+        mask[:, 1:] &= live[:, None]
+    return _lb(m[mask].tobytes(), _offsets_from_lengths(total))
+
+
+def _fixed_lb(
+    raw: np.ndarray,
+    marker: np.ndarray | None = None,
+    live: np.ndarray | None = None,
+) -> pa.Array:
+    """Fixed-width per-row encodings from a (n, w) uint8 matrix."""
+    n, w = raw.shape
+    if marker is None:
+        return _lb(
+            np.ascontiguousarray(raw).tobytes(),
+            np.arange(n + 1, dtype=np.int64) * w,
+        )
+    m = np.concatenate([marker.reshape(n, 1), raw], axis=1)
+    total = np.full(n, w + 1, dtype=np.int64)
+    if live is not None:
+        total = np.where(live, w + 1, 1)
+    mask = np.arange(w + 1)[None, :] < total[:, None]
+    return _lb(m[mask].tobytes(), _offsets_from_lengths(total))
+
+
+def _validity(arr: pa.Array) -> tuple[np.ndarray | None, np.ndarray | None]:
+    """(live bool array, marker uint8 array) or (None, None) if dense."""
+    if arr.null_count == 0:
+        return None, None
+    live = arr.is_valid().to_numpy(zero_copy_only=False)
+    return live, np.where(live, np.uint8(2), np.uint8(0))
+
+
+def _ints_np(arr: pa.Array) -> np.ndarray:
+    # cast(int64) exposes the raw temporal payload, so only the units
+    # spark_schema_to_avro annotates are safe: micros timestamps
+    # (timestamp-micros / local-timestamp-micros) and day dates. A
+    # ms/ns batch would silently encode the wrong magnitude — refuse.
+    if pa.types.is_timestamp(arr.type) and arr.type.unit != "us":
+        raise Unsupported(f"timestamp unit {arr.type.unit!r} (need us)")
+    if pa.types.is_date64(arr.type):
+        raise Unsupported("date64 (need date32 epoch days)")
+    if pa.types.is_date32(arr.type):
+        arr = arr.cast(pa.int32())
+    elif pa.types.is_timestamp(arr.type):
+        arr = arr.cast(pa.int64())
+    return pc.fill_null(arr.cast(pa.int64()), 0).to_numpy(zero_copy_only=False)
+
+
+def _union_wrap(arr: pa.Array, payload: pa.Array) -> pa.Array:
+    """Generic ["null", T] wrapper for payloads built without a folded
+    marker (records, arrays, maps): branch byte + payload-or-empty."""
+    live, marker = _validity(arr)
+    if live is None:
+        n = len(arr)
+        marker = np.full(n, np.uint8(2))
+        return pc.binary_join_element_wise(
+            _lb(marker.tobytes(), np.arange(n + 1, dtype=np.int64)), payload, _SEP
+        )
+    n = len(arr)
+    payload = pc.if_else(arr.is_valid(), payload, _SEP)
+    return pc.binary_join_element_wise(
+        _lb(marker.tobytes(), np.arange(n + 1, dtype=np.int64)), payload, _SEP
+    )
+
+
+def _is_null_schema(s) -> bool:
+    return s == "null" or (isinstance(s, dict) and s.get("type") == "null")
+
+
+def _encode(arr: pa.Array, schema) -> pa.Array:
+    """Per-row Avro encoding of `arr` under `schema` as large_binary.
+
+    Null-union schemas fold the branch byte in; everything the
+    subset does not cover raises Unsupported (caller falls back)."""
+    if isinstance(schema, list):  # union — only ["null", T] supported
+        branches = [b for b in schema if not _is_null_schema(b)]
+        if len(schema) != 2 or len(branches) != 1:
+            raise Unsupported(f"union {schema!r}")
+        return _encode_nullable(arr, branches[0])
+    if arr.null_count != 0:
+        raise Unsupported("nulls in a non-nullable avro field")
+    return _encode_dense(arr, schema, None, None)
+
+
+def _encode_nullable(arr: pa.Array, schema) -> pa.Array:
+    live, marker = _validity(arr)
+    if live is None:
+        n = len(arr)
+        live, marker = None, np.full(n, np.uint8(2))
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t in ("record", "array", "map"):
+        return _union_wrap(arr, _encode_dense(arr, schema, None, None))
+    return _encode_dense(arr, schema, marker, live)
+
+
+def _encode_dense(
+    arr: pa.Array, schema, marker: np.ndarray | None, live: np.ndarray | None
+) -> pa.Array:
+    t = schema["type"] if isinstance(schema, dict) else schema
+    n = len(arr)
+    if t in ("int", "long"):
+        return _varint_lb(_zigzag(_ints_np(arr)), marker, live)
+    if t == "boolean":
+        raw = pc.fill_null(arr.cast(pa.uint8()), 0).to_numpy(zero_copy_only=False)
+        return _fixed_lb(raw.reshape(n, 1), marker, live)
+    if t == "float":
+        raw = pc.fill_null(arr.cast(pa.float32()), 0.0).to_numpy(zero_copy_only=False)
+        return _fixed_lb(raw.astype("<f4", copy=False).view(np.uint8).reshape(n, 4), marker, live)
+    if t == "double":
+        raw = pc.fill_null(arr.cast(pa.float64()), 0.0).to_numpy(zero_copy_only=False)
+        return _fixed_lb(raw.astype("<f8", copy=False).view(np.uint8).reshape(n, 8), marker, live)
+    if t in ("string", "bytes"):
+        data = arr.cast(_LB)
+        off = np.frombuffer(data.buffers()[1], dtype=np.int64)[
+            data.offset : data.offset + n + 1
+        ]
+        lengths = np.diff(off)
+        if live is not None:
+            lengths = np.where(live, lengths, 0)
+        prefix = _varint_lb(_zigzag(lengths), marker, live)
+        if data.null_count:
+            data = pc.fill_null(data, b"")
+        return pc.binary_join_element_wise(prefix, data, _SEP)
+    if t == "record":
+        if not isinstance(arr.type, pa.StructType):
+            raise Unsupported(f"record field backed by {arr.type}")
+        fields = [
+            _encode(arr.field(f["name"]), f["type"]) for f in schema["fields"]
+        ]
+        if not fields:
+            raise Unsupported("empty record")
+        if len(fields) == 1:
+            return fields[0]
+        return pc.binary_join_element_wise(*fields, _SEP)
+    if t == "array":
+        if not pa.types.is_list(arr.type) and not pa.types.is_large_list(arr.type):
+            raise Unsupported(f"array field backed by {arr.type}")
+        counts = pc.fill_null(pc.list_value_length(arr), 0).cast(pa.int64())
+        counts_np = counts.to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(arr)
+        items = _encode(flat, schema["items"])
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(_offsets_from_lengths(counts_np)), items
+            ),
+            _SEP,
+        )
+        prefix = _varint_lb(_zigzag(counts_np), None, counts_np > 0)
+        suffix = _lb(b"\x00" * n, np.arange(n + 1, dtype=np.int64))
+        return pc.binary_join_element_wise(prefix, joined, suffix, _SEP)
+    if t == "map":
+        if not pa.types.is_map(arr.type):
+            raise Unsupported(f"map field backed by {arr.type}")
+        if not pa.types.is_string(arr.type.key_type):
+            raise Unsupported("avro maps need string keys")
+        as_list = arr.cast(
+            pa.list_(
+                pa.struct(
+                    [("key", arr.type.key_type), ("value", arr.type.item_type)]
+                )
+            )
+        )
+        counts_np = (
+            pc.fill_null(pc.list_value_length(as_list), 0)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        flat = pc.list_flatten(as_list)
+        key_enc = _encode(flat.field("key"), "string")
+        val_enc = _encode(flat.field("value"), schema["values"])
+        entries = pc.binary_join_element_wise(key_enc, val_enc, _SEP)
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(_offsets_from_lengths(counts_np)), entries
+            ),
+            _SEP,
+        )
+        prefix = _varint_lb(_zigzag(counts_np), None, counts_np > 0)
+        suffix = _lb(b"\x00" * n, np.arange(n + 1, dtype=np.int64))
+        return pc.binary_join_element_wise(prefix, joined, suffix, _SEP)
+    raise Unsupported(f"avro type {t!r}")
+
+
+def encode_batch(batch: pa.RecordBatch, schema: dict) -> tuple[int, bytes]:
+    """Encode an Arrow RecordBatch as concatenated Avro binary records
+    under a top-level record `schema` (spark_schema_to_avro output).
+    Returns (row_count, payload). Raises Unsupported outside the
+    covered subset — callers fall back to the per-datum encoder."""
+    if schema.get("type") != "record":
+        raise Unsupported("top-level schema must be a record")
+    n = batch.num_rows
+    if n == 0:
+        return 0, b""
+    cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+    fields = []
+    for f in schema["fields"]:
+        if f["name"] not in cols:
+            raise Unsupported(f"batch is missing field {f['name']!r}")
+        fields.append(_encode(cols[f["name"]], f["type"]))
+    joined = (
+        fields[0]
+        if len(fields) == 1
+        else pc.binary_join_element_wise(*fields, _SEP)
+    )
+    off = np.frombuffer(joined.buffers()[1], dtype=np.int64)[
+        joined.offset : joined.offset + n + 1
+    ]
+    payload = bytes(memoryview(joined.buffers()[2])[off[0] : off[-1]])
+    return n, payload
