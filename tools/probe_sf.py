@@ -50,6 +50,12 @@ def main() -> int:
     ap.add_argument("--sweep", action="store_true", help="run every registered query once")
     ap.add_argument("--skip", nargs="*", default=None, help="override the sweep skip list")
     ap.add_argument("--runs", type=int, default=2, help="runs per named query (warm = last)")
+    ap.add_argument(
+        "--span-cut-check",
+        action="store_true",
+        help="run the APPLIED span cut and pin tokens_cut conservation "
+        "against d19 per source at this scale (not just a timing)",
+    )
     args = ap.parse_args()
 
     from ice_spark.session import get_spark
@@ -81,6 +87,47 @@ def main() -> int:
             flush=True,
         )
         return 1 if fails else 0
+
+    if args.span_cut_check:
+        # Cross-invariant at scale (VERDICT r9 item 8): the applied
+        # transform must remove EXACTLY the token mass the gated d19
+        # summary reports, per source — the same pin
+        # tests/test_dedup.py holds at gate SF, re-asserted wherever
+        # the probe runs (sf10's 100x dup density included).
+        from pyspark.sql import functions as F
+
+        from ice_spark.operators.dedup import span_cut_documents
+        from ice_spark.tables import load_table
+
+        t0 = time.time()
+        docs = load_table(spark, args.sf_dir, "documents")
+        got = {
+            r.source: (r.n, r.cut)
+            for r in span_cut_documents(docs)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("tokens_cut").alias("cut"))
+            .collect()
+        }
+        t_cut = time.time() - t0
+        t0 = time.time()
+        want = {
+            r.source: (r.n_docs, r.tokens_cut)
+            for r in specs["d19_span_dedup_cut"].spark_fn(spark, args.sf_dir).collect()
+        }
+        t_d19 = time.time() - t0
+        total_cut = sum(c for _, c in got.values())
+        print(
+            f"span-cut-check@{args.sf_dir}: cut={t_cut:.1f}s d19={t_d19:.1f}s "
+            f"sources={len(got)} tokens_cut={total_cut} "
+            f"conserved={'YES' if got == want else 'NO'}",
+            flush=True,
+        )
+        if got != want:
+            print(f"  span_cut per source: {got}", flush=True)
+            print(f"  d19 per source:      {want}", flush=True)
+            return 1
+        if not args.queries:
+            return 0
 
     for name in args.queries:
         if name not in specs:
