@@ -3328,3 +3328,135 @@ def d20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "t16_dsir_importance_weights",
+    f"""
+    WITH th AS (
+      SELECT doc_id, lang = 'en' AS is_t, {_SQL_TOKH} AS th
+      FROM (SELECT doc_id, lang, {_SQL_TOKS.format(col='text')} AS toks
+            FROM documents)
+    ),
+    feat AS (
+      SELECT doc_id, is_t, f % 4096 AS b
+      FROM th, UNNEST(list_concat(
+        th.th,
+        CASE WHEN len(th.th) >= 2 THEN
+          list_transform(generate_series(1, len(th.th) - 1),
+            i -> ((7 * 1000003 + th.th[i]) % 1000000007 * 1000003
+                  + th.th[i+1]) % 1000000007)
+        ELSE []::BIGINT[] END)) AS u(f)
+    ),
+    stats AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS c_r,
+             CAST(COUNT(*) FILTER (WHERE is_t) AS BIGINT) AS c_t
+      FROM feat GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_r) AS BIGINT) AS t_r, CAST(SUM(c_t) AS BIGINT) AS t_t
+      FROM stats
+    ),
+    ratio AS (
+      SELECT b,
+             CAST(ROUND(LN(CAST((c_t + 1) * (t_r + 4096) AS DOUBLE)
+                           / CAST((c_r + 1) * (t_t + 4096) AS DOUBLE))
+                        * 1000000, 0) AS BIGINT) AS r_micro
+      FROM stats, tot
+    ),
+    dfc AS (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM feat GROUP BY doc_id, b
+    ),
+    perdoc AS (
+      SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS n_feats,
+             CAST(SUM(d.c * r.r_micro) AS BIGINT) AS w_micro
+      FROM dfc d JOIN ratio r ON d.b = r.b
+      GROUP BY d.doc_id
+    )
+    SELECT doc.doc_id,
+           COALESCE(p.n_feats, 0) AS n_feats,
+           CAST(COALESCE(p.w_micro, 0) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+             AS log_w,
+           CAST(CASE WHEN COALESCE(p.w_micro, 0) > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS selected
+    FROM documents doc LEFT JOIN perdoc p ON doc.doc_id = p.doc_id
+    """,
+    doc="DSIR-style importance weights (Xie et al. 2023, Data "
+    "Selection via Importance Resampling): hashed n-gram features "
+    "(unigram token hashes + width-2 polynomial bigram hashes, the "
+    "repo hash spec, folded into 4096 buckets), a bag-of-buckets "
+    "model for the TARGET distribution (lang='en', standing in for "
+    "the paper's Wikipedia+books) and the RAW corpus, and per-doc "
+    "log importance weight sum_b count_b * ln(p_target(b)/p_raw(b)) "
+    "with add-one smoothing. `selected` marks docs more target-like "
+    "than raw-like (log_w > 0) — the deterministic counterpart of "
+    "the paper's Gumbel-top-k resampling (documented deviation: no "
+    "sampling noise, so the oracle replays exactly). Numeric parity "
+    "discipline: each bucket's log-ratio is quantized ONCE to "
+    "integer micro-nats from an exact BIGINT-product argument, "
+    "per-doc weights are pure BIGINT arithmetic, and the single "
+    "double division happens at the end — the t08 rule. Shape at "
+    "100 TB: the feature stream is explode + two keyed hash aggs "
+    "(map-side combine; keys are per-doc or one of 4096 buckets), "
+    "the bucket model is <=4096 rows BROADCAST to the weight join, "
+    "and no window or driver loop appears anywhere — importance "
+    "weighting an arbitrarily large corpus is one shuffle of "
+    "(doc_id, bucket) pairs.",
+)
+def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = 4096
+    docs = load_table(spark, sf_dir, "documents")
+    th = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        F.expr(T.token_hashes_sql("text")).alias("th"),
+    )
+    bi = (
+        "CASE WHEN size(th) >= 2 THEN "
+        "transform(sequence(0, size(th) - 2), "
+        "i -> ((7 * 1000003 + element_at(th, CAST(i + 1 AS INT))) % 1000000007 "
+        "* 1000003 + element_at(th, CAST(i + 2 AS INT))) % 1000000007) "
+        "ELSE CAST(array() AS array<bigint>) END"
+    )
+    feat = th.select(
+        "doc_id",
+        "is_t",
+        F.explode(F.expr(f"transform(concat(th, {bi}), h -> h % {B})")).alias("b"),
+    )
+    stats = feat.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_r"),
+        F.sum(F.col("is_t").cast("long")).cast("long").alias("c_t"),
+    )
+    tot = stats.agg(
+        F.sum("c_r").cast("long").alias("t_r"),
+        F.sum("c_t").cast("long").alias("t_t"),
+    )
+    ratio = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"CAST(ROUND(LN(CAST((c_t + 1) * (t_r + {B}) AS DOUBLE) "
+            f"/ CAST((c_r + 1) * (t_t + {B}) AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+        ).alias("r_micro"),
+    )
+    dfc = feat.groupBy("doc_id", "b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    perdoc = (
+        dfc.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.sum(F.col("c") * F.col("r_micro")).cast("long").alias("w_micro"),
+        )
+    )
+    return docs.select("doc_id").join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+        (
+            F.coalesce(F.col("w_micro"), F.lit(0)).cast("double")
+            / F.lit(1000000).cast("double")
+        ).alias("log_w"),
+        F.when(F.coalesce(F.col("w_micro"), F.lit(0)) > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("selected"),
+    )

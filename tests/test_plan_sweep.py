@@ -81,6 +81,7 @@ AUDITED_BNLJ = {
     "s13_cluster_split_lsh": 1,  # 1-row leaky-audit aggregate crossJoin
     "t07_tfidf_top_terms": 1,
     "t08_unigram_logprob": 1,
+    "t16_dsir_importance_weights": 1,  # 1-row totals aggregate crossJoin
     "t13_collocations": 1,
     "t14_vocabulary_growth": 2,
     "v01_knn_bruteforce": 1,
