@@ -1251,3 +1251,91 @@ def v16(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("bits", "n_vecs", "total_mae_u", "avg_mae_u", "max_mae_u")
         )
     return outs[0].unionAll(outs[1]).unionAll(outs[2]).orderBy("bits")
+
+
+@register(
+    "v17_embedding_space_audit",
+    """
+    WITH comp AS (
+      SELECT i, CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS v_u
+      FROM embeddings, generate_series(1, 64) t(i)
+    ),
+    agg AS (
+      SELECT i,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v_u) AS BIGINT) AS s,
+             CAST(SUM(v_u * v_u) AS BIGINT) AS q,
+             CAST(COUNT(*) FILTER (WHERE ABS(v_u) > 30000) AS BIGINT) AS n_extreme
+      FROM comp GROUP BY i
+    )
+    SELECT CAST(i AS BIGINT) AS dim,
+           n AS n_vecs,
+           CAST(s AS DOUBLE) / CAST(n * 10000 AS DOUBLE) AS mean,
+           (CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             / CAST(100000000 AS DOUBLE) AS variance,
+           SQRT(CAST(q AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(10000 AS DOUBLE) AS rms,
+           n_extreme,
+           CAST(CASE WHEN (CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+                           - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                          / CAST(100000000 AS DOUBLE)
+                          < CAST(1 AS DOUBLE) / CAST(10000 AS DOUBLE)
+                     THEN 1 ELSE 0 END AS BIGINT) AS dead
+    FROM agg
+    ORDER BY dim
+    """,
+    doc="Embedding-space health audit: per-dimension first/second "
+    "moments of the corpus embedding matrix — mean (the per-dim "
+    "contribution to the anisotropy bias ||mu||^2 / E||x||^2, "
+    "Ethayarajh 2019's degenerate-direction diagnostic), variance "
+    "with a dead-dimension flag (var < 1e-4 — a collapsed dimension "
+    "wastes IVF/PQ codebook capacity downstream, v06/v11's inputs), "
+    "RMS, and an extreme-value count (|v| > 3.0 — embedding-export "
+    "corruption shows up here first). Components quantize to exact "
+    "1e-4 integer units before summing (the t08/v15 rule); every "
+    "exposed double is a fixed single-path expression over those "
+    "exact BIGINTs, so Spark and DuckDB agree bitwise. Shape at "
+    "100 TB: one posexplode + one 64-key hash agg — pure map-side "
+    "combine into 64 rows, no joins, no windows. Exact-integer "
+    "ceiling: SUM(v_u^2) stays in BIGINT up to ~5e9 vectors per dim "
+    "at unit-scale components; beyond that, shard the agg or drop "
+    "to 1e-2 units (documented, same class as the IVF centroid "
+    "literal ceiling).",
+)
+def v17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(F.posexplode("embedding").alias("i0", "v")).select(
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("v").cast("double") * 10000).cast("long").alias("v_u"),
+    )
+    agg = comp.groupBy("i").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_u").cast("long").alias("s"),
+        F.sum(F.col("v_u") * F.col("v_u")).cast("long").alias("q"),
+        F.sum(F.when(F.abs(F.col("v_u")) > 30000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_extreme"),
+    )
+    var_sql = (
+        "(CAST(q AS DOUBLE) / CAST(n AS DOUBLE) "
+        "- (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "* (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) "
+        "/ CAST(100000000 AS DOUBLE)"
+    )
+    return agg.select(
+        F.col("i").cast("long").alias("dim"),
+        F.col("n").alias("n_vecs"),
+        F.expr("CAST(s AS DOUBLE) / CAST(n * 10000 AS DOUBLE)").alias("mean"),
+        F.expr(var_sql).alias("variance"),
+        F.expr(
+            "SQRT(CAST(q AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(10000 AS DOUBLE)"
+        ).alias("rms"),
+        "n_extreme",
+        F.expr(
+            f"CAST(CASE WHEN {var_sql} < CAST(1 AS DOUBLE) / CAST(10000 AS DOUBLE) "
+            "THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("dead"),
+    ).orderBy("dim")
