@@ -112,6 +112,59 @@ def _read_avro(spark, path: str):
 
     logical = has_logical_types(schema_json)
 
+    reader = spark.read.format("binaryFile")
+    if os.path.isdir(path):
+        # match the header-selection glob: a directory input may hold
+        # non-avro files (_SUCCESS markers, .crc) that would fail the
+        # whole decode with a bad-magic error
+        reader = reader.option("pathGlobFilter", "*.avro")
+    src = reader.load(load_path).select("content")
+
+    # Fast path: schema-compiled decoder into Arrow columns (no row
+    # dicts, no datetime objects — temporals stay epoch ints and the
+    # Arrow type applies the logical type). ~5x the per-datum path;
+    # compile-checked DRIVER-side so unsupported schemas fall back
+    # wholesale, and per SHARD executor-side (a shard whose header
+    # schema differs from the fleet's decodes via read_datum).
+    from ice_spark.sources import avro_vec
+
+    try:
+        avro_vec.compile_decoder(schema_json)
+        arrow_fields = [
+            (f["name"], avro_vec.avro_schema_to_arrow(f["type"]))
+            for f in schema_json["fields"]
+        ]
+    except avro_vec.Unsupported:
+        arrow_fields = None
+
+    if arrow_fields is not None:
+
+        def decode_arrow(batches):
+            import pyarrow as pa
+
+            from ice_spark.sources import avro_vec as _vec
+
+            for batch in batches:
+                for content in batch.column(0):
+                    data = content.as_py()
+                    try:
+                        yield _vec.decode_container_bytes_arrow(data, schema_json)
+                    except _vec.Unsupported:
+                        _, _, records = read_container_bytes(data)
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                pa.array(
+                                    [r.get(n) for r in records],
+                                    type=t,
+                                    from_pandas=True,
+                                )
+                                for n, t in arrow_fields
+                            ],
+                            schema=pa.schema(arrow_fields),
+                        )
+
+        return src.mapInArrow(decode_arrow, schema=spark_schema)
+
     def decode(batches):
         from ice_spark.sources.avro_io import decode_logical
 
@@ -124,15 +177,7 @@ def _read_avro(spark, path: str):
                     {n: [r.get(n) for r in records] for n in names}
                 )
 
-    reader = spark.read.format("binaryFile")
-    if os.path.isdir(path):
-        # match the header-selection glob: a directory input may hold
-        # non-avro files (_SUCCESS markers, .crc) that would fail the
-        # whole decode with a bad-magic error
-        reader = reader.option("pathGlobFilter", "*.avro")
-    return (
-        reader.load(load_path).select("content").mapInPandas(decode, schema=spark_schema)
-    )
+    return src.mapInPandas(decode, schema=spark_schema)
 
 
 def _avro_header(path: str):

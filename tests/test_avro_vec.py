@@ -193,3 +193,94 @@ def test_export_paths_byte_identical(spark, tmp_path):
     fsync = hashlib.sha256(str(fast / "part-00000.avro").encode()).digest()[:16]
     ssync = hashlib.sha256(str(slow / "part-00000.avro").encode()).digest()[:16]
     assert fb.replace(fsync, b"\x00" * 16) == sb.replace(ssync, b"\x00" * 16)
+
+
+# --- compiled decoder (read path) ---
+
+raw_row_st = st.fixed_dictionaries(
+    {
+        "id": longs,
+        "opt_l": st.none() | longs,
+        "i": ints,
+        "flag": st.none() | st.booleans(),
+        "f": st.none() | floats,
+        "d": st.floats(allow_nan=False),
+        "s": text,
+        "opt_s": st.none() | text,
+        "by": st.none() | st.binary(max_size=16),
+        "ts": st.none() | st.integers(min_value=-(2**52), max_value=2**52),
+        "day": st.none() | st.integers(min_value=-100_000, max_value=100_000),
+        "emb": st.none() | st.lists(floats, max_size=6),
+        "arr": st.lists(st.none() | longs, max_size=5),
+        "kv": st.none()
+        | st.dictionaries(st.text(max_size=8), st.none() | longs, max_size=4),
+        "nested": st.none()
+        | st.fixed_dictionaries({"a": ints, "b": st.none() | text}),
+    }
+)
+
+
+@given(st.lists(raw_row_st, max_size=15))
+@settings(max_examples=40, deadline=None)
+def test_compiled_decoder_matches_read_datum(tmp_path_factory, rows):
+    """decode_container_bytes_arrow must recover exactly what the
+    reference reader (read_container -> read_datum) recovers, for a
+    container written by the reference writer — raw values compared
+    (temporals stay epoch ints on the reference side too)."""
+    import numpy as np
+
+    from ice_spark.sources.avro_io import read_container, write_container
+    from ice_spark.sources.avro_vec import decode_container_bytes_arrow
+
+    td = tmp_path_factory.mktemp("avrodec")
+    p = str(td / "t.avro")
+    write_container(p, AVRO_SCHEMA, rows)
+    with open(p, "rb") as f:
+        batch = decode_container_bytes_arrow(f.read(), AVRO_SCHEMA)
+    _, _, ref = read_container(p)
+    assert batch.num_rows == len(rows)
+    # temporal columns: compare the raw epoch ints losslessly (a
+    # float .timestamp() round-trip drops microseconds near zero)
+    import pyarrow as pa
+
+    ts_raw = batch.column("ts").cast(pa.int64()).to_pylist()
+    day_raw = batch.column("day").cast(pa.int32()).to_pylist()
+    got = batch.to_pylist()
+    for g, t, dy in zip(got, ts_raw, day_raw):
+        g["ts"] = t
+        g["day"] = dy
+    for g, r in zip(got, ref):
+        for k, v in r.items():
+            gv = g[k]
+            if k == "kv" and gv is not None:
+                gv = dict(gv)
+            if k in ("f", "emb") and gv is not None and v is not None:
+                if k == "f":
+                    assert gv == np.float32(v) or gv == v
+                    continue
+                assert [np.float32(x) for x in v] == gv or v == gv
+                continue
+            assert gv == v, (k, gv, v)
+
+
+def test_read_avro_mixed_field_order_falls_back(spark, tmp_path):
+    """A shard whose header schema reorders fields decodes through
+    the per-shard fallback (read_datum by name), not the compiled
+    decoder — and the combined read still yields every row."""
+    from ice_spark.ingest.insert import _read_avro
+    from ice_spark.sources.avro_io import write_container
+
+    s1 = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "id", "type": "long"}, {"name": "s", "type": "string"}],
+    }
+    s2 = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "s", "type": "string"}, {"name": "id", "type": "long"}],
+    }
+    write_container(str(tmp_path / "a.avro"), s1, [{"id": 1, "s": "x"}])
+    write_container(str(tmp_path / "b.avro"), s2, [{"id": 2, "s": "y"}])
+    out = _read_avro(spark, str(tmp_path)).orderBy("id").collect()
+    assert [(r.id, r.s) for r in out] == [(1, "x"), (2, "y")]
