@@ -1356,3 +1356,108 @@ def k12(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket_hi_cents"
         ),
     ).orderBy("event_type", "pct")
+
+
+K13_A, K13_B = 1566083941, 97  # large-multiplier pair (Waterman LCG)
+K13_K = 256
+
+
+@register(
+    "k13_hash_sample_quantiles",
+    f"""
+    WITH c AS (
+      SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             ((event_id % {P}) * {K13_A} + {K13_B}) % {P} AS h
+      FROM events
+    ),
+    samp AS (
+      SELECT cents, event_id FROM c ORDER BY h, event_id LIMIT {K13_K}
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, event_id) AS rn,
+             COUNT(*) OVER () AS k
+      FROM samp
+    ),
+    ests AS (
+      SELECT p_num, p_den,
+             MIN(CASE WHEN rn >= (k * p_num + p_den - 1) // p_den
+                      THEN cents END) AS est
+      FROM ranked, (VALUES (1, 2), (9, 10), (99, 100)) p(p_num, p_den)
+      GROUP BY 1, 2
+    ),
+    audit AS (
+      SELECT e.p_num, e.p_den, e.est,
+             CAST(COUNT(*) FILTER (WHERE c.cents <= e.est) AS BIGINT) AS n_le,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM c, ests e
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(p_num * 100 // p_den AS BIGINT) AS pct,
+           est AS est_cents,
+           CAST(n_le * 10000 // n AS BIGINT) AS exact_le_bp,
+           CAST(n_le * 10000 // n - p_num * 10000 // p_den AS BIGINT) AS err_bp
+    FROM audit
+    ORDER BY pct
+    """,
+    doc="Quantile estimation from a deterministic bottom-k-by-hash "
+    "sample, with the estimate's EXACT rank error as part of the "
+    "output: the 256 rows whose keyed hash is smallest form a "
+    "uniform (hash-order) sample, p50/p90/p99 come from sample "
+    "order statistics, and a second exact pass reports each "
+    "estimate's true cumulative fraction in integer basis points "
+    "(err_bp = achieved - target). The bottom-k-by-hash sample is "
+    "MERGEABLE exactly like KMV (k05): union two shards' samples, "
+    "keep the 256 smallest hashes — a quantile sketch the sketch "
+    "family lacked. Determinism: the portable modular hash over "
+    "unique event_id with (h, event_id) tiebreak gives one total "
+    "order; every output column is an integer. Shape at 100 TB: "
+    "bottom-k is per-partition top-k + one 256-row merge "
+    "(TakeOrderedAndProject, never a global sort); the two "
+    "partitionless windows run over the 256-row sample only; the "
+    "audit pass is one scan against 3 broadcast estimate rows.",
+)
+def k13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr(f"((event_id % {P}) * {K13_A} + {K13_B}) % {P}").alias("h"),
+    )
+    samp = c.orderBy("h", "event_id").limit(K13_K).select("cents", "event_id")
+    ranked = samp.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("k"),
+    )
+    ps = spark.createDataFrame([(1, 2), (9, 10), (99, 100)], ["p_num", "p_den"])
+    ests = (
+        ranked.crossJoin(F.broadcast(ps))
+        .groupBy("p_num", "p_den")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("rn") >= F.expr("(k * p_num + p_den - 1) div p_den"),
+                    F.col("cents"),
+                )
+            ).alias("est")
+        )
+    )
+    audit = (
+        c.crossJoin(F.broadcast(ests))
+        .groupBy("p_num", "p_den", "est")
+        .agg(
+            F.sum(F.when(F.col("cents") <= F.col("est"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_le"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    return audit.select(
+        F.expr("CAST(p_num * 100 div p_den AS BIGINT)").alias("pct"),
+        F.col("est").alias("est_cents"),
+        F.expr("CAST(n_le * 10000 div n AS BIGINT)").alias("exact_le_bp"),
+        F.expr(
+            "CAST(n_le * 10000 div n - p_num * 10000 div p_den AS BIGINT)"
+        ).alias("err_bp"),
+    ).orderBy("pct")

@@ -72,6 +72,8 @@ AUDITED_BNLJ = {
     "k10_exact_median_two_pass": 13,
     "k11_ams_selfjoin_size": 1,
     "k12_log_histogram_percentiles": 1,
+    "k13_hash_sample_quantiles": 2,  # 3-row percentile spec + 3-row estimates
+
     "p02_pretraining_mixture_pipeline": 1,
     "q11_important_parts": 1,
     "q22_global_sales_opportunity": 1,
@@ -110,6 +112,9 @@ AUDITED_PARTITIONLESS_WINDOWS = {
     "w05_sliding_7day_revenue": [("_w1",)],  # day grain
     "w07_mom_revenue_growth": [("mon",)],  # month grain
     "w10_lorenz_gini_deciles": [(), ("decile",)],  # 10-decile rollup
+    # both windows run over the 256-row bottom-k-by-hash sample
+    # (TakeOrderedAndProject LIMIT upstream bounds the relation)
+    "k13_hash_sample_quantiles": [(), ("cents", "event_id")],
 }
 
 
