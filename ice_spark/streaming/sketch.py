@@ -230,3 +230,109 @@ def hll_windowed_stream(
     return prepared.groupBy("win", "group_key", "reg").agg(
         F.max("rho").alias("m_j")
     )
+
+
+# --- streaming bottom-k-by-hash quantile sample (k13's stream form) ---
+
+BK_A, BK_B = 1566083941, 97  # k13's pair, so stream == batch estimates
+BK_K = 256
+BK_PCTS = ((1, 2), (9, 10), (99, 100))
+
+BK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType()),
+        T.StructField("pct", T.LongType()),
+        T.StructField("est", T.LongType()),
+        T.StructField("n_kept", T.LongType()),
+    ]
+)
+
+# parallel arrays: hash, tiebreak id, value — the 256 smallest (h, id)
+_BK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("hs", T.ArrayType(T.LongType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def bottomk_quantiles(vals: list[int], pcts=BK_PCTS) -> list[tuple[int, int]]:
+    """(pct, estimate) from a bottom-k sample's values — the value at
+    rank ceil(k*p) of the sorted sample (k13's order statistic)."""
+    s = sorted(vals)
+    k = len(s)
+    out = []
+    for p_num, p_den in pcts:
+        r = (k * p_num + p_den - 1) // p_den if k else 0
+        out.append((p_num * 100 // p_den, s[max(r, 1) - 1] if k else None))
+    return out
+
+
+def _bottomk_fn(k: int):
+    def fn(key, pdfs: Iterator, state: GroupState):
+        import pandas as pd
+
+        (group_key,) = key
+        if state.exists:
+            hs, ids, vals = (list(x) for x in state.get)
+            entries = list(zip(hs, ids, vals))
+        else:
+            entries = []
+        for pdf in pdfs:
+            entries.extend(
+                (int(h), int(i), int(v))
+                for h, i, v in zip(pdf["h"], pdf["id"], pdf["v"])
+            )
+        # keep the k smallest by (hash, id) — the KMV merge rule, so
+        # union-of-streams == stream-of-union (mergeable)
+        entries = sorted(set(entries))[:k]
+        state.update(
+            (
+                [e[0] for e in entries],
+                [e[1] for e in entries],
+                [e[2] for e in entries],
+            )
+        )
+        rows = [
+            {
+                "group_key": group_key,
+                "pct": pct,
+                "est": est,
+                "n_kept": len(entries),
+            }
+            for pct, est in bottomk_quantiles([e[2] for e in entries])
+        ]
+        yield pd.DataFrame(rows)
+
+    return fn
+
+
+def bottomk_quantile_stream(
+    stream: DataFrame,
+    id_col: str,
+    value_col: str,
+    group_col: str,
+    k: int = BK_K,
+) -> DataFrame:
+    """Per-group streaming quantile estimates from bottom-k-by-hash
+    state (k * 24 bytes per group forever): the stream form of the
+    batch k13 sketch, same hash pair and tiebreak, so the estimate
+    after any prefix of micro-batches equals k13's computation over
+    that prefix (pinned in tests/test_streaming_sketch.py). ``id_col``
+    must be integral and unique per row (the sample key);
+    ``value_col`` integral (quantize first, the k13 cents rule)."""
+    h = ((F.col(id_col).cast("long") % P) * BK_A + BK_B) % P
+    prepared = stream.select(
+        F.col(group_col).cast("string").alias("group_key"),
+        h.alias("h"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    return prepared.groupBy("group_key").applyInPandasWithState(
+        _bottomk_fn(k),
+        outputStructType=BK_OUTPUT_SCHEMA,
+        stateStructType=_BK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

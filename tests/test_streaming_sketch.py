@@ -256,3 +256,54 @@ def test_windowed_hll_with_watermark(spark, tmp_path):
     # bounded state: ≤ 64 registers per (window, group)
     counts = regs.groupBy("win", "group_key").count().collect()
     assert all(r["count"] <= 64 for r in counts)
+
+
+def test_stream_matches_batch_bottomk_quantiles(spark, tmp_path):
+    """bottomk_quantile_stream's final estimates equal the batch k13
+    order statistics over the union of all micro-batches — the
+    mergeable-sample property, stream == batch on any prefix."""
+    from ice_spark.streaming.sketch import (
+        BK_A,
+        BK_B,
+        bottomk_quantile_stream,
+        bottomk_quantiles,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = [(i, (i * 37) % 1000, "pay") for i in range(400)]
+    b2 = [(1000 + i, (i * 91) % 2000, "pay") for i in range(400)]
+    for name, rows in (("b1", b1), ("b2", b2)):
+        spark.createDataFrame(
+            rows, "event_id long, cents long, event_type string"
+        ).coalesce(1).write.parquet(str(src / name))
+
+    stream = (
+        spark.readStream.schema("event_id long, cents long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        bottomk_quantile_stream(stream, "event_id", "cents", "event_type")
+        .writeStream.format("memory")
+        .queryName("bk_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM bk_stream").collect()
+    final = {}
+    for r in rows:
+        final[(r.group_key, r.pct)] = r  # appends in batch order
+
+    # batch replica of k13's sample: 256 smallest (h, id) of the union
+    entries = sorted(
+        (((eid % P) * BK_A + BK_B) % P, eid, cents)
+        for eid, cents, _ in b1 + b2
+    )[:256]
+    expected = dict(bottomk_quantiles([e[2] for e in entries]))
+    for pct in (50, 90, 99):
+        got = final[("pay", pct)]
+        assert got.est == expected[pct], pct
+        assert got.n_kept == 256
