@@ -284,3 +284,23 @@ def test_read_avro_mixed_field_order_falls_back(spark, tmp_path):
     write_container(str(tmp_path / "b.avro"), s2, [{"id": 2, "s": "y"}])
     out = _read_avro(spark, str(tmp_path)).orderBy("id").collect()
     assert [(r.id, r.s) for r in out] == [(1, "x"), (2, "y")]
+
+
+def test_all_testdata_schemas_on_fast_paths(spark):
+    """Every testdata table must stay on BOTH fast paths — the
+    vectorized encoder and the compiled decoder. A change that
+    silently narrows the supported subset turns a 9x/6x path into
+    the per-datum fallback without failing anything else."""
+    from ice_spark.sources.avro_io import spark_schema_to_avro
+    from ice_spark.sources.avro_vec import compile_decoder, encode_batch
+    from ice_spark.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        df = load_table(spark, "/root/testdata/sf0.001", t).limit(20)
+        schema = spark_schema_to_avro(df.schema)
+        compile_decoder(schema)  # raises Unsupported on regression
+        tbl = df.toArrow()
+        if tbl.num_rows:
+            batch = tbl.to_batches()[0]
+            n, payload = encode_batch(batch, schema)
+            assert n == batch.num_rows
