@@ -584,6 +584,33 @@ def span_incremental_admission(
         )
         .distinct()
     )
+    return span_admission_against_index(
+        idx, batch, id_col=id_col, text_col=text_col, w=w, reject_bp=reject_bp
+    )
+
+
+def span_index(df: DataFrame, text_col: str = "text", w: int = 8) -> DataFrame:
+    """The standing span-hash index of a corpus: its DISTINCT w-token
+    span hashes, one `__h` bigint column (8 bytes per unique span).
+    In production this is computed once at ingest and STORED — the
+    admission gate then never rescans the corpus."""
+    return df.select(
+        F.explode(F.expr(T.span_hashes_sql(text_col, w))).alias("__h")
+    ).distinct()
+
+
+def span_admission_against_index(
+    idx: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    reject_bp: int = 5000,
+) -> DataFrame:
+    """The admission core of span_incremental_admission, taking the
+    standing index (one `__h` column, span_index output) directly —
+    the entry point for pipelines that persist the index instead of
+    rebuilding it per batch (streaming/dedupe.span_admission_stream)."""
     b_sp = batch.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.expr(T.span_hashes_sql(text_col, w))).alias("__pos0", "__h"),

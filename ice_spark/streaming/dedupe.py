@@ -43,3 +43,81 @@ def dedup_stream(
             ["fingerprint"]
         )
     return fp.dropDuplicates(["fingerprint"])
+
+
+def span_admission_stream(
+    stream: DataFrame,
+    dest_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    reject_bp: int = 5000,
+    seed_corpus: DataFrame | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming span-level admission (d20's stream form): each
+    micro-batch is gated against a PERSISTED span-hash index
+    (operators/dedup.span_index layout, one `__h` bigint column),
+    admitted docs land in `dest_dir`, and their spans GROW the index
+    — so batch N+1 is gated against everything admitted through
+    batch N, the continuously-ingesting-pipeline semantics d20
+    simulates in batch.
+
+    Exactly-once across foreachBatch replays: both the admitted docs
+    and the index growth are written to epoch-keyed subdirectories
+    with mode("overwrite") — a replayed epoch overwrites its own
+    output instead of appending duplicates (the crash-window rule
+    streaming/watch.py follows).
+
+    `seed_corpus`: optional standing corpus whose index is written as
+    epoch `seed` before the stream starts (yesterday's corpus).
+    Returns the started StreamingQuery.
+
+    Scale shape: identical to the batch gate — the index side of the
+    membership join grows with the corpus and is merge-pinned inside
+    span_admission_against_index; the per-epoch index write adds one
+    distinct over BATCH spans only.
+    """
+    import os
+
+    from ice_spark.operators.dedup import (
+        span_admission_against_index,
+        span_index,
+    )
+
+    spark = stream.sparkSession
+    if seed_corpus is not None:
+        span_index(seed_corpus, text_col, w).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "epoch=seed")
+        )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        try:
+            idx = sess.read.parquet(os.path.join(index_dir, "*")).where(
+                ~F.input_file_name().contains(f"epoch={epoch_id}/")
+            )
+        except Exception:  # noqa: BLE001 - no index yet: admit everything
+            idx = sess.createDataFrame([], "`__h` long")
+        decisions = span_admission_against_index(
+            idx, batch_df, id_col=id_col, text_col=text_col, w=w, reject_bp=reject_bp
+        )
+        admitted = batch_df.join(
+            decisions.where(F.col("admitted")).select(id_col), id_col, "semi"
+        )
+        # epoch-keyed overwrite: replays are idempotent
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(dest_dir, f"epoch={epoch_id}")
+        )
+        span_index(admitted, text_col, w).write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"epoch={epoch_id}")
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
