@@ -431,13 +431,15 @@ def compile_decoder(schema: dict):
         "def _decode(mv, p, count, cols):",
         "    _skip = 0",
     ]
-    for f in schema["fields"]:
-        lines.append(f"    _c_{_ident(f['name'])} = cols[{f['name']!r}]")
+    # locals carry the field INDEX so two names that sanitize to the
+    # same identifier ("a b" vs "a_b") cannot collide
+    for fi, f in enumerate(schema["fields"]):
+        lines.append(f"    _c{fi}_{_ident(f['name'])} = cols[{f['name']!r}]")
     lines.append("    for _ in range(count):")
-    for f in schema["fields"]:
+    for fi, f in enumerate(schema["fields"]):
         v = em.tmp()
         em.emit(f["type"], v, lines, "        ")
-        lines.append(f"        _c_{_ident(f['name'])}.append({v})")
+        lines.append(f"        _c{fi}_{_ident(f['name'])}.append({v})")
     lines.append("    return p")
     src = "\n".join(lines)
     import struct

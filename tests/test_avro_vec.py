@@ -304,3 +304,26 @@ def test_all_testdata_schemas_on_fast_paths(spark):
             batch = tbl.to_batches()[0]
             n, payload = encode_batch(batch, schema)
             assert n == batch.num_rows
+
+
+def test_decoder_field_names_that_sanitize_identically():
+    """"a b" and "a_b" sanitize to the same Python identifier; the
+    generated locals must still address the right columns."""
+    from ice_spark.sources.avro_io import write_datum
+    from ice_spark.sources.avro_vec import compile_decoder
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "a b", "type": "long"},
+            {"name": "a_b", "type": "long"},
+        ],
+    }
+    buf = io.BytesIO()
+    write_datum(buf, schema, {"a b": 1, "a_b": 2})
+    write_datum(buf, schema, {"a b": 3, "a_b": 4})
+    cols = {"a b": [], "a_b": []}
+    decode = compile_decoder(schema)
+    decode(memoryview(buf.getvalue()), 0, 2, cols)
+    assert cols == {"a b": [1, 3], "a_b": [2, 4]}
