@@ -29,10 +29,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-# Known-heavy at 50x: the d02-pair consumers are workload-bound
-# (240-360s each, measured r8) — skip them by default in --sweep.
-# d08 left the skip list in r9: its split hash now carries the
-# (id % 2^31) * KNUTH overflow guard and runs clean at 49e9-id scale.
+# The d02-pair family, skipped by default in --sweep since r8 as
+# workload-bound (240-360s each back then). Re-measured r10: all six
+# now complete in 37-47s at sf10 — the posting caps drop ~94% of
+# postings at 100x dup density (d17's measured collapse), so the
+# candidate set (and the pair output) is EMPTY and the consumers are
+# cheap. They stay skipped only to keep sweep output shapes stable;
+# run them explicitly to reproduce. d08 left the skip list in r9: its
+# split hash now carries the (id % 2^31) * KNUTH overflow guard and
+# runs clean at 49e9-id scale.
 DEFAULT_SWEEP_SKIP = {
     "d02_ngram_jaccard_pairs",
     "d07_containment_pairs",
