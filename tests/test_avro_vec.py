@@ -327,3 +327,42 @@ def test_decoder_field_names_that_sanitize_identically():
     decode = compile_decoder(schema)
     decode(memoryview(buf.getvalue()), 0, 2, cols)
     assert cols == {"a b": [1, 3], "a_b": [2, 4]}
+
+
+def test_jvm_cross_reads_vectorized_export_shard(spark, tmp_path):
+    """The JVM's org.apache.avro reader — a fully independent second
+    implementation — must parse a shard written by the VECTORIZED
+    encoder end-to-end (values, nulls, arrays, temporals), not just
+    the per-datum containers the Iceberg metadata tests cover."""
+    from ice_spark.sources.avro_io import export_avro
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", [1.0, 2.5], 3.5, True),
+            (2, None, [], None, False),
+            (3, "unicodé→", None, -0.0, None),
+        ],
+        "id long, s string, emb array<float>, x double, flag boolean",
+    ).coalesce(1)
+    dest = tmp_path / "out"
+    assert export_avro(df, str(dest)) == 1
+    shard = str(dest / "part-00000.avro")
+
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.generic.GenericDatumReader()
+    dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(shard), reader)
+    rows = {}
+    while dfr.hasNext():
+        r = dfr.next()
+        rows[r.get("id")] = r
+    dfr.close()
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].get("s").toString() == "alpha"
+    assert rows[2].get("s") is None
+    assert rows[3].get("s").toString() == "unicodé→"
+    assert [float(v) for v in rows[1].get("emb")] == [1.0, 2.5]
+    assert list(rows[2].get("emb")) == []
+    assert rows[3].get("emb") is None
+    assert rows[1].get("x") == 3.5
+    assert rows[2].get("x") is None
+    assert rows[1].get("flag") is True and rows[2].get("flag") is False
