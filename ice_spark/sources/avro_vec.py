@@ -173,6 +173,12 @@ def _encode(arr: pa.Array, schema) -> pa.Array:
         branches = [b for b in schema if not _is_null_schema(b)]
         if len(schema) != 2 or len(branches) != 1:
             raise Unsupported(f"union {schema!r}")
+        if not _is_null_schema(schema[0]):
+            # The marker bytes below hard-code null-first branch indexes
+            # (0 = null, 2 = value); a ["T","null"] schema would emit the
+            # wrong branch byte. Our own writer always emits null-first;
+            # fall back to the per-datum path for foreign order.
+            raise Unsupported(f"union with non-first null {schema!r}")
         return _encode_nullable(arr, branches[0])
     if arr.null_count != 0:
         raise Unsupported("nulls in a non-nullable avro field")
@@ -352,7 +358,12 @@ class _Emitter:
             branches = [b for b in schema if not _is_null_schema(b)]
             if len(schema) != 2 or len(branches) != 1:
                 raise Unsupported(f"union {schema!r}")
-            lines.append(f"{ind}if mv[p] == 0:")
+            # Branch indexes are zigzag varints; for a 2-branch union the
+            # byte is 0 (index 0) or 2 (index 1). The null branch may sit
+            # at either index — ["long","null"] is legal Avro — so derive
+            # the null byte from the schema instead of assuming null-first.
+            null_idx = 0 if _is_null_schema(schema[0]) else 1
+            lines.append(f"{ind}if mv[p] == {null_idx * 2}:")
             lines.append(f"{ind}    p += 1; {out} = None")
             lines.append(f"{ind}else:")
             lines.append(f"{ind}    p += 1")

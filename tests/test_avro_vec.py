@@ -170,6 +170,59 @@ def test_null_in_non_nullable_field_refused():
         encode_batch(batch, schema)
 
 
+# ["T","null"] is legal Avro (null branch at index 1); foreign writers
+# emit it. The branch byte is the zigzag of the branch INDEX, so the
+# compiled decoder must not assume byte 0 means null.
+NULL_LAST_SCHEMA = {
+    "type": "record",
+    "name": "row",
+    "fields": [
+        {"name": "a", "type": ["long", "null"]},
+        {"name": "b", "type": "long"},
+        {"name": "s", "type": ["string", "null"]},
+    ],
+}
+
+
+def test_compiled_decoder_null_last_union(tmp_path):
+    """A ["long","null"] container (written by the branch-correct
+    per-datum writer) must decode to the same values on the compiled
+    fast path — previously byte 0 was misread as null, silently
+    corrupting a=5 into None and shifting b."""
+    from ice_spark.sources.avro_io import read_container, write_container
+    from ice_spark.sources.avro_vec import decode_container_bytes_arrow
+
+    rows = [
+        {"a": 5, "b": 10, "s": "x"},
+        {"a": None, "b": 20, "s": None},
+        {"a": 0, "b": 30, "s": ""},
+    ]
+    p = str(tmp_path / "nl.avro")
+    write_container(p, NULL_LAST_SCHEMA, rows)
+    _, _, ref = read_container(p)
+    assert ref == rows  # per-datum path is the ground truth
+    with open(p, "rb") as f:
+        batch = decode_container_bytes_arrow(f.read(), NULL_LAST_SCHEMA)
+    assert batch.to_pylist() == rows
+
+
+def test_encode_null_last_union_refused():
+    """The vectorized encoder's marker bytes hard-code null-first
+    branch order; a null-last schema must be Unsupported (caller
+    falls back to write_datum, which is branch-correct) rather than
+    emit wrong branch bytes."""
+    batch = pa.RecordBatch.from_pydict(
+        {"a": pa.array([5, None], type=pa.int64())}
+    )
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "a", "type": ["long", "null"]}],
+    }
+    with pytest.raises(Unsupported):
+        encode_batch(batch, schema)
+
+
 def test_export_paths_byte_identical(spark, tmp_path):
     """Full-stack check: export_avro through the vectorized encoder
     and through the per-datum path (vectorized=False) write
