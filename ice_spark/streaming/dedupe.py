@@ -95,11 +95,23 @@ def span_admission_stream(
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
-        try:
-            idx = sess.read.parquet(os.path.join(index_dir, "*")).where(
-                ~F.input_file_name().contains(f"epoch={epoch_id}/")
+        # Enumerate prior epoch directories explicitly: "no index yet"
+        # means the directory listing is empty, NOT that a read threw.
+        # A transient IO error / corrupt shard must fail the batch (the
+        # checkpoint retries it) — swallowing it would silently disable
+        # the dedup gate and let duplicates permanently into dest_dir.
+        prior = (
+            sorted(
+                os.path.join(index_dir, d)
+                for d in os.listdir(index_dir)
+                if d.startswith("epoch=") and d != f"epoch={epoch_id}"
             )
-        except Exception:  # noqa: BLE001 - no index yet: admit everything
+            if os.path.isdir(index_dir)
+            else []
+        )
+        if prior:
+            idx = sess.read.parquet(*prior)
+        else:
             idx = sess.createDataFrame([], "`__h` long")
         decisions = span_admission_against_index(
             idx, batch_df, id_col=id_col, text_col=text_col, w=w, reject_bp=reject_bp
@@ -108,12 +120,14 @@ def span_admission_stream(
             decisions.where(F.col("admitted")).select(id_col), id_col, "semi"
         )
         # epoch-keyed overwrite: replays are idempotent
-        admitted.write.mode("overwrite").parquet(
-            os.path.join(dest_dir, f"epoch={epoch_id}")
-        )
-        span_index(admitted, text_col, w).write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"epoch={epoch_id}")
-        )
+        epoch_path = os.path.join(dest_dir, f"epoch={epoch_id}")
+        admitted.write.mode("overwrite").parquet(epoch_path)
+        # Grow the index from the parquet just written, not the live
+        # plan: avoids re-running the whole gate (explode + merge join)
+        # a second time and is stable under speculative re-execution.
+        span_index(sess.read.parquet(epoch_path), text_col, w).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, f"epoch={epoch_id}"))
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

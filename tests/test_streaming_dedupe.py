@@ -108,3 +108,120 @@ def test_span_admission_stream_grows_index(spark, tmp_path):
     run_once()
     again = sorted(r.doc_id for r in spark.read.parquet(dest + "/*").collect())
     assert again == [11, 21]
+
+
+def test_span_admission_stream_equals_batch(spark, tmp_path):
+    """stream==batch parity for the span index (the k13 discipline):
+    after N epochs — including a replayed epoch — the persisted index
+    equals span_index(seed + every admitted doc) exactly, and the
+    admission decisions equal running span_admission_against_index
+    batch-wise against a manually-grown index. This is the 'computed
+    once at ingest and stored' production claim as a test."""
+    from ice_spark.operators.dedup import (
+        span_admission_against_index,
+        span_index,
+    )
+    from ice_spark.streaming.dedupe import span_admission_stream
+
+    seed = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    fresh_y = "one two three four five six seven eight nine ten"
+    fresh_w = "red orange yellow green blue indigo violet ultra infra deep"
+    # partial overlap: first half of fresh_y + a fresh tail — admitted
+    # or rejected depending on reject_bp; exercises spans-already-in-
+    # index landing in a LATER epoch (duplicate hashes across epochs)
+    half_y = "one two three four five plum pear fig date lime"
+    batches = [
+        [(10, fresh_y), (11, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        [(20, half_y), (21, fresh_w)],
+        [(30, fresh_w), (31, half_y)],
+    ]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    dest = str(tmp_path / "dest")
+    idxd = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = span_admission_stream(stream, dest, idxd, ckpt, seed_corpus=seed)
+        q.awaitTermination()
+
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, ["doc_id", "text"]).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+        run_once()
+    # replay every epoch from a fresh checkpoint (same file order) —
+    # parity must hold across the replay too
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run_once()
+
+    stream_admitted = sorted(
+        r.doc_id for r in spark.read.parquet(dest + "/*").collect()
+    )
+
+    # batch replay: grow an index DataFrame epoch by epoch
+    idx = span_index(seed)
+    batch_admitted = []
+    for b in batches:
+        bdf = spark.createDataFrame(b, ["doc_id", "text"])
+        dec = span_admission_against_index(idx, bdf)
+        adm = bdf.join(
+            dec.where(dec.admitted).select("doc_id"), "doc_id", "semi"
+        )
+        batch_admitted += [r.doc_id for r in adm.select("doc_id").collect()]
+        idx = idx.unionByName(span_index(adm)).distinct()
+    assert stream_admitted == sorted(batch_admitted)
+
+    # persisted index == span_index(seed + all admitted), as sets
+    persisted = {
+        r["__h"] for r in spark.read.parquet(idxd + "/*").distinct().collect()
+    }
+    all_docs = seed.unionByName(
+        spark.read.parquet(dest + "/*").select("doc_id", "text")
+    )
+    recomputed = {r["__h"] for r in span_index(all_docs).collect()}
+    assert persisted == recomputed
+
+
+def test_span_admission_stream_corrupt_index_fails_batch(spark, tmp_path):
+    """A corrupt/unreadable index shard must FAIL the micro-batch (the
+    checkpoint retries it), not be swallowed as 'no index yet' — that
+    would silently disable the gate and admit duplicates forever."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from ice_spark.streaming.dedupe import span_admission_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(10, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    idxd = tmp_path / "idx"
+    bad = idxd / "epoch=seed"
+    bad.mkdir(parents=True)
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = span_admission_stream(
+        stream, str(tmp_path / "dest"), str(idxd), str(tmp_path / "ckpt")
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
