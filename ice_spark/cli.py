@@ -432,6 +432,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("namespace")
     sp.add_argument("--heldout-fraction", type=float, default=0.1)
     sp.add_argument("--min-tokens", type=int, default=20)
+    sp.add_argument(
+        "--dedup",
+        choices=["off", "auto", "capped-shingle", "minhash-lsh"],
+        default="off",
+        help="near-dup strategy on top of exact dedup; 'auto' routes "
+        "by the measured cap audit (p04's recommendation, executed)",
+    )
 
     sp = sub.add_parser("cluster")
     sp.add_argument("table")
@@ -1032,6 +1039,7 @@ def main(argv: list[str] | None = None) -> int:
             args.namespace,
             heldout_fraction=args.heldout_fraction,
             min_tokens=args.min_tokens,
+            near_dedup_strategy=None if args.dedup == "off" else args.dedup,
         )
     elif args.cmd == "cluster":
         from ice_spark.catalog.maintenance import cluster_files

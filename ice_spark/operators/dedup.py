@@ -158,6 +158,55 @@ def dropped_posting_mass(
     )
 
 
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_posting: int = DEFAULT_MAX_POSTING,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a capped shingle-hash
+    inverted index — the d02 finder as a reusable, cap-parametrized
+    operator (the dedup router runs it at the cap it audited).
+
+    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold and
+    doc_a < doc_b. Jaccard denominators use the UNCAPPED per-doc
+    shingle set sizes; the cap bounds only candidate generation
+    (identical semantics to the d02 oracle's capped replay).
+
+    Shape: one posting-key shuffle (window cap + candidate self-join
+    share it), one (doc_a, doc_b) aggregate, two keyed size joins —
+    never a cross join; per-bucket candidate work is hard-bounded at
+    O(max_posting²).
+    """
+    docs = df.select(
+        F.col(id_col).alias("__id"),
+        T.shingle_hashes(text_col, n=shingle_n).alias("__sh"),
+    ).localCheckpoint(eager=False)
+    sizes = docs.select("__id", F.size("__sh").alias("__n"))
+    ex = _cap_buckets(
+        docs.select("__id", F.explode("__sh").alias("__s")), ["__s"], max_posting
+    )
+    ex2 = ex.select(F.col("__id").alias("__id2"), F.col("__s").alias("__s2"))
+    pairs = (
+        ex.join(ex2, (F.col("__s") == F.col("__s2")) & (F.col("__id") < F.col("__id2")))
+        .groupBy(F.col("__id").alias("doc_a"), F.col("__id2").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sa = sizes.select(F.col("__id").alias("__a_id"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__id").alias("__b_id"), F.col("__n").alias("__nb"))
+    jacc = F.col("__inter").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__inter")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("__a_id"))
+        .join(sb, F.col("doc_b") == F.col("__b_id"))
+        .where(jacc >= threshold)
+        .select("doc_a", "doc_b", jacc.alias("jaccard"))
+    )
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep exactly one row (min id) per distinct key tuple.
 
