@@ -3460,3 +3460,144 @@ def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("selected"),
     )
+
+
+_P05_CAPS = [4, 512]
+
+
+def _p05_oracle() -> str:
+    # The LSH-route pair set is the FROZEN d04 oracle embedded verbatim
+    # via the registry (the p04 idiom), so the router's full-recall
+    # branch replays the identical banding spec bit-for-bit.
+    d04 = _QUERIES["d04_minhash_lsh_pairs"].oracle
+    caps = ", ".join(str(c) for c in _P05_CAPS)
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {_SQL_SHINGLE_HASHES} AS sh
+      FROM (SELECT doc_id, {_SQL_TOKH} AS th
+            FROM (SELECT doc_id, {_SQL_TOKS.format(col='text')} AS toks
+                  FROM documents))
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    scounts AS (SELECT s, COUNT(*) AS b FROM ex GROUP BY s),
+    caps AS (SELECT CAST(unnest([{caps}]) AS BIGINT) AS cap),
+    route AS (
+      SELECT cap, dropped_bp,
+             CASE WHEN dropped_bp >= 100 THEN 'minhash-lsh'
+                  ELSE 'capped-shingle' END AS route
+      FROM (
+        SELECT cap,
+               CAST(COALESCE(SUM(b) FILTER (WHERE b > cap), 0) * 10000
+                    // NULLIF(SUM(b), 0) AS BIGINT) AS dropped_bp
+        FROM scounts, caps GROUP BY cap
+      )
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+    cex AS (
+      SELECT r.cap, e.doc_id, e.s
+      FROM route r JOIN scounts c ON c.b <= r.cap JOIN ex e ON e.s = c.s
+      WHERE r.route = 'capped-shingle'
+    ),
+    cpairs AS (
+      SELECT a.cap, a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM cex a JOIN cex b
+        ON a.cap = b.cap AND a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3
+    ),
+    cdrop AS (
+      SELECT p.cap, p.doc_b
+      FROM cpairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+      WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8
+    ),
+    lsh AS (SELECT doc_b FROM ({d04})),
+    dropped AS (
+      SELECT DISTINCT cap, doc_b FROM cdrop
+      UNION
+      SELECT DISTINCT r.cap, l.doc_b
+      FROM route r JOIN lsh l ON r.route = 'minhash-lsh'
+    ),
+    tok AS (
+      SELECT doc_id, len({_SQL_TOKS.format(col='text')}) AS n_tok
+      FROM documents
+    ),
+    kept AS (
+      SELECT r.cap, r.dropped_bp, r.route, t.doc_id, t.n_tok
+      FROM route r
+      CROSS JOIN tok t
+      LEFT JOIN dropped d ON d.cap = r.cap AND d.doc_b = t.doc_id
+      WHERE d.doc_b IS NULL
+    )
+    SELECT cap, dropped_bp, route,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+    FROM kept
+    GROUP BY cap, dropped_bp, route
+    ORDER BY cap
+    """
+
+
+@register(
+    "p05_routed_dedup_pipeline",
+    _p05_oracle(),
+    doc="Policy-driven dedup routing, EXECUTED end-to-end (closes the "
+    "p04 loop: the health card's recommendation is consumed, not "
+    "printed): for each audited posting cap, measure the dropped "
+    "posting share over the shingle index (d17's audit, the same "
+    "vocabulary-keyed shuffle the capped finder pays), route to the "
+    "capped containment finder when under 100 bp and to full-recall "
+    "banded MinHash-LSH when the cap visibly eats recall, then APPLY "
+    "the chosen finder (drop the larger id of every J>=0.8 pair) and "
+    "report the kept corpus per cap: docs and token mass. At gate SF "
+    "the two caps take DIFFERENT routes (cap 4 ~3% dropped -> lsh; "
+    "cap 512 0 bp -> capped), so the oracle verifies both branches "
+    "and the flip itself. The acting operators are "
+    "operators/pipeline.dedup_route_audit + near_dedup (the "
+    "build-corpus --dedup auto path); the audit collect is O(#caps) "
+    "rows at any corpus size. Scale: both branches are bucketed "
+    "candidate joins, never all-pairs; the route decision costs one "
+    "aggregate over posting counts the finder needs anyway.",
+)
+def p05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        shingle_jaccard_pairs,
+    )
+    from ice_spark.operators.pipeline import dedup_route_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    # O(len(caps))-row driver collect: the routing decision itself
+    # (bounded like the IVF centroid pull; documented ceiling = #caps)
+    audit = sorted(
+        dedup_route_audit(docs, caps=_P05_CAPS).collect(),
+        key=lambda r: r["cap"],
+    )
+    tok = docs.select("doc_id", T.token_count("text").alias("n_tok"))
+    frames = []
+    for row in audit:
+        if row["route"] == "capped-shingle":
+            pairs = shingle_jaccard_pairs(docs, max_posting=row["cap"])
+        else:
+            pairs = minhash_lsh_pairs(docs, id_col="doc_id", text_col="text")
+        kept = tok.join(
+            pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        frames.append(
+            kept.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+                F.sum("n_tok").cast("long").alias("kept_tokens"),
+            ).select(
+                F.lit(int(row["cap"])).cast("long").alias("cap"),
+                F.lit(int(row["dropped_bp"])).cast("long").alias("dropped_bp"),
+                F.lit(row["route"]).alias("route"),
+                "n_docs_kept",
+                "kept_tokens",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
