@@ -71,3 +71,36 @@ def audit(df: DataFrame) -> PlanAudit:
         scans=plan.count("Scan parquet"),
         has_empty_pushed_filters="PushedFilters: []" in plan,
     )
+
+
+def force_rows(df: DataFrame) -> int:
+    """Row count with EVERY output column evaluated.
+
+    `df.count()` lets Catalyst eliminate final operators that don't
+    change cardinality — a left join against an aggregate keyed by a
+    unique column costs nothing under count(), so a probe built on it
+    measures parquet metadata, not the query (the t16 pitfall,
+    PERF.md Round 10). Aggregating a hash over all output columns
+    references every column, so no final operator can be pruned; the
+    returned count is identical to df.count().
+
+    Map-typed columns aren't hashable in Spark SQL — they go through
+    to_json first (probe-only path; never in a hot query).
+    """
+    return force_agg(df).collect()[0]["n"]
+
+
+def force_agg(df: DataFrame) -> DataFrame:
+    """The one-row (n, h) aggregate force_rows evaluates — exposed so
+    tests can pin that its plan retains operators count() eliminates."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.to_json(F.col(c)) if "map<" in t else F.col(c)
+        for c, t in df.dtypes
+    ]
+    # bit_xor, not sum: hash sums overflow int64 under ANSI mode
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*cols) if cols else F.lit(0)).alias("h"),
+    )

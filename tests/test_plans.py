@@ -485,3 +485,33 @@ def test_s13_lsh_split_shuffle_budget(spark, sf_dir):
     assert "CartesianProduct" not in a.plan
     assert a.plan.count("BroadcastNestedLoopJoin") <= 1
     assert a.shuffles <= 11, f"{a.shuffles} shuffles\n{a.plan[:2000]}"
+
+
+def test_force_rows_defeats_join_elimination(spark, sf_dir):
+    """The honest-probe contract (PERF.md Round 10 / VERDICT r10 #4):
+    t16's final operator is a left join against an aggregate keyed by
+    the unique doc_id — under count() Catalyst ELIMINATES it and the
+    probe reads parquet metadata; force_agg references every output
+    column, so the join must survive in the optimized plan and the
+    count must agree."""
+    from ice_spark.plans import force_agg, force_rows, plan_string
+    from ice_spark.queries.registry import load_all
+
+    df = load_all()["t16_dsir_importance_weights"].spark_fn(spark, sf_dir)
+    count_plan = plan_string(df.groupBy().count())
+    forced_plan = plan_string(force_agg(df))
+    # the pitfall itself: bare count() really does lose the join
+    assert "Join" not in count_plan, count_plan[:1200]
+    assert "Join" in forced_plan, forced_plan[:1200]
+    assert force_rows(df) == df.count()
+
+
+def test_force_rows_handles_map_columns(spark):
+    """Map-typed outputs (not hashable in Spark SQL) go through the
+    to_json detour rather than failing the probe."""
+    from ice_spark.plans import force_rows
+
+    df = spark.createDataFrame(
+        [(1, {"a": 1}), (2, {"b": 2})], "id long, kv map<string,int>"
+    )
+    assert force_rows(df) == 2

@@ -9,6 +9,13 @@ the v06/v10/v11 seed-hash overflow at 49e9 ids, d12's 424M-pair block
 blowup, and the posting-cap recall/waste regime — run it after any
 operator change that claims a scale property.
 
+Every probe evaluates via ice_spark.plans.force_rows (a hash over all
+output columns), never bare count(): count() lets Catalyst eliminate
+final cardinality-preserving operators, turning the probe into a
+parquet-metadata read (t16 measured 0.5s that way in r10). Against an
+sf10 directory the sweep additionally pins the cap-collapse output
+shapes of the d02-pair family (SF10_EXPECT_ROWS).
+
 Usage:
     python tools/probe_sf.py <sf_dir> [query ...]      # min-of-2 warm
     python tools/probe_sf.py <sf_dir> --sweep          # whole registry, 1 run each
@@ -29,22 +36,20 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-# The d02-pair family, skipped by default in --sweep since r8 as
-# workload-bound (240-360s each back then). Re-measured r10: all six
-# now complete in 37-47s at sf10 — the posting caps drop ~94% of
-# postings at 100x dup density (d17's measured collapse), so the
-# candidate set (and the pair output) is EMPTY and the consumers are
-# cheap. They stay skipped only to keep sweep output shapes stable;
-# run them explicitly to reproduce. d08 left the skip list in r9: its
-# split hash now carries the (id % 2^31) * KNUTH overflow guard and
-# runs clean at 49e9-id scale.
-DEFAULT_SWEEP_SKIP = {
-    "d02_ngram_jaccard_pairs",
-    "d07_containment_pairs",
-    "s11_cluster_disjoint_split",
-    "d06_neardup_clusters",
-    "d09_canonical_selection",
-    "d16_dedup_policy_simulator",
+# The d02-pair family regime at sf10, PINNED instead of skipped
+# (the r8-era skip list is retired — re-measured r10 at 37-47s each):
+# at 100x dup density the 512-posting caps drop ~94% of postings
+# (d17's measured collapse), so the capped candidate set is EMPTY by
+# construction and every consumer's output shape is fixed. The sweep
+# asserts these shapes whenever it runs against an sf10 directory —
+# a non-empty d02 there would mean the cap semantics changed.
+SF10_EXPECT_ROWS = {
+    "d02_ngram_jaccard_pairs": 0,
+    "d07_containment_pairs": 0,
+    "d06_neardup_clusters": 0,
+    "d09_canonical_selection": 0,
+    "s11_cluster_disjoint_split": 2,
+    "d16_dedup_policy_simulator": 4,
 }
 
 
@@ -53,7 +58,7 @@ def main() -> int:
     ap.add_argument("sf_dir")
     ap.add_argument("queries", nargs="*")
     ap.add_argument("--sweep", action="store_true", help="run every registered query once")
-    ap.add_argument("--skip", nargs="*", default=None, help="override the sweep skip list")
+    ap.add_argument("--skip", nargs="*", default=None, help="sweep skip list (default: none)")
     ap.add_argument("--runs", type=int, default=2, help="runs per named query (warm = last)")
     ap.add_argument(
         "--span-cut-check",
@@ -70,7 +75,15 @@ def main() -> int:
     specs = load_all()
 
     if args.sweep:
-        skip = set(args.skip) if args.skip is not None else DEFAULT_SWEEP_SKIP
+        from ice_spark.plans import force_rows
+
+        skip = set(args.skip) if args.skip is not None else set()
+        # shape pins apply only to the sf10 cap-collapse regime
+        expect = (
+            SF10_EXPECT_ROWS
+            if Path(args.sf_dir).name.rstrip("/") == "sf10"
+            else {}
+        )
         ok, fails = 0, []
         t_all = time.time()
         for name in sorted(specs):
@@ -80,8 +93,24 @@ def main() -> int:
             spark.catalog.clearCache()
             t0 = time.time()
             try:
-                n = specs[name].spark_fn(spark, args.sf_dir).count()
-                print(f"OK   {name}: rows={n} {time.time() - t0:.1f}s", flush=True)
+                # force_rows, not count(): every output column is
+                # evaluated, so Catalyst can't eliminate a final join
+                # and turn the probe into a metadata read (the t16
+                # pitfall, PERF.md Round 10)
+                n = force_rows(specs[name].spark_fn(spark, args.sf_dir))
+                if name in expect and n != expect[name]:
+                    print(
+                        f"FAIL {name}: rows={n}, sf10 regime pin expects "
+                        f"rows={expect[name]} {time.time() - t0:.1f}s",
+                        flush=True,
+                    )
+                    fails.append(name)
+                    continue
+                pin = " (pinned)" if name in expect else ""
+                print(
+                    f"OK   {name}: rows={n}{pin} {time.time() - t0:.1f}s",
+                    flush=True,
+                )
                 ok += 1
             except Exception as ex:  # noqa: BLE001 - sweep reports, never dies
                 print(f"FAIL {name}: {str(ex).splitlines()[0][:160]}", flush=True)
@@ -138,10 +167,12 @@ def main() -> int:
         if name not in specs:
             print(f"unknown query: {name}", file=sys.stderr)
             return 2
+        from ice_spark.plans import force_rows
+
         for attempt in range(1, args.runs + 1):
             spark.catalog.clearCache()
             t0 = time.time()
-            n = specs[name].spark_fn(spark, args.sf_dir).count()
+            n = force_rows(specs[name].spark_fn(spark, args.sf_dir))
             print(
                 f"{name}@{args.sf_dir} run{attempt}: rows={n} {time.time() - t0:.1f}s",
                 flush=True,
