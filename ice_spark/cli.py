@@ -793,9 +793,12 @@ def main(argv: list[str] | None = None) -> int:
             # own-codec container shards, executor-side (no spark-avro)
             from ice_spark.sources.avro_io import export_avro
 
-            n = export_avro(df, args.dest)
+            st: dict = {}
+            n = export_avro(df, args.dest, stats=st)
             out = {"exported": args.table, "dest": args.dest,
-                   "format": "avro", "shards": n}
+                   "format": "avro", "shards": n,
+                   "vectorized_batches": st["vectorized_batches"],
+                   "fallback_batches": st["fallback_batches"]}
         else:
             w = df.write.mode("overwrite").option("compression", codec)
             if args.out_format == "csv":

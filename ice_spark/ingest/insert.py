@@ -143,6 +143,7 @@ def _read_avro(spark, path: str):
             import pyarrow as pa
 
             from ice_spark.sources import avro_vec as _vec
+            from ice_spark.sources.avro_io import decode_logical as _dl
 
             for batch in batches:
                 for content in batch.column(0):
@@ -151,6 +152,12 @@ def _read_avro(spark, path: str):
                         yield _vec.decode_container_bytes_arrow(data, schema_json)
                     except _vec.Unsupported:
                         _, _, records = read_container_bytes(data)
+                        if logical:
+                            # raw epoch ints are NOT uniformly in the
+                            # arrow column units (ms fields upconvert
+                            # on the fast path) — go through datetime
+                            # objects, fallback shards only
+                            records = [_dl(r, schema_json) for r in records]
                         yield pa.RecordBatch.from_arrays(
                             [
                                 pa.array(
@@ -178,6 +185,53 @@ def _read_avro(spark, path: str):
                 )
 
     return src.mapInPandas(decode, schema=spark_schema)
+
+
+def avro_decode_report(path: str) -> dict:
+    """Driver-side observability for the Avro ingest decode routing
+    (the fallbacks are otherwise silent from the caller's view): which
+    path _read_avro will take wholesale ('vectorized' when the fleet
+    schema compiles, else 'per-datum'), and per shard how many decode
+    fast vs fall back (a shard falls back iff its header schema
+    differs byte-for-byte from the fleet's — the same check
+    decode_container_bytes_arrow applies executor-side). Header reads
+    only (KBs per shard), no record decode."""
+    import glob as _glob
+
+    from ice_spark.sources import avro_vec
+
+    if os.path.isfile(path):
+        shards = [path]
+    elif os.path.isdir(path):
+        shards = sorted(_glob.glob(os.path.join(path, "*.avro")))
+    else:
+        shards = [p for p in sorted(_glob.glob(path)) if os.path.isfile(p)]
+        if not shards:
+            shards = sorted(_glob.glob(os.path.join(path, "*.avro")))
+    if not shards:
+        raise FileNotFoundError(f"no avro input matches {path!r}")
+    fleet_schema, _, _ = _avro_header(shards[0])
+    try:
+        avro_vec.compile_decoder(fleet_schema)
+        for f in fleet_schema["fields"]:
+            avro_vec.avro_schema_to_arrow(f["type"])
+        mode = "vectorized"
+    except avro_vec.Unsupported as ex:
+        return {
+            "mode": "per-datum",
+            "reason": str(ex),
+            "shards": len(shards),
+            "fast_shards": 0,
+            "fallback_shards": len(shards),
+        }
+    fallback = [p for p in shards[1:] if _avro_header(p)[0] != fleet_schema]
+    return {
+        "mode": mode,
+        "shards": len(shards),
+        "fast_shards": len(shards) - len(fallback),
+        "fallback_shards": len(fallback),
+        "fallback_paths": fallback,
+    }
 
 
 def _avro_header(path: str):

@@ -405,7 +405,7 @@ def avro_schema_to_spark(schema):
             lt = s.get("logicalType")
             if lt in ("timestamp-micros", "timestamp-millis") and typ == "long":
                 return T.TimestampType(), False
-            if lt == "local-timestamp-micros" and typ == "long":
+            if lt in ("local-timestamp-micros", "local-timestamp-millis") and typ == "long":
                 return T.TimestampNTZType(), False
             if lt == "date" and typ == "int":
                 return T.DateType(), False
@@ -454,6 +454,7 @@ def has_logical_types(s) -> bool:
             "timestamp-micros",
             "timestamp-millis",
             "local-timestamp-micros",
+            "local-timestamp-millis",
             "date",
         ):
             return True
@@ -492,7 +493,7 @@ def decode_logical(v, s):
             )
         if lt == "local-timestamp-micros":
             return datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=v)
-        if lt == "timestamp-millis":
+        if lt in ("timestamp-millis", "local-timestamp-millis"):
             return datetime.datetime(1970, 1, 1) + datetime.timedelta(
                 milliseconds=v
             )
@@ -676,6 +677,7 @@ def export_avro(
     codec: str = "deflate",
     overwrite: bool = True,
     vectorized: bool = True,
+    stats: dict | None = None,
 ) -> int:
     """Write a DataFrame as Avro container shards through this codec
     (no spark-avro package). Arrow path end to end: `mapInArrow`
@@ -693,7 +695,12 @@ def export_avro(
     clears pre-existing part-*.avro first (Spark mode("overwrite")
     semantics); overwrite=False refuses a dest that already has
     shards. Returns the number of shards written (empty partitions
-    write none)."""
+    write none).
+
+    Pass `stats={}` to receive encoder-path observability: per-run
+    totals `vectorized_batches` / `fallback_batches` (a fallback was
+    previously silent from the caller's view) plus the per-shard
+    `shards` rows."""
     scheme = dest.split("://", 1)[0] if "://" in dest else "file"
     if scheme in _EXPORT_SCHEMES:
         make_put, clear, exists = _EXPORT_SCHEMES[scheme]
@@ -745,6 +752,8 @@ def export_avro(
         writer = None
         target = None
         n = 0
+        vec_batches = 0
+        fb_batches = 0
         vec_ok = vectorized  # per-batch fallback: one Unsupported disables
         for batch in batches:
             if batch.num_rows == 0:
@@ -773,6 +782,7 @@ def export_avro(
                     count, payload = avro_vec.encode_batch(batch, schema)
                     writer.append_encoded(count, payload)
                     n += count
+                    vec_batches += 1
                     continue
                 except avro_vec.Unsupported:
                     vec_ok = False  # per-datum path from here on
@@ -781,6 +791,7 @@ def export_avro(
                 [{k: _avro_normalize(r.get(k), s) for k, s in fields} for r in rows]
             )
             n += len(rows)
+            fb_batches += 1
         if writer is None:
             return
         writer.close()
@@ -789,7 +800,26 @@ def export_avro(
             with open(target, "rb") as f:
                 url = put(name, f.read())
             os.unlink(target)
-        yield pa.RecordBatch.from_pylist([{"path": url, "rows": n}])
+        yield pa.RecordBatch.from_pylist(
+            [
+                {
+                    "path": url,
+                    "rows": n,
+                    "vectorized_batches": vec_batches,
+                    "fallback_batches": fb_batches,
+                }
+            ]
+        )
 
-    out = df.mapInArrow(write_partition, "path string, rows long")
-    return out.count()
+    out = df.mapInArrow(
+        write_partition,
+        "path string, rows long, vectorized_batches long, fallback_batches long",
+    )
+    # one row per shard — bounded driver collect, and it carries the
+    # encoder-path counts a silent fallback used to hide
+    shard_rows = out.collect()
+    if stats is not None:
+        stats["vectorized_batches"] = sum(r.vectorized_batches for r in shard_rows)
+        stats["fallback_batches"] = sum(r.fallback_batches for r in shard_rows)
+        stats["shards"] = [r.asDict() for r in shard_rows]
+    return len(shard_rows)

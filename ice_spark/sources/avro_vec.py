@@ -372,6 +372,15 @@ class _Emitter:
         t = schema["type"] if isinstance(schema, dict) else schema
         if t in ("int", "long"):
             _dec_varint("p", out, lines, ind)
+            # ms-precision timestamps upconvert to micros on decode
+            # (reference semantics: Partitioning.java's ms*1000), so
+            # the Arrow column is uniformly timestamp('us')
+            if (
+                isinstance(schema, dict)
+                and schema.get("logicalType")
+                in ("timestamp-millis", "local-timestamp-millis")
+            ):
+                lines.append(f"{ind}{out} *= 1000")
         elif t == "boolean":
             lines.append(f"{ind}{out} = mv[p] == 1; p += 1")
         elif t == "float":
@@ -482,8 +491,12 @@ def avro_schema_to_arrow(schema) -> "pa.DataType":
                 return pa.timestamp("us", tz="UTC")
             if lt == "local-timestamp-micros" and t == "long":
                 return pa.timestamp("us")
+            # ms timestamps: the compiled decoder upconverts values
+            # *1000, so the column type is micros here too
             if lt == "timestamp-millis" and t == "long":
-                raise Unsupported("timestamp-millis decode (per-datum path)")
+                return pa.timestamp("us", tz="UTC")
+            if lt == "local-timestamp-millis" and t == "long":
+                return pa.timestamp("us")
             if lt == "date" and t == "int":
                 return pa.date32()
             if t == "record":

@@ -419,3 +419,80 @@ def test_jvm_cross_reads_vectorized_export_shard(spark, tmp_path):
     assert rows[1].get("x") == 3.5
     assert rows[2].get("x") is None
     assert rows[1].get("flag") is True and rows[2].get("flag") is False
+
+
+def test_ms_timestamp_fast_path(spark, tmp_path):
+    """timestamp-millis / local-timestamp-millis containers decode on
+    the compiled fast path, upconverted *1000 to micros (the reference
+    semantics for ms inputs) — end-to-end through _read_avro and
+    directly against the per-datum reference reader."""
+    import datetime
+
+    from ice_spark.ingest.insert import _read_avro
+    from ice_spark.sources.avro_io import write_container
+    from ice_spark.sources.avro_vec import (
+        avro_schema_to_arrow,
+        decode_container_bytes_arrow,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+            {
+                "name": "lts",
+                "type": ["null", {"type": "long", "logicalType": "local-timestamp-millis"}],
+            },
+        ],
+    }
+    rows = [
+        {"id": 1, "ts": 86_400_000, "lts": 1_500},  # 1970-01-02, 1.5s
+        {"id": 2, "ts": 123, "lts": None},
+    ]
+    p = str(tmp_path / "ms.avro")
+    write_container(p, schema, rows)
+
+    # the schema is on the fast path at all (would have been
+    # wholesale-fallback before): arrow type is upconverted micros
+    assert str(avro_schema_to_arrow(schema["fields"][1]["type"])) == "timestamp[us, tz=UTC]"
+    with open(p, "rb") as f:
+        batch = decode_container_bytes_arrow(f.read(), schema)
+    assert batch.column("ts").cast(pa.int64()).to_pylist() == [
+        86_400_000_000, 123_000
+    ]
+    assert batch.column("lts").cast(pa.int64()).to_pylist() == [1_500_000, None]
+
+    got = {r.id: r for r in _read_avro(spark, p).collect()}
+    assert got[1].ts == datetime.datetime(1970, 1, 2)
+    assert got[1].lts == datetime.datetime(1970, 1, 1, 0, 0, 1, 500000)
+    assert got[2].ts == datetime.datetime(1970, 1, 1, 0, 0, 0, 123000)
+    assert got[2].lts is None
+
+
+def test_ms_timestamp_per_shard_fallback(spark, tmp_path):
+    """A reordered-field ms shard takes the per-shard fallback, which
+    must apply the same ms->datetime conversion (raw ms ints under a
+    micros arrow type would be 1000x off)."""
+    import datetime
+
+    from ice_spark.ingest.insert import _read_avro
+    from ice_spark.sources.avro_io import write_container
+
+    fields_a = [
+        {"name": "id", "type": "long"},
+        {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+    ]
+    schema_a = {"type": "record", "name": "row", "fields": fields_a}
+    schema_b = {"type": "record", "name": "row", "fields": fields_a[::-1]}
+    d = tmp_path / "shards"
+    d.mkdir()
+    write_container(str(d / "a.avro"), schema_a, [{"id": 1, "ts": 86_400_000}])
+    write_container(str(d / "b.avro"), schema_b, [{"id": 2, "ts": 500}])
+
+    got = {r.id: r.ts for r in _read_avro(spark, str(d)).collect()}
+    assert got == {
+        1: datetime.datetime(1970, 1, 2),
+        2: datetime.datetime(1970, 1, 1, 0, 0, 0, 500000),
+    }

@@ -652,3 +652,62 @@ def test_avro_glob_matching_directory_skips_non_avro(cat, spark, tmp_path):
     (d / "part-00000.avro.crc").write_bytes(b"\x00" * 8)
     got = read_input(spark, str(tmp_path / "shard-*"), "avro").collect()
     assert {(r.id, r.name, r.score) for r in got} == {(1, "a", 0.5), (2, "b", 1.5)}
+
+
+def test_export_avro_stats_surface_encoder_path(spark, tmp_path):
+    """The encoder fallback used to be silent from the caller's view;
+    stats={} now returns the vectorized/fallback batch split (VERDICT
+    r10 #6)."""
+    from ice_spark.sources.avro_io import export_avro
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(50)], "id long, s string").coalesce(2)
+    st = {}
+    n = export_avro(df, str(tmp_path / "vec"), stats=st)
+    assert n == 2
+    assert st["fallback_batches"] == 0
+    assert st["vectorized_batches"] >= 2
+    assert len(st["shards"]) == 2 and all(r["rows"] > 0 for r in st["shards"])
+
+    st2 = {}
+    export_avro(df, str(tmp_path / "pd"), vectorized=False, stats=st2)
+    assert st2["vectorized_batches"] == 0
+    assert st2["fallback_batches"] >= 2
+
+
+def test_avro_decode_report_routes(spark, tmp_path):
+    """Driver-side decode-path report: same-schema fleets are fully
+    vectorized; a reordered-field shard is counted as the per-shard
+    fallback; an unsupported fleet schema reports per-datum wholesale."""
+    from ice_spark.ingest.insert import avro_decode_report
+    from ice_spark.sources.avro_io import write_container
+
+    fields = [
+        {"name": "id", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+    ]
+    sch = {"type": "record", "name": "row", "fields": fields}
+    d = tmp_path / "fleet"
+    d.mkdir()
+    write_container(str(d / "a.avro"), sch, [{"id": 1, "s": "x"}])
+    write_container(str(d / "b.avro"), sch, [{"id": 2, "s": None}])
+    rep = avro_decode_report(str(d))
+    assert rep["mode"] == "vectorized"
+    assert (rep["shards"], rep["fast_shards"], rep["fallback_shards"]) == (2, 2, 0)
+
+    sch_r = {"type": "record", "name": "row", "fields": fields[::-1]}
+    write_container(str(d / "c.avro"), sch_r, [{"id": 3, "s": "y"}])
+    rep = avro_decode_report(str(d))
+    assert (rep["shards"], rep["fast_shards"], rep["fallback_shards"]) == (3, 2, 1)
+    assert rep["fallback_paths"] == [str(d / "c.avro")]
+
+    # 3-branch union: outside the compiled subset -> per-datum wholesale
+    sch_u = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "u", "type": ["null", "long", "string"]}],
+    }
+    d2 = tmp_path / "unsup"
+    d2.mkdir()
+    write_container(str(d2 / "a.avro"), sch_u, [{"u": 1}])
+    rep = avro_decode_report(str(d2))
+    assert rep["mode"] == "per-datum" and rep["fallback_shards"] == 1
