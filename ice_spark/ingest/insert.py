@@ -500,6 +500,18 @@ def insert(
     if skip_duplicates:
         files = [f for f in files if f not in known]
     summary = {"inputs": len(files), "skipped": len(dupes) if skip_duplicates else 0}
+    if input_format == "avro" and files:
+        # decode-path observability (header reads only): which route
+        # each shard takes through _read_avro — a silent per-shard
+        # fallback becomes a visible count in the insert summary
+        summary["avro_decode"] = {
+            f: {
+                k: v
+                for k, v in avro_decode_report(f).items()
+                if k in ("mode", "shards", "fast_shards", "fallback_shards")
+            }
+            for f in files
+        }
     if not files:
         summary["added"] = 0
         return summary

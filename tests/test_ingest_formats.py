@@ -711,3 +711,22 @@ def test_avro_decode_report_routes(spark, tmp_path):
     write_container(str(d2 / "a.avro"), sch_u, [{"u": 1}])
     rep = avro_decode_report(str(d2))
     assert rep["mode"] == "per-datum" and rep["fallback_shards"] == 1
+
+
+def test_insert_avro_summary_reports_decode_path(cat, tmp_path):
+    """insert --format avro surfaces the decode routing per input in
+    its summary (the return-rows half of the observability ask)."""
+    from ice_spark.sources.avro_io import write_container
+
+    p = str(tmp_path / "in.avro")
+    write_container(p, AVRO_SCHEMA, AVRO_ROWS)
+    t = cat.create_table("ns.obs", schema=SCHEMA)
+    res = insert(t, [p], input_format="avro")
+    rep = res["avro_decode"][p]
+    assert rep == {
+        "mode": "vectorized",
+        "shards": 1,
+        "fast_shards": 1,
+        "fallback_shards": 0,
+    }
+    assert res["added"] >= 1
