@@ -91,6 +91,15 @@ def main() -> int:
                 print(f"SKIP {name}", flush=True)
                 continue
             spark.catalog.clearCache()
+            # localCheckpoint blocks are NOT freed by clearCache —
+            # they go when the RDD is GC'd, and Python->py4j->JVM GC
+            # lags a 184-query single-session sweep enough to OOM at
+            # sf10 (d02-d08's checkpointed shingle relations piled up
+            # into d09's heap). Collect both sides between queries.
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
             t0 = time.time()
             try:
                 # force_rows, not count(): every output column is
