@@ -2292,13 +2292,18 @@ def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = band_candidates(sigs, n_hashes=16, bands=8)
     base = docs.select(F.col("doc_id").alias("__id"), shingle_hashes("text").alias("shs"))
+    # merge-pinned: sa/sb carry per-doc signature + shingle ARRAYS and
+    # grow with the corpus — the static planner broadcast them at the
+    # sf10 probe (4 BroadcastHashJoins of a multi-GB deserialized
+    # relation, OOM at 8g once the honest evaluator stopped count()
+    # from pruning the arrays). Same relation class as d18/g01.
     sa = sigs.select(
         F.col("__id"), F.array(*[F.col(f"mh{j}") for j in range(16)]).alias("ma")
-    ).join(base.select("__id", F.col("shs").alias("sha")), "__id")
+    ).join(base.select("__id", F.col("shs").alias("sha")).hint("merge"), "__id")
     sb = sa.select(
         F.col("__id").alias("__id2"), F.col("ma").alias("mb"), F.col("sha").alias("shb")
     )
-    j = cands.join(sa, "__id").join(sb, "__id2")
+    j = cands.join(sa.hint("merge"), "__id").join(sb.hint("merge"), "__id2")
     matches = F.size(
         F.filter(
             F.zip_with("ma", "mb", lambda x, y: x == y), lambda m: m
