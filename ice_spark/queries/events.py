@@ -1029,9 +1029,20 @@ def e24(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.col("n").alias("n_hours"),
         F.when(num > 0, 1).when(num < 0, -1).otherwise(0).cast("long").alias("corr_sign"),
+        # decimal(38,0), not BIGINT, for the cross-multiplied square:
+        # (num*100)^2 overflows int64 at the sf10 probe (the honest
+        # evaluator surfaced it; count() had pruned this column for
+        # two rounds). Exact integer arithmetic either way — identical
+        # gate values — with ~10^38 headroom; DuckDB's side is HUGEINT.
         F.expr(
-            "CAST(((n * sxy - sx * sy) * 100) * ((n * sxy - sx * sy) * 100) "
-            "div ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)"
+            "CAST(((CAST(n AS DECIMAL(38,0)) * sxy "
+            "  - CAST(sx AS DECIMAL(38,0)) * sy) * 100) "
+            " * ((CAST(n AS DECIMAL(38,0)) * sxy "
+            "  - CAST(sx AS DECIMAL(38,0)) * sy) * 100) "
+            "div ((CAST(n AS DECIMAL(38,0)) * sxx "
+            "  - CAST(sx AS DECIMAL(38,0)) * sx) "
+            " * (CAST(n AS DECIMAL(38,0)) * syy "
+            "  - CAST(sy AS DECIMAL(38,0)) * sy)) AS BIGINT)"
         ).alias("r2_bp"),
     )
 
