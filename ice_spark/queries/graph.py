@@ -245,28 +245,60 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv.d")).otherwise(F.col("du.d")).alias("dst_d"),
     )
-    oriented = oriented.cache().hint("merge")
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    # The wedge stream is O(sum of out-deg^2) — 4.1e9 rows at the sf10
+    # probe — and it dominates everything downstream: a sort-merge
+    # closure join must SORT it (66GB+ of sort spill exhausted the
+    # probe host's disk once the honest evaluator actually ran this),
+    # and even sort-free, shuffling two 8-byte endpoints per wedge
+    # wrote ~60GB. So shrink the rows before they exist: remap nodes
+    # to DENSE ids (operators/ranking.with_global_rank — the scalable
+    # offsets pass, no single-partition window over nodes) and pack
+    # each wedge's closure key (v, w) into ONE long. Dense rank is
+    # order-isomorphic to the node id, so the orientation and wedge
+    # tie-break comparisons are unchanged. Valid for graphs under
+    # 2^31 nodes (nid * 2^32 must stay in int64 — ANSI would fail
+    # loudly past that, not corrupt).
+    from ice_spark.operators.ranking import with_global_rank
+
+    ids = with_global_rank(deg.select("node"), [F.col("node")], "nid").select(
+        "node", "nid"
+    )
+    su = ids.select(F.col("node").alias("src"), F.col("nid").alias("sid"))
+    sv = ids.select(F.col("node").alias("dst"), F.col("nid").alias("did"))
+    # merge-pinned: the id map grows with the graph
+    od = (
+        oriented.join(su.hint("merge"), "src")
+        .join(sv.hint("merge"), "dst")
+        .select("sid", "did", "dst_d")
+        .cache()
+    )
+    pack = F.lit(1 << 32).cast("long")
+    o1, o2 = od.alias("o1"), od.alias("o2")
     wedges = o1.join(
         o2,
-        (F.col("o1.src") == F.col("o2.src"))
+        (F.col("o1.sid") == F.col("o2.sid"))
         & (
             (F.col("o1.dst_d") < F.col("o2.dst_d"))
-            | ((F.col("o1.dst_d") == F.col("o2.dst_d")) & (F.col("o1.dst") < F.col("o2.dst")))
+            | ((F.col("o1.dst_d") == F.col("o2.dst_d")) & (F.col("o1.did") < F.col("o2.did")))
         ),
-    ).select(F.col("o1.dst").alias("v"), F.col("o2.dst").alias("w"))
+    ).select((F.col("o1.did") * pack + F.col("o2.did")).alias("k"))
     # One traversal of the wedge stream yields both counts: a wedge is
-    # a triangle iff its (v, w) closure edge exists in oriented. The
-    # left join keeps every wedge; COUNT of the matched side counts
-    # the closed ones — wedges (the biggest relation here) is never
-    # materialized twice.
-    t = oriented.alias("t")
-    closed = wedges.join(
-        t, (F.col("v") == F.col("t.src")) & (F.col("w") == F.col("t.dst")), "left"
-    )
+    # a triangle iff its packed closure key is an oriented edge. LEFT
+    # join keeps every wedge; COUNT of the matched marker counts the
+    # closed ones. shuffle_hash, not merge: the build side is the
+    # EDGE set (unique, hash-uniform keys — no hub-node partition, a
+    # hazard the degree joins above do have), so the wedge stream
+    # probes without ever sorting; the explicit wide repartition keeps
+    # each no-spill-path build map at ~75k edges (~10MB) — at m/200
+    # partitions x 32 concurrent tasks the maps overran the per-task
+    # execution slice.
+    closure = od.select(
+        (F.col("sid") * pack + F.col("did")).alias("k"), F.lit(1).alias("hit")
+    ).repartition(1600, "k")
+    closed = wedges.join(closure.hint("shuffle_hash"), "k", "left")
     wt = closed.agg(
         F.count(F.lit(1)).alias("n_wedges"),
-        F.count(F.col("t.src")).alias("n_triangles"),
+        F.count(F.col("hit")).alias("n_triangles"),
     )
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
