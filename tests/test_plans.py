@@ -351,16 +351,19 @@ def test_g02_triangle_joins_never_broadcast_graph_relations(spark, sf_dir):
     relation OOMs the driver at scale (observed at sf0.1 pre-hint)."""
     a = _audit(spark, sf_dir, "g02_copurchase_triangles")
     assert a.sort_merge_joins >= 3, a.plan[:1500]
-    assert a.plan.count("ShuffledHashJoin") == 0, a.plan[:1500]
     # The static (pre-AQE) plan may still broadcast the lineitem
     # self-join side — AQE re-plans that from runtime sizes. What must
     # never be broadcast are the hinted graph relations; the hints are
-    # load-bearing (removing them OOMs the sf0.1 broadcast), and they
-    # are MERGE hints, not shuffle_hash: the r8 sf5 probe showed the
-    # per-task hash build of a hub-skewed partition has no spill path
-    # (hard "can't acquire memory" crash), while sort-merge spills,
-    # AQE splits the skewed partitions, and the sf1 probe ran 3x
-    # faster (29s -> 9.6s). The SortMergeJoin count is the observable.
+    # load-bearing (removing them OOMs the sf0.1 broadcast). The
+    # degree-keyed joins are MERGE, not shuffle_hash: the r8 sf5 probe
+    # showed the per-task hash build of a hub-skewed partition has no
+    # spill path (hard "can't acquire memory" crash), while sort-merge
+    # spills and AQE splits the skewed partitions. EXACTLY one
+    # ShuffledHashJoin is sanctioned — the closure probe of the
+    # packed-key wedge stream, whose build side is the unique-keyed
+    # hash-uniform EDGE set (no hub partition): sorting 4.1e9 wedges
+    # for an SMJ exhausted the sf10 probe host's disk (r11).
+    assert a.plan.count("ShuffledHashJoin") == 1, a.plan[:1500]
 
 
 def test_dq01_single_pass_per_table(spark, sf_dir):
