@@ -200,6 +200,8 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
     "driver-side structure; counts only cross the final exchange.",
 )
 def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     e = (
@@ -210,13 +212,15 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
-        # e / deg / oriented are each consumed by several downstream
-        # operators; without caching, Catalyst replays the whole edge
-        # build (a lineitem self-join) once per consumer — measured 56
-        # lineitem scans in the uncached plan. Caching the edge list is
-        # the standard triangle-counting working set (O(m) rows of two
-        # longs); at 100 TB use persist(DISK_ONLY), same as g01.
-        .cache()
+        # e / deg / od are each consumed by several downstream
+        # operators; without materializing, Catalyst replays the whole
+        # edge build (a lineitem self-join) once per consumer —
+        # measured 56 lineitem scans in the unmaterialized plan.
+        # DISK_ONLY, not cache: the edge list is O(m) rows and at the
+        # sf10 probe its in-heap copy (~2GB) plus od's (~2.4GB) tipped
+        # the 77-queries-in sweep session into OOM — same posture as
+        # g01's persisted edges.
+        .persist(StorageLevel.DISK_ONLY)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -265,12 +269,13 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     su = ids.select(F.col("node").alias("src"), F.col("nid").alias("sid"))
     sv = ids.select(F.col("node").alias("dst"), F.col("nid").alias("did"))
-    # merge-pinned: the id map grows with the graph
+    # merge-pinned: the id map grows with the graph. DISK_ONLY like e
+    # (three consumers; the heap copy OOM'd the long-session sweep).
     od = (
         oriented.join(su.hint("merge"), "src")
         .join(sv.hint("merge"), "dst")
         .select("sid", "did", "dst_d")
-        .cache()
+        .persist(StorageLevel.DISK_ONLY)
     )
     pack = F.lit(1 << 32).cast("long")
     o1, o2 = od.alias("o1"), od.alias("o2")
