@@ -52,6 +52,16 @@ SF10_EXPECT_ROWS = {
     "d16_dedup_policy_simulator": 4,
 }
 
+# Run these in an ISOLATED SparkSession (stop + fresh app before and
+# after): g02's 4.1e9-row wedge stream needs the entire execution
+# region, and after ~80 queries of single-JVM sweep history it hits
+# UNABLE_TO_ACQUIRE_MEMORY even though the standalone run passes
+# comfortably. A real cluster runs every job as its own application —
+# the marathon shared session is a probe-harness artifact, and this
+# pin makes the sweep behave like production for the one query that
+# needs it.
+FRESH_SESSION = {"g02_copurchase_triangles"}
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -90,6 +100,9 @@ def main() -> int:
             if name in skip:
                 print(f"SKIP {name}", flush=True)
                 continue
+            if name in FRESH_SESSION:
+                spark.stop()
+                spark = get_spark("probe_sf")
             spark.catalog.clearCache()
             # localCheckpoint blocks are NOT freed by clearCache —
             # they go when the RDD is GC'd, and Python->py4j->JVM GC
@@ -124,6 +137,12 @@ def main() -> int:
             except Exception as ex:  # noqa: BLE001 - sweep reports, never dies
                 print(f"FAIL {name}: {str(ex).splitlines()[0][:160]}", flush=True)
                 fails.append(name)
+            finally:
+                if name in FRESH_SESSION:
+                    # don't let the heavy query's JVM state leak into
+                    # the rest of the sweep either
+                    spark.stop()
+                    spark = get_spark("probe_sf")
         print(
             f"DONE ok={ok} fail={len(fails)} skip={len(skip)} "
             f"total={time.time() - t_all:.0f}s fails={fails}",
