@@ -64,6 +64,42 @@ def read_input(spark, path: str, fmt: str = "parquet"):
     raise ValueError(f"unsupported input format {fmt!r} (one of {sorted(FORMATS)})")
 
 
+def _resolve_avro_shards(path: str) -> tuple[list[str], str]:
+    """Resolve an avro input (file / directory / glob pattern) to its
+    sorted shard list plus the load path binaryFile should read. The
+    ONE resolver shared by _read_avro and avro_decode_report — the
+    report's routing claims are only honest if both walk the same
+    shards and pick the same fleet header (shards[0])."""
+    import glob as _glob
+
+    if os.path.isfile(path):
+        return [path], path
+    load_path = path
+    if os.path.isdir(path):
+        # a directory input may hold non-avro files (_SUCCESS markers,
+        # .crc) — only *.avro reach the decoder (binaryFile applies
+        # the same filter via pathGlobFilter)
+        shards = sorted(_glob.glob(os.path.join(path, "*.avro")))
+    else:
+        shards = [p for p in sorted(_glob.glob(path)) if os.path.isfile(p)]
+        if not shards:
+            # the pattern matched only directories — read their
+            # *.avro through the SAME glob that picks the header
+            shards = sorted(_glob.glob(os.path.join(path, "*.avro")))
+            load_path = os.path.join(path, "*.avro")
+    if not shards:
+        raise FileNotFoundError(f"no avro input matches {path!r}")
+    return shards, load_path
+
+
+def _avro_fleet_schema(shards: list[str]) -> dict:
+    """The fleet schema is the FIRST shard's header schema (ingest
+    inputs share a schema — the schema gate enforces it downstream);
+    shards whose header differs decode via the per-datum fallback."""
+    schema_json, _, _ = _avro_header(shards[0])
+    return schema_json
+
+
 def _read_avro(spark, path: str):
     """Avro container ingest through the repo's own pure-Python codec
     (sources/avro_io.py — no spark-avro package in this environment).
@@ -78,34 +114,8 @@ def _read_avro(spark, path: str):
 
     from ice_spark.sources.avro_io import avro_schema_to_spark, read_container_bytes
 
-    # the schema comes from the first matching file's header (ingest
-    # inputs share a schema — the schema gate enforces it downstream);
-    # binaryFile handles the glob itself for the data read
-    header_path = path
-    load_path = path
-    if not os.path.isfile(header_path):
-        import glob as _glob
-
-        if os.path.isdir(path):
-            matches = sorted(_glob.glob(os.path.join(path, "*.avro")))
-        else:
-            # a glob pattern; a literal match on a directory falls
-            # through to that directory's *.avro files
-            matches = [
-                p
-                for p in sorted(_glob.glob(path))
-                if os.path.isfile(p)
-            ]
-            if not matches:
-                # the pattern matched only directories — read their
-                # *.avro through the SAME glob that picked the header,
-                # so _SUCCESS/.crc files inside never reach the decoder
-                matches = sorted(_glob.glob(os.path.join(path, "*.avro")))
-                load_path = os.path.join(path, "*.avro")
-        if not matches:
-            raise FileNotFoundError(f"no avro input matches {path!r}")
-        header_path = matches[0]
-    schema_json, _, _ = _avro_header(header_path)
+    shards, load_path = _resolve_avro_shards(path)
+    schema_json = _avro_fleet_schema(shards)
     spark_schema = avro_schema_to_spark(schema_json)
     names = [f.name for f in spark_schema.fields]
     from ice_spark.sources.avro_io import has_logical_types
@@ -195,22 +205,14 @@ def avro_decode_report(path: str) -> dict:
     fast vs fall back (a shard falls back iff its header schema
     differs byte-for-byte from the fleet's — the same check
     decode_container_bytes_arrow applies executor-side). Header reads
-    only (KBs per shard), no record decode."""
-    import glob as _glob
-
+    only (KBs per shard), no record decode. Shard/glob resolution and
+    the fleet-schema pick go through the SAME helpers _read_avro uses
+    (_resolve_avro_shards / _avro_fleet_schema) so the report's
+    routing claims can't drift from what the reader actually does."""
     from ice_spark.sources import avro_vec
 
-    if os.path.isfile(path):
-        shards = [path]
-    elif os.path.isdir(path):
-        shards = sorted(_glob.glob(os.path.join(path, "*.avro")))
-    else:
-        shards = [p for p in sorted(_glob.glob(path)) if os.path.isfile(p)]
-        if not shards:
-            shards = sorted(_glob.glob(os.path.join(path, "*.avro")))
-    if not shards:
-        raise FileNotFoundError(f"no avro input matches {path!r}")
-    fleet_schema, _, _ = _avro_header(shards[0])
+    shards, _ = _resolve_avro_shards(path)
+    fleet_schema = _avro_fleet_schema(shards)
     try:
         avro_vec.compile_decoder(fleet_schema)
         for f in fleet_schema["fields"]:
@@ -404,6 +406,7 @@ def insert(
     s3_copy_object: bool = False,
     s3_client=None,
     stage_branch: str | None = None,
+    avro_decode_summary: bool = True,
 ) -> dict:
     """Ingest parquet files; returns a summary dict.
 
@@ -500,10 +503,14 @@ def insert(
     if skip_duplicates:
         files = [f for f in files if f not in known]
     summary = {"inputs": len(files), "skipped": len(dupes) if skip_duplicates else 0}
-    if input_format == "avro" and files:
+    if input_format == "avro" and files and avro_decode_summary:
         # decode-path observability (header reads only): which route
         # each shard takes through _read_avro — a silent per-shard
-        # fallback becomes a visible count in the insert summary
+        # fallback becomes a visible count in the insert summary.
+        # Opt out (avro_decode_summary=False) for very large fleets:
+        # the report reads every shard header on the driver, which is
+        # one ranged read per shard — cheap per file, but a 100k-shard
+        # ingest shouldn't pay it twice just for the summary line.
         summary["avro_decode"] = {
             f: {
                 k: v

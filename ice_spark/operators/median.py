@@ -120,8 +120,17 @@ def exact_group_percentiles(
 
     percentiles: [(output_alias, p)] with 0 <= p <= 1.
     """
-    vc = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("__c"))
-    n = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    # F.percentile SKIPS null values: count only non-null (F.count(col)
+    # ignores nulls) and exclude null rows from the value-count
+    # relation. Groups whose values are ALL null still appear in the
+    # output with a null percentile (right join below), matching
+    # F.percentile exactly on nullable columns.
+    vc = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    n = df.groupBy(group_col).agg(F.count(value_col).alias("__n"))
     w = (
         Window.partitionBy(group_col)
         .orderBy(value_col)
@@ -131,8 +140,10 @@ def exact_group_percentiles(
         group_col, value_col, "__c", F.sum("__c").over(w).alias("__cum")
     )
     # group-keyed join: the group relation grows with the corpus, so
-    # no broadcast hint (AQE still broadcasts it while it's small)
-    j = cum.join(n, group_col)
+    # no broadcast hint (AQE still broadcasts it while it's small).
+    # Right join keeps all-null groups (absent from vc/cum) so they
+    # emit a null percentile instead of vanishing.
+    j = cum.join(n, group_col, "right")
     v = F.col(value_col).cast("double")
     aggs = []
     for alias, p in percentiles:

@@ -102,21 +102,37 @@ def near_dedup(
     """
     info: dict = {"strategy": strategy}
     if strategy == "auto":
-        row = dedup_route_audit(
+        rows = dedup_route_audit(
             docs,
             id_col=id_col,
             text_col=text_col,
             caps=[max_posting],
             threshold_bp=threshold_bp,
-        ).collect()[0]
-        strategy = row["route"]
-        info = {
-            "strategy": strategy,
-            "routed": True,
-            "dropped_bp": row["dropped_bp"],
-            "cap": row["cap"],
-            "threshold_bp": threshold_bp,
-        }
+        ).collect()
+        if not rows:
+            # dropped_posting_mass yields ZERO rows on an empty posting
+            # index (empty corpus): nothing to dedup, so no cap can
+            # bind — take the cheap capped route (a no-op) instead of
+            # crashing the public operator / CLI path with IndexError.
+            strategy = ROUTE_CAPPED
+            info = {
+                "strategy": strategy,
+                "routed": True,
+                "dropped_bp": 0,
+                "cap": max_posting,
+                "threshold_bp": threshold_bp,
+                "empty_audit": True,
+            }
+        else:
+            row = rows[0]
+            strategy = row["route"]
+            info = {
+                "strategy": strategy,
+                "routed": True,
+                "dropped_bp": row["dropped_bp"],
+                "cap": row["cap"],
+                "threshold_bp": threshold_bp,
+            }
     if strategy == ROUTE_CAPPED:
         pairs = shingle_jaccard_pairs(
             docs, id_col, text_col, threshold=threshold, max_posting=max_posting

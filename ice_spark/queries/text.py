@@ -3602,6 +3602,15 @@ def p05(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "kept_tokens",
             )
         )
+    if not frames:
+        # empty corpus → dropped_posting_mass yields no audit rows;
+        # return an empty frame with the query's schema instead of
+        # IndexError (Spark-side guard only — unreachable at gate SF).
+        return spark.createDataFrame(
+            [],
+            "cap long, dropped_bp long, route string, "
+            "n_docs_kept long, kept_tokens long",
+        )
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)

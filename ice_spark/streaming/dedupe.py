@@ -45,6 +45,31 @@ def dedup_stream(
     return fp.dropDuplicates(["fingerprint"])
 
 
+def _list_epoch_dirs(spark, index_dir: str, exclude: str | None = None) -> list[str]:
+    """Enumerate `epoch=*` subdirectories of index_dir through the
+    Hadoop FileSystem API — NOT os.listdir, which only sees the
+    driver-local filesystem. For a remote index_dir (s3a://, hdfs://,
+    abfs://) os.listdir/os.path.isdir would return nothing, the gate
+    would be silently built against an EMPTY index, and duplicates
+    would be permanently admitted — the exact failure the gate exists
+    to prevent. Hadoop FS resolves any configured scheme, including
+    bare local paths. A real IO error (permissions, transient network)
+    raises and fails the batch, which the checkpoint then retries.
+    """
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("epoch=") and name != exclude:
+            out.append(st.getPath().toString())
+    return sorted(out)
+
+
 def span_admission_stream(
     stream: DataFrame,
     dest_dir: str,
@@ -100,15 +125,7 @@ def span_admission_stream(
         # A transient IO error / corrupt shard must fail the batch (the
         # checkpoint retries it) — swallowing it would silently disable
         # the dedup gate and let duplicates permanently into dest_dir.
-        prior = (
-            sorted(
-                os.path.join(index_dir, d)
-                for d in os.listdir(index_dir)
-                if d.startswith("epoch=") and d != f"epoch={epoch_id}"
-            )
-            if os.path.isdir(index_dir)
-            else []
-        )
+        prior = _list_epoch_dirs(sess, index_dir, exclude=f"epoch={epoch_id}")
         if prior:
             idx = sess.read.parquet(*prior)
         else:

@@ -47,3 +47,42 @@ def test_exact_median_random(spark):
         row = exact_median(df, "cents").collect()[0]
         assert row.median_cents == _lower_median(vals), f"trial {trial}"
         assert row.rank_certified
+
+
+def test_group_percentiles_null_parity(spark):
+    """exact_group_percentiles must SKIP nulls like F.percentile does
+    (r11 ADVICE: the pre-fix form counted null rows in __n and the
+    window sorted them first — wrong answers on nullable columns), and
+    all-null groups must still appear with a null percentile."""
+    from pyspark.sql import functions as F
+
+    from ice_spark.operators.median import exact_group_percentiles
+
+    rng = random.Random(12)
+    rows = []
+    for g in ["a", "b", "c"]:
+        for _ in range(rng.randint(5, 40)):
+            v = None if rng.random() < 0.3 else rng.randint(0, 10_000) / 100.0
+            rows.append((g, v))
+    rows.append(("allnull", None))
+    rows.append(("allnull", None))
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = [("p25", 0.25), ("p50", 0.5), ("p95", 0.95)]
+    got = {
+        r["g"]: (r["p25"], r["p50"], r["p95"])
+        for r in exact_group_percentiles(df, "g", "v", ps).collect()
+    }
+    want = {
+        r["g"]: (r["p25"], r["p50"], r["p95"])
+        for r in df.groupBy("g")
+        .agg(
+            F.percentile("v", 0.25).alias("p25"),
+            F.percentile("v", 0.5).alias("p50"),
+            F.percentile("v", 0.95).alias("p95"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want) == {"a", "b", "c", "allnull"}
+    assert got["allnull"] == (None, None, None)
+    for g in ["a", "b", "c"]:
+        assert got[g] == want[g], g  # bit-for-bit, not approx

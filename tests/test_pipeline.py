@@ -125,3 +125,17 @@ def test_build_corpus_materializes_tables(spark, cat):
     assert t.read().count() == out["train"]["rows"] > 0
     assert h.read().count() == out["heldout"]["rows"] > 0
     assert t.snapshot()["operation"] == "append"
+
+
+def test_near_dedup_auto_empty_corpus_no_crash(spark):
+    """Empty corpus: dropped_posting_mass returns ZERO audit rows (r11
+    ADVICE — the pre-fix .collect()[0] raised IndexError through the
+    public operator and the build-corpus --dedup auto CLI path). The
+    router must no-op on the cheap capped route instead."""
+    from ice_spark.operators.pipeline import near_dedup
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    out, info = near_dedup(docs, "auto", max_posting=4)
+    assert out.count() == 0
+    assert info["strategy"] == "capped-shingle"
+    assert info["empty_audit"] and info["dropped_bp"] == 0

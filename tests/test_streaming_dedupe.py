@@ -225,3 +225,32 @@ def test_span_admission_stream_corrupt_index_fails_batch(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException):
         q.awaitTermination()
+
+
+def test_epoch_enumeration_uses_hadoop_fs(spark, tmp_path):
+    """Epoch enumeration must go through the Hadoop FileSystem API,
+    not os.listdir (r11 ADVICE): for a non-local index_dir scheme the
+    old os.path.isdir returned False, prior=[] and every micro-batch
+    was gated against an EMPTY index — the gate silently disabled.
+    A file:// URI is exactly such a scheme path (os.path.isdir on it
+    is False) that Hadoop FS resolves."""
+    import os
+
+    from ice_spark.streaming.dedupe import _list_epoch_dirs
+
+    idx = tmp_path / "idx"
+    (idx / "epoch=seed").mkdir(parents=True)
+    (idx / "epoch=0").mkdir()
+    (idx / "epoch=1").mkdir()
+    (idx / "_other").mkdir()
+    uri = "file://" + str(idx)
+    assert not os.path.isdir(uri)  # the old enumeration saw nothing here
+
+    got = _list_epoch_dirs(spark, uri, exclude="epoch=1")
+    names = sorted(p.rsplit("/", 1)[-1] for p in got)
+    assert names == ["epoch=0", "epoch=seed"]
+    # bare local path resolves identically
+    got_bare = _list_epoch_dirs(spark, str(idx), exclude="epoch=1")
+    assert sorted(p.rsplit("/", 1)[-1] for p in got_bare) == ["epoch=0", "epoch=seed"]
+    # missing dir => no index yet (empty), not an error
+    assert _list_epoch_dirs(spark, str(tmp_path / "nope")) == []
