@@ -46,6 +46,9 @@ def main() -> None:
 
     sf = sf_dir()
     spark = get_spark("ice_spark_bench")
+    from ice_spark.session import assert_ansi
+
+    assert_ansi(spark)
     specs = load_all()
 
     # Warm the JVM, codegen, and parquet reader paths so the first

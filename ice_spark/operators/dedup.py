@@ -126,9 +126,11 @@ def dropped_posting_mass(
 
     Shape: one vocabulary-sized groupBy on the posting key (the same
     shuffle the capped finder itself performs), then a 3-row explode
-    and a tiny O(len(caps)) aggregate. `dropped_pair_mass` is exact
-    int64; it overflows (loudly, under ANSI — both engines) only if a
-    single bucket exceeds ~3e9 members, far past any sane cap.
+    and a tiny O(len(caps)) aggregate. `dropped_pair_mass` accumulates
+    in DECIMAL(38,0) (a bucket's pair mass squares its size, which
+    grows with corpus dup density); the BIGINT output overflows
+    (loudly, under ANSI — both engines) only if the reported mass
+    itself exceeds int64.
     """
     counts = ex.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("b"))
     capped = counts.withColumn(
@@ -142,7 +144,16 @@ def dropped_posting_mass(
             F.coalesce(F.sum(F.when(over, F.col("b"))), F.lit(0))
             .cast("long")
             .alias("dropped_posting_rows"),
-            F.coalesce(F.sum(F.when(over, F.expr("b * (b - 1) div 2"))), F.lit(0))
+            # decimal(38,0) accumulation: b*(b-1) squares a bucket size
+            # that grows with corpus dup density (lint_overflow's
+            # class) — int64 would overflow mid-sum at ~3e9-member
+            # buckets. b*(b-1) is always even, so per-bucket halving
+            # equals halving the sum; the final div (long result) only
+            # overflows if the REPORTED mass itself exceeds int64.
+            F.expr(
+                "COALESCE(SUM(CASE WHEN b > cap THEN "
+                "CAST(b AS DECIMAL(38,0)) * (b - 1) END), 0) div 2"
+            )
             .cast("long")
             .alias("dropped_pair_mass"),
             F.sum("b").cast("long").alias("total_posting_rows"),

@@ -648,7 +648,13 @@ def e12(spark: SparkSession, sf_dir: str) -> DataFrame:
         "below_sum",
         "vcnt",
         F.sum("vcnt").over(wv).alias("vcum_cnt"),
-        F.sum(F.col("cents") * F.col("vcnt")).over(wv).alias("vcum_s"),
+        # decimal(38,0): cents*vcnt and k*cents multiply a value by a
+        # corpus-scaled count — int64-risky at 100x (lint_overflow's
+        # class). Integer-exact; bottom_cents casts to double at the
+        # end, same value from either integer type.
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("vcnt"))
+        .over(wv)
+        .alias("vcum_s"),
     )
     vstar = (
         vcum.where(F.col("below_cnt") + F.col("vcum_cnt") >= F.col("k"))
@@ -659,13 +665,13 @@ def e12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             (
-                F.col("below_sum")
+                F.col("below_sum").cast("decimal(38,0)")
                 + F.col("vcum_s")
-                - F.col("cents") * F.col("vcnt")
+                - F.col("cents").cast("decimal(38,0)") * F.col("vcnt")
                 + (
                     F.col("k")
                     - (F.col("below_cnt") + F.col("vcum_cnt") - F.col("vcnt"))
-                )
+                ).cast("decimal(38,0)")
                 * F.col("cents")
             ).alias("bottom_cents"),
         )
@@ -957,8 +963,13 @@ def e16(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").over(pb).alias("next_c"),
         F.max(obs_idx).over(pb).alias("next_i"),
     )
+    # decimal(38,0): hourly cent sums x the gap width can clear int64
+    # once hourly volume is 100x (lint_overflow's class); the div is
+    # integer-exact either way and filled_cents stays BIGINT.
     interp = F.expr(
-        "(prev_c * (next_i - idx) + next_c * (idx - prev_i)) div (next_i - prev_i)"
+        "(CAST(prev_c AS DECIMAL(38,0)) * (next_i - idx)"
+        " + CAST(next_c AS DECIMAL(38,0)) * (idx - prev_i))"
+        " div (next_i - prev_i)"
     )
     return ctx.select(
         "event_type",
@@ -1091,7 +1102,13 @@ def a07(spark: SparkSession, sf_dir: str) -> DataFrame:
             "both_cnt",
             F.expr("both_cnt * 1000000 div n").alias("support_micro"),
             F.expr("both_cnt * 1000000 div cnt_a").alias("confidence_micro"),
-            F.expr("both_cnt * n * 1000000 div (cnt_a * cnt_c)").alias("lift_micro"),
+            # decimal(38,0) cross terms: both_cnt*n and cnt_a*cnt_c are
+            # count-times-count products (int64-risky at 100x counts —
+            # lint_overflow's class); div is integer-exact either way
+            F.expr(
+                "CAST(both_cnt AS DECIMAL(38,0)) * n * 1000000 "
+                "div (CAST(cnt_a AS DECIMAL(38,0)) * cnt_c)"
+            ).alias("lift_micro"),
         )
         .orderBy(F.desc("lift_micro"), "ante", "cons")
         .limit(50)
@@ -1377,8 +1394,8 @@ def w09(spark: SparkSession, sf_dir: str) -> DataFrame:
     "relation, the e20/a05 pattern); the cumulative shares and the "
     "decile-level Gini (G = 2*sum(i*s_i)/10 - 11/10 in mills, exact "
     "integer arithmetic over the 10-row decile rollup) match DuckDB "
-    "bit-for-bit. Integer headroom: sum(i*cents)*20 < 2^63 through "
-    "~sf50.",
+    "bit-for-bit; the i*s_i cross terms ride DECIMAL(38,0) on the "
+    "Spark side (INT128 in DuckDB), so there is no sf ceiling.",
 )
 def w10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ice_spark.operators.ranking import global_ntile
@@ -1405,16 +1422,26 @@ def w10(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile_cents",
         F.sum("decile_cents").over(wc).alias("cum_cents"),
         F.sum("decile_cents").over(wall).alias("total_cents"),
-        F.sum(F.col("decile") * F.col("decile_cents")).over(wall).alias("weighted"),
+        # decimal(38,0): decile*decile_cents (and the x10000/x10-scaled
+        # Gini terms below) multiply corpus-scaled cent sums past int64
+        # at 100x (lint_overflow's class). Integer-exact either way;
+        # DuckDB rides INT128. Output types unchanged (div -> BIGINT).
+        F.sum(F.col("decile").cast("decimal(38,0)") * F.col("decile_cents"))
+        .over(wall)
+        .alias("weighted"),
     )
     return c.select(
         "decile",
         "n_customers",
         "decile_cents",
         "cum_cents",
-        F.expr("cum_cents * 10000 div nullif(total_cents, 0)").alias("cum_share_bp"),
         F.expr(
-            "CAST((2 * weighted * 10 - 11 * total_cents * 10)"
+            "CAST(cum_cents AS DECIMAL(38,0)) * 10000"
+            " div nullif(total_cents, 0)"
+        ).alias("cum_share_bp"),
+        F.expr(
+            "CAST((2 * weighted * 10"
+            "      - 11 * CAST(total_cents AS DECIMAL(38,0)) * 10)"
             " div nullif(total_cents, 0) AS BIGINT)"
         ).alias("gini_millis"),
     ).orderBy("decile")

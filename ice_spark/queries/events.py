@@ -474,16 +474,27 @@ def e15(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(F.count(F.lit(1)).alias("n_events"))
     w = Window.partitionBy("event_type")
+    # decimal(38,0) for every count-times-count term: n_events^2 and
+    # the z-score cross terms square corpus-scaled counts, which
+    # clears int64 long before 100x (tools/lint_overflow.py's class —
+    # the e24 lesson applied here). Exact integer arithmetic either
+    # way, so gate values are unchanged; output columns stay BIGINT.
+    d38 = "decimal(38,0)"
     st = hourly.select(
         "event_type",
         "hour",
         "n_events",
         F.count(F.lit(1)).over(w).alias("n_hours"),
         F.sum("n_events").over(w).alias("type_total"),
-        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("type_sumsq"),
+        F.sum(F.col("n_events").cast(d38) * F.col("n_events"))
+        .over(w)
+        .alias("type_sumsq"),
     )
-    dev = F.col("n_hours") * F.col("n_events") - F.col("type_total")
-    var_n2 = F.col("n_hours") * F.col("type_sumsq") - F.col("type_total") * F.col("type_total")
+    dev = F.col("n_hours").cast(d38) * F.col("n_events") - F.col("type_total")
+    var_n2 = (
+        F.col("n_hours").cast(d38) * F.col("type_sumsq")
+        - F.col("type_total").cast(d38) * F.col("type_total")
+    )
     return st.where(dev * dev > F.lit(9) * var_n2).select(
         "event_type", "hour", "n_events", "n_hours", "type_total"
     )
@@ -884,11 +895,17 @@ def e22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("g").isNotNull())
     )
+    # decimal(38,0) for the variance cross terms: q sums squared gaps
+    # and m*q / s*s square per-user sums — all clear int64 once a hot
+    # user's event count is large enough (lint_overflow's class).
+    # Integer-exact either way; output columns keep their types.
+    d38 = "decimal(38,0)"
     reg = gaps.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("m"),
         F.sum("g").cast("long").alias("s"),
-        F.sum(F.col("g") * F.col("g")).cast("long").alias("q"),
+        F.sum(F.col("g").cast(d38) * F.col("g")).alias("q"),
     )
+    s2 = F.col("s").cast(d38) * F.col("s")
     return (
         per_user.where(F.col("n_events") >= 20)
         .join(reg, "user_id")
@@ -899,9 +916,14 @@ def e22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_events * 3600000 div greatest(span_sec, 1)").alias(
                 "rate_milli_per_hour"
             ),
-            ((F.col("m") >= 5) & (F.lit(100) * (F.col("m") * F.col("q") - F.col("s") * F.col("s")) < F.col("s") * F.col("s"))).alias(
-                "metronomic"
-            ),
+            (
+                (F.col("m") >= 5)
+                & (
+                    F.lit(100).cast(d38)
+                    * (F.col("m").cast(d38) * F.col("q") - s2)
+                    < s2
+                )
+            ).alias("metronomic"),
         )
         .orderBy(F.desc("rate_milli_per_hour"), "user_id")
         .limit(20)
@@ -1017,15 +1039,23 @@ def e24(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y"),
         )
     )
+    # decimal(38,0) end-to-end for the correlation cross terms (the
+    # r11 fix widened only r2_bp; the sum-of-squares accumulators and
+    # corr_sign's numerator still rode int64 and square per-hour
+    # counts — lint_overflow's class). Integer-exact either way.
+    d38 = "decimal(38,0)"
     s = hourly.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    num = (
+        F.col("n").cast(d38) * F.col("sxy")
+        - F.col("sx").cast(d38) * F.col("sy")
+    )
     return s.select(
         F.col("n").alias("n_hours"),
         F.when(num > 0, 1).when(num < 0, -1).otherwise(0).cast("long").alias("corr_sign"),

@@ -282,9 +282,10 @@ def dq02(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rounding to accumulate error. The pipeline-monitoring question "
     "('did today's batch change shape?') as two bounded keyed "
     "aggregations over the daily rollup; top-10 drifting days "
-    "surface for inspection. Products stay under 2^63 while daily "
-    "volume x total volume < 9e18 — at larger scales pre-divide by "
-    "a common factor or widen to DECIMAL(38,0).",
+    "surface for inspection. The Spark side stages every "
+    "count-times-count product through DECIMAL(38,0) (daily volume "
+    "x total volume clears int64 at 100x counts — lint_overflow's "
+    "class); DuckDB's side rides INT128. Integer-exact either way.",
 )
 def dq03(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -302,9 +303,14 @@ def dq03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(
             F.sum(
-                F.abs(F.col("n_dt") * F.col("n_all") - F.col("n_type") * F.col("n_day"))
+                F.abs(
+                    F.col("n_dt").cast("decimal(38,0)") * F.col("n_all")
+                    - F.col("n_type").cast("decimal(38,0)") * F.col("n_day")
+                )
             ).alias("l1_num"),
-            F.max(F.col("n_day") * F.col("n_all")).alias("denom"),
+            F.max(F.col("n_day").cast("decimal(38,0)") * F.col("n_all")).alias(
+                "denom"
+            ),
             F.max("n_day").alias("n_day"),
         )
     )

@@ -1242,18 +1242,33 @@ def k11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ests.append(F.sum(sign))
     zrow = cnt.agg(*[e.alias(f"z{j}") for j, e in enumerate(ests)])
+    # decimal(38,0) for every squared term (lint_overflow's class):
+    # z^2 and c^2 square corpus-scaled counts, and sum(z^2) can clear
+    # int64 even when the reported f2_est fits. The BIGINT outputs
+    # overflow (loudly, ANSI) only if the reported values themselves
+    # exceed int64 — the oracle's own ceiling.
     f2e = zrow.select(
         (
-            sum(F.col(f"z{j}") * F.col(f"z{j}") for j in range(len(AMS_ESTIMATORS)))
+            sum(
+                F.col(f"z{j}").cast("decimal(38,0)") * F.col(f"z{j}")
+                for j in range(len(AMS_ESTIMATORS))
+            )
         ).alias("ss")
     ).select(F.expr(f"ss div {len(AMS_ESTIMATORS)}").cast("long").alias("f2_est"))
-    f2x = cnt.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"))
+    f2x = cnt.agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("long")
+        .alias("f2_exact")
+    )
     return (
         f2e.crossJoin(F.broadcast(f2x))
         .select(
             "f2_est",
             "f2_exact",
-            F.expr("abs(f2_est - f2_exact) * 100 div f2_exact").alias("err_pct"),
+            F.expr(
+                "abs(CAST(f2_est AS DECIMAL(38,0)) - f2_exact) * 100 "
+                "div f2_exact"
+            ).alias("err_pct"),
         )
     )
 

@@ -979,9 +979,16 @@ def t08(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.sum(F.lit(1)).alias("n_tokens"),
+            # decimal(38,0) accumulators: the micro-unit log sum and
+            # the count*log(n_total) cross term both scale with corpus
+            # token count x ~2e7 and clear int64 at 100x counts
+            # (lint_overflow's class). Integer-exact difference either
+            # way; the cast to DOUBLE sees the same integer.
             F.expr(
-                "CAST(SUM(CAST(ROUND(LN(cnt) * 1000000) AS BIGINT))"
-                " - COUNT(*) * ANY_VALUE(CAST(ROUND(LN(n_total) * 1000000) AS BIGINT))"
+                "CAST(SUM(CAST(CAST(ROUND(LN(cnt) * 1000000) AS BIGINT)"
+                "          AS DECIMAL(38,0)))"
+                " - CAST(COUNT(*) AS DECIMAL(38,0))"
+                "   * ANY_VALUE(CAST(ROUND(LN(n_total) * 1000000) AS BIGINT))"
                 " AS DOUBLE) / COUNT(*) / 1000000.0"
             ).alias("avg_logprob"),
         )
@@ -2406,7 +2413,13 @@ def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "n_xy",
-            F.expr("n_xy * total * 1000000 div (n_x * n_y)").alias("assoc_micro"),
+            # decimal(38,0): n_xy*total and n_x*n_y multiply corpus-
+            # scaled counts (int64-risky at 100x — lint_overflow's
+            # class); integer-exact div either way, DuckDB rides INT128
+            F.expr(
+                "CAST(n_xy AS DECIMAL(38,0)) * total * 1000000 "
+                "div (CAST(n_x AS DECIMAL(38,0)) * n_y)"
+            ).alias("assoc_micro"),
         )
         .orderBy(F.desc("assoc_micro"), "w1", "w2")
         .limit(30)
@@ -3439,9 +3452,15 @@ def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ratio = stats.crossJoin(F.broadcast(tot)).select(
         "b",
+        # decimal(38,0) for the smoothed-ratio cross terms: bucket
+        # count x corpus total clears int64 at 100x counts
+        # (lint_overflow's class). The decimal product is the same
+        # exact integer, so the DOUBLE argument to LN is unchanged.
         F.expr(
-            f"CAST(ROUND(LN(CAST((c_t + 1) * (t_r + {B}) AS DOUBLE) "
-            f"/ CAST((c_r + 1) * (t_t + {B}) AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+            f"CAST(ROUND(LN("
+            f"CAST(CAST(c_t + 1 AS DECIMAL(38,0)) * (t_r + {B}) AS DOUBLE) "
+            f"/ CAST(CAST(c_r + 1 AS DECIMAL(38,0)) * (t_t + {B}) AS DOUBLE)"
+            f") * 1000000, 0) AS BIGINT)"
         ).alias("r_micro"),
     )
     dfc = feat.groupBy("doc_id", "b").agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -3450,7 +3469,12 @@ def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_feats"),
-            F.sum(F.col("c") * F.col("r_micro")).cast("long").alias("w_micro"),
+            # c*r_micro is per-doc bounded (c <= the doc's own token
+            # count), but decimal costs nothing and keeps the overflow
+            # lint clean without an allowlist entry
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("r_micro"))
+            .cast("long")
+            .alias("w_micro"),
         )
     )
     return docs.select("doc_id").join(perdoc, "doc_id", "left").select(

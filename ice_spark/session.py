@@ -85,6 +85,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.session.timeZone", "UTC")
+        # --- ANSI ON, pinned (Spark 4 default, but never rely on it):
+        # int64 overflow must FAIL LOUDLY, not wrap — e24's r2 terms
+        # and g02's packed closure keys depend on this. A query that
+        # overflows only at 100x counts corrupts silently with ANSI
+        # off; tools/lint_overflow.py statically flags the class.
+        .config("spark.sql.ansi.enabled", "true")
         # Keep driver chatter down in benchmarks.
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -113,6 +119,20 @@ def configure_session(spark: SparkSession) -> SparkSession:
         if spark.conf.get(k, None) != v:
             spark.conf.set(k, v)
     return spark
+
+
+def assert_ansi(spark: SparkSession) -> None:
+    """Fail loudly if ANSI mode is off. Every gate/bench/probe session
+    must run ANSI so int64 overflow RAISES instead of wrapping — a
+    query whose arithmetic only overflows at 100x counts (r11's e24)
+    silently corrupts results under non-ANSI semantics and would
+    hash-green at every gate SF."""
+    v = str(spark.conf.get("spark.sql.ansi.enabled", "true")).lower()
+    if v != "true":
+        raise AssertionError(
+            "spark.sql.ansi.enabled must be true in gate/bench/probe "
+            f"sessions (got {v!r}): int64 overflow must fail, not wrap"
+        )
 
 
 def sf_dir() -> str:

@@ -39,6 +39,23 @@ can't silently regress them:
   A growing-relation window (old e21: ordering (delay_sec, user_id))
   has a different signature and fails.
 
+- buffering aggregates (``percentile`` / ``collect_list`` /
+  ``collect_set`` / ``mode`` / ``histogram_numeric``) only at AUDITED
+  sites: these ObjectHashAggregate functions hold per-group state that
+  grows with the group (a value→count map or the raw value list), so
+  over an unbounded-group relation they OOM at scale while passing
+  every gate SF (r11's a02 finding — ``F.percentile`` over 60M-row
+  lineitem groups OOM'd an 8g heap at sf10 and was only caught by the
+  honest force_rows probe; this ban catches the next one at plan time,
+  at sf0.001, in CI). ``F.median`` compiles to percentile and is
+  covered; ``percentile_approx``/``approx_percentile`` are bounded
+  sketches and stay legal. Detection counts FINAL-mode aggregate
+  expressions in the executed plan (``partial_``-prefixed duplicates
+  of two-stage aggregates are excluded by the lookbehind), so one
+  logical aggregate = one count. The allowlist pins query → exact
+  {function: count}; each entry's audit states why the per-group
+  state is bounded by construction.
+
 The sweep compiles each plan at sf0.001 (no execution), so the whole
 registry costs plan-analysis time only.
 """
@@ -92,6 +109,38 @@ AUDITED_BNLJ = {
     "v12_ann_recall_audit": 1,
     "v14_vector_analogy": 1,
 }
+
+
+# Final-mode buffering-aggregate functions in the executed plan:
+# (?<![\w.]) excludes the partial_/merge_ stage duplicates and
+# percentile_approx/approx_percentile (bounded sketches, legal).
+BUFFERING_AGG_RE = re.compile(
+    r"(?<![\w.])(percentile|collect_list|collect_set|mode|histogram_numeric)\("
+)
+
+# query name -> audited {buffering function: exact count}. An entry is
+# legal ONLY when the per-group state is bounded by construction —
+# bounded by a fixed key domain or by a per-entity envelope (a doc's
+# own tokens, an order's own lines), never by corpus size. ANY new
+# site (or count increase) fails the sweep and must be audited here.
+AUDITED_BUFFERING_AGGS = {
+    # per-order line list: TPC-H lineitem has <= 7 lines per order
+    # (l_linenumber domain) — per-entity envelope, not corpus-scaled
+    "f13_array_ordinality": {"collect_list": 1},
+    # input relation is the (o_orderpriority, o_orderstatus) grain —
+    # 5x3 fixed key domain, bounded before the collect_list runs
+    "f15_map_functions": {"collect_list": 1},
+}
+
+
+def _unaudited_buffering_aggs(name: str, plan: str) -> list[str]:
+    got = Counter(BUFFERING_AGG_RE.findall(plan))
+    budget = AUDITED_BUFFERING_AGGS.get(name, {})
+    return [
+        f"{fn} x{n} (audited: {budget.get(fn, 0)})"
+        for fn, n in sorted(got.items())
+        if n > budget.get(fn, 0)
+    ]
 
 
 # Ordering-expression signatures of partitionless windows that are
@@ -182,11 +231,21 @@ def _unaudited_partitionless_windows(name: str, jplan) -> list[tuple]:
 
 
 def test_no_cartesian_rowwise_python_or_unaudited_bnlj(spark, sf_dir):
+    from tools.lint_overflow import unaudited_multiplies
+
     from ice_spark.queries.registry import load_all
 
     offenders: dict[str, list[str]] = {}
     for name, spec in load_all().items():
-        jplan = spec.spark_fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
+        df = spec.spark_fn(spark, sf_dir)
+        overflow = unaudited_multiplies(name, df)
+        if overflow:
+            offenders.setdefault(name, []).append(
+                f"int64-overflow-risk bigint products (lint_overflow): "
+                f"{overflow} — stage through decimal(38,0) or audit the "
+                "bound in tools/lint_overflow.AUDITED"
+            )
+        jplan = df._jdf.queryExecution().executedPlan()
         plan = jplan.toString()
         bad = [m for m in BANNED if m in plan]
         n_bnlj = plan.count("BroadcastNestedLoopJoin")
@@ -201,9 +260,74 @@ def test_no_cartesian_rowwise_python_or_unaudited_bnlj(spark, sf_dir):
                 "unaudited partitionless window over possibly-growing "
                 f"relation, ORDER BY signature(s) {unaudited}"
             )
+        buffering = _unaudited_buffering_aggs(name, plan)
+        if buffering:
+            bad.append(
+                f"unaudited buffering aggregate(s): {buffering} — "
+                "per-group state grows with the group; use a bounded "
+                "rewrite (operators/median.exact_group_percentiles for "
+                "percentile) or audit the bound in "
+                "AUDITED_BUFFERING_AGGS"
+            )
         if bad:
-            offenders[name] = bad
+            offenders.setdefault(name, []).extend(bad)
     assert not offenders, f"banned physical operators: {offenders}"
+
+
+def test_overflow_lint_catches_e24_prefix_form(spark, sf_dir):
+    """tools/lint_overflow red-flags exactly the r11 e24 shape: a
+    bigint (num*100)^2 where num is count-derived — overflow-safe at
+    every gate SF, int64 overflow at 100x counts. The decimal(38,0)
+    form (the fix) and literal-scaled products must pass."""
+    from tools.lint_overflow import unaudited_multiplies
+
+    from pyspark.sql import functions as F
+
+    from ice_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        (F.count(F.lit(1)) * 100).alias("num")
+    )
+    old_e24 = agg.select((F.col("num") * F.col("num")).alias("r2"))
+    assert unaudited_multiplies("e24_volume_correlation", old_e24) == [
+        "(num * num)"
+    ]
+    fixed = agg.select(
+        (F.col("num").cast("decimal(38,0)") * F.col("num")).alias("r2")
+    )
+    assert unaudited_multiplies("e24_volume_correlation", fixed) == []
+    # literal-scaled long products stay legal (count * 100 is linear)
+    assert unaudited_multiplies("x", agg) == []
+
+
+def test_buffering_agg_detector_catches_a02_prefix_form(spark, sf_dir):
+    """The detector goes red on exactly the shape the r11 honest probe
+    caught by OOM: a02's pre-fix F.percentile over raw lineitem groups
+    (per-group value-count map in executor memory, 60M rows/group at
+    sf10) — restored here in miniature. Bounded sketches
+    (percentile_approx) and the partial_ stage duplicates must NOT
+    count."""
+    from pyspark.sql import functions as F
+
+    from ice_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    old_a02 = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("p25"),
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.95).alias("p95"),
+    )
+    plan = old_a02._jdf.queryExecution().executedPlan().toString()
+    assert _unaudited_buffering_aggs("a02_price_percentiles", plan) == [
+        "percentile x3 (audited: 0)"
+    ]
+    # the legal bounded sketch stays legal
+    ok = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50")
+    )
+    plan_ok = ok._jdf.queryExecution().executedPlan().toString()
+    assert _unaudited_buffering_aggs("a02_price_percentiles", plan_ok) == []
 
 
 def test_partitionless_window_detector_catches_growing_relation(spark, sf_dir):

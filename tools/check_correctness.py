@@ -73,6 +73,9 @@ def main() -> int:
         ).getOrCreate()
     else:
         spark = get_spark("correctness")
+    from ice_spark.session import assert_ansi
+
+    assert_ansi(spark)
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"

@@ -89,6 +89,9 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     spark = get_spark("correctness_pandas")
+    from ice_spark.session import assert_ansi
+
+    assert_ansi(spark)
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"

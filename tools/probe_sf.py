@@ -82,6 +82,9 @@ def main() -> int:
     from ice_spark.queries.registry import load_all
 
     spark = get_spark("probe_sf")
+    from ice_spark.session import assert_ansi
+
+    assert_ansi(spark)
     specs = load_all()
 
     if args.sweep:
