@@ -151,6 +151,9 @@ class InMemoryFileIO(FileIO):
         self._mtimes: dict[str, float] = {}
         self._lock = threading.Lock()
         self.counts = {"reads": 0, "writes": 0, "cas": 0, "deletes": 0, "lists": 0}
+        #: bytes of text handed to write_atomic/create_exclusive since
+        #: the last reset — the metadata-plane probe's per-commit cost
+        self.bytes_written = 0
         self._clock = 0.0  # last issued mtime; keeps epoch times strictly increasing
 
     def _norm(self, path: str) -> str:
@@ -159,6 +162,7 @@ class InMemoryFileIO(FileIO):
     def reset_counts(self) -> None:
         for k in self.counts:
             self.counts[k] = 0
+        self.bytes_written = 0
 
     def read_text(self, path: str) -> str:
         with self._lock:
@@ -179,6 +183,7 @@ class InMemoryFileIO(FileIO):
     def write_atomic(self, path: str, text: str) -> None:
         with self._lock:
             self.counts["writes"] += 1
+            self.bytes_written += len(text)
             p = self._norm(path)
             self._files[p] = text
             self._touch(p)
@@ -186,6 +191,7 @@ class InMemoryFileIO(FileIO):
     def create_exclusive(self, path: str, text: str) -> None:
         with self._lock:
             self.counts["cas"] += 1
+            self.bytes_written += len(text)
             p = self._norm(path)
             if p in self._files:
                 raise FileExistsError(path)

@@ -287,24 +287,61 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("o1.dst_d") == F.col("o2.dst_d")) & (F.col("o1.did") < F.col("o2.did")))
         ),
     ).select((F.col("o1.did") * pack + F.col("o2.did")).alias("k"))
-    # One traversal of the wedge stream yields both counts: a wedge is
-    # a triangle iff its packed closure key is an oriented edge. LEFT
-    # join keeps every wedge; COUNT of the matched marker counts the
-    # closed ones. shuffle_hash, not merge: the build side is the
-    # EDGE set (unique, hash-uniform keys — no hub-node partition, a
-    # hazard the degree joins above do have), so the wedge stream
-    # probes without ever sorting; the explicit wide repartition keeps
-    # each no-spill-path build map at ~75k edges (~10MB) — at m/200
-    # partitions x 32 concurrent tasks the maps overran the per-task
-    # execution slice.
-    closure = od.select(
-        (F.col("sid") * pack + F.col("did")).alias("k"), F.lit(1).alias("hit")
-    ).repartition(1600, "k")
-    closed = wedges.join(closure.hint("shuffle_hash"), "k", "left")
-    wt = closed.agg(
-        F.count(F.lit(1)).alias("n_wedges"),
-        F.count(F.col("hit")).alias("n_triangles"),
+    # n_wedges WITHOUT counting the joined wedge stream: the oriented
+    # enumeration emits each wedge exactly once from its src with a
+    # strict (dst_d, did) tie-break, so the stream's cardinality is
+    # sum over src of C(outdeg, 2) — one keyed agg over od instead of
+    # evaluating 4.1e9 join rows at the sf10 probe. c*(c-1) rides
+    # decimal(38,0) (count-squared — lint_overflow's class; the
+    # arboricity bound keeps c ~ sqrt(m), but the SUM crosses int64
+    # long before the halved total does).
+    nw = (
+        od.groupBy("sid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.expr(
+                "COALESCE(SUM(CAST(c AS DECIMAL(38,0)) * (c - 1)), 0) div 2"
+            )
+            .cast("long")
+            .alias("n_wedges")
+        )
     )
+    # A wedge is a triangle iff its packed closure key is an oriented
+    # edge. The r11 shape shuffled ALL wedges (4.1e9 rows, ~60GB) to
+    # meet the edge set; now a broadcast Bloom filter of the packed
+    # edge keys (operators/bloomjoin.build_bloom_df — ~10 bits/key up
+    # to a 512Mbit ceiling, beyond which it degrades to pruning less,
+    # never wrongly) drops non-triangle wedges MAP-SIDE, before they
+    # ever shuffle. False positives only — the exact semi join below
+    # removes them — so n_triangles is unchanged. The bitmap lives in
+    # a ONE-ROW broadcast DataFrame, never on the driver; the single
+    # eager action (edge count, for bitmap/partition sizing) is the
+    # IVF-centroid pattern: metadata-scale, never row data.
+    from ice_spark.operators.bloomjoin import bloom_prefilter_df, build_bloom_df
+
+    closure = od.select((F.col("sid") * pack + F.col("did")).alias("k"))
+    m_edges = closure.count()
+    num_bits = 1 << 20
+    while num_bits < 10 * m_edges and num_bits < (1 << 29):
+        num_bits <<= 1
+    bm = build_bloom_df(closure, "k", num_bits=num_bits, num_hashes=3)
+    candidates = bloom_prefilter_df(wedges, "k", bm, num_bits, num_hashes=3)
+    # Exact verify of the surviving sliver: shuffle_hash, not merge —
+    # the build side is the EDGE set (unique, hash-uniform keys — no
+    # hub-node partition, a hazard the degree joins above do have), so
+    # candidates probe without ever sorting; partition count scales
+    # with the edge set to keep each no-spill-path build map at ~75k
+    # edges (~10MB) without paying 1600 tasks at gate SF.
+    n_part = max(32, min(1600, m_edges // 75_000 + 1))
+    closed = candidates.join(
+        closure.repartition(n_part, "k").hint("shuffle_hash"), "k", "semi"
+    )
+    wt = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    return n_nodes.crossJoin(n_edges).crossJoin(wt)
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(nw)
+        .crossJoin(wt)
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    )

@@ -135,10 +135,11 @@ def write_datum(out: io.BytesIO, schema, datum, named: dict | None = None) -> No
     elif t == "double":
         out.write(struct.pack("<d", float(datum)))
     elif t == "bytes":
-        write_bytes(out, bytes(datum))
+        write_bytes(out, _decimal_bytes(datum, schema))
     elif t == "string":
         write_bytes(out, datum.encode("utf-8"))
     elif t == "fixed":
+        datum = _decimal_bytes(datum, schema, size=schema["size"])
         if len(datum) != schema["size"]:
             raise ValueError("fixed size mismatch")
         out.write(bytes(datum))
@@ -167,6 +168,21 @@ def write_datum(out: io.BytesIO, schema, datum, named: dict | None = None) -> No
         write_long(out, 0)
     else:
         raise ValueError(f"unsupported avro type: {t!r}")
+
+
+def _decimal_bytes(datum, schema, size: int | None = None) -> bytes:
+    """Encode a Decimal datum for a decimal-logical bytes/fixed field
+    as the Avro-spec two's-complement big-endian unscaled int (minimal
+    length for bytes, exactly `size` for fixed). Non-Decimal data pass
+    through unchanged."""
+    import decimal
+
+    if not isinstance(datum, decimal.Decimal):
+        return bytes(datum)
+    scale = int(schema.get("scale", 0)) if isinstance(schema, dict) else 0
+    unscaled = int(datum.scaleb(scale).to_integral_exact())
+    length = size or max(1, (unscaled.bit_length() + 8) // 8)
+    return unscaled.to_bytes(length, "big", signed=True)
 
 
 def read_datum(buf: io.BytesIO, schema, named: dict | None = None):
@@ -409,6 +425,11 @@ def avro_schema_to_spark(schema):
                 return T.TimestampNTZType(), False
             if lt == "date" and typ == "int":
                 return T.DateType(), False
+            if lt == "decimal" and typ in ("bytes", "fixed"):
+                return (
+                    T.DecimalType(int(s["precision"]), int(s.get("scale", 0))),
+                    False,
+                )
             if typ == "record":
                 fields = []
                 for f in s["fields"]:
@@ -456,6 +477,7 @@ def has_logical_types(s) -> bool:
             "local-timestamp-micros",
             "local-timestamp-millis",
             "date",
+            "decimal",
         ):
             return True
         typ = s["type"]
@@ -499,6 +521,14 @@ def decode_logical(v, s):
             )
         if lt == "date":
             return datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+        if lt == "decimal":
+            # read_datum yields the raw big-endian two's-complement
+            # bytes (for both bytes- and fixed-backed decimals)
+            import decimal
+
+            return decimal.Decimal(
+                int.from_bytes(v, "big", signed=True)
+            ).scaleb(-int(s.get("scale", 0)))
         typ = s["type"]
         if typ == "record":
             return {
@@ -562,6 +592,13 @@ def spark_schema_to_avro(schema, name: str = "row") -> dict:
             s = {"type": "long", "logicalType": "local-timestamp-micros"}
         elif isinstance(t, T.DateType):
             s = {"type": "int", "logicalType": "date"}
+        elif isinstance(t, T.DecimalType):
+            s = {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": t.precision,
+                "scale": t.scale,
+            }
         else:
             raise ValueError(f"unsupported spark type for avro export: {t}")
         return ["null", s] if nullable else s

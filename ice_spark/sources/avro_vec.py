@@ -346,10 +346,18 @@ def _dec_varint(p_var: str, out_var: str, lines: list, ind: str) -> None:
 class _Emitter:
     def __init__(self) -> None:
         self.n = 0
+        #: constants (enum symbol tables) injected into the compiled
+        #: function's namespace
+        self.consts: dict[str, object] = {}
 
     def tmp(self) -> str:
         self.n += 1
         return f"_v{self.n}"
+
+    def const(self, value) -> str:
+        name = f"_k{len(self.consts)}"
+        self.consts[name] = value
+        return name
 
     def emit(self, schema, out: str, lines: list, ind: str) -> None:
         """Append code that decodes one datum of `schema` from mv at p
@@ -392,8 +400,37 @@ class _Emitter:
             _dec_varint("p", n, lines, ind)
             if t == "string":
                 lines.append(f"{ind}{out} = str(mv[p:p+{n}], 'utf-8'); p += {n}")
+            elif (
+                isinstance(schema, dict)
+                and schema.get("logicalType") == "decimal"
+            ):
+                # Avro decimal-on-bytes: two's-complement big-endian
+                # unscaled int; scaleb applies the schema scale so the
+                # Arrow decimal128 column sees exact Decimal values
+                scale = int(schema.get("scale", 0))
+                lines.append(
+                    f"{ind}{out} = _DEC(int.from_bytes(mv[p:p+{n}], "
+                    f"'big', signed=True)).scaleb(-{scale}); p += {n}"
+                )
             else:
                 lines.append(f"{ind}{out} = bytes(mv[p:p+{n}]); p += {n}")
+        elif t == "fixed":
+            size = int(schema["size"])
+            if schema.get("logicalType") == "decimal":
+                scale = int(schema.get("scale", 0))
+                lines.append(
+                    f"{ind}{out} = _DEC(int.from_bytes(mv[p:p+{size}], "
+                    f"'big', signed=True)).scaleb(-{scale}); p += {size}"
+                )
+            else:
+                lines.append(f"{ind}{out} = bytes(mv[p:p+{size}]); p += {size}")
+        elif t == "enum":
+            # enum index is a zigzag varint into the symbol table; the
+            # table rides the compiled function's namespace
+            syms = self.const(tuple(schema["symbols"]))
+            idx = self.tmp()
+            _dec_varint("p", idx, lines, ind)
+            lines.append(f"{ind}{out} = {syms}[{idx}]")
         elif t == "record":
             vals = []
             for f in schema["fields"]:
@@ -462,9 +499,11 @@ def compile_decoder(schema: dict):
         lines.append(f"        _c{fi}_{_ident(f['name'])}.append({v})")
     lines.append("    return p")
     src = "\n".join(lines)
+    import decimal
     import struct
 
-    ns = {"_upf": struct.unpack_from}
+    ns = {"_upf": struct.unpack_from, "_DEC": decimal.Decimal}
+    ns.update(em.consts)
     exec(compile(src, "<avro_vec.compile_decoder>", "exec"), ns)  # noqa: S102
     return ns["_decode"]
 
@@ -499,6 +538,17 @@ def avro_schema_to_arrow(schema) -> "pa.DataType":
                 return pa.timestamp("us")
             if lt == "date" and t == "int":
                 return pa.date32()
+            if lt == "decimal" and t in ("bytes", "fixed"):
+                return pa.decimal128(
+                    int(s["precision"]), int(s.get("scale", 0))
+                )
+            if t == "fixed":
+                # variable-width binary on the Arrow side: Spark's
+                # BinaryType round-trips it; fixed_size_binary would
+                # not survive the mapInArrow boundary
+                return pa.binary()
+            if t == "enum":
+                return pa.string()
             if t == "record":
                 return pa.struct(
                     [(f["name"], conv(f["type"])) for f in s["fields"]]

@@ -496,3 +496,165 @@ def test_ms_timestamp_per_shard_fallback(spark, tmp_path):
         1: datetime.datetime(1970, 1, 2),
         2: datetime.datetime(1970, 1, 1, 0, 0, 0, 500000),
     }
+
+
+# --- decimal / enum / fixed fast-path coverage (r11 verdict #5) ---
+
+DEF_SCHEMA = {
+    "type": "record",
+    "name": "defrow",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {
+            "name": "amt",
+            "type": {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": 18,
+                "scale": 2,
+            },
+        },
+        {
+            "name": "famt",
+            "type": {
+                "type": "fixed",
+                "name": "famt16",
+                "size": 16,
+                "logicalType": "decimal",
+                "precision": 38,
+                "scale": 6,
+            },
+        },
+        {
+            "name": "color",
+            "type": {
+                "type": "enum",
+                "name": "color_e",
+                "symbols": ["RED", "GREEN", "BLUE"],
+            },
+        },
+        {
+            "name": "sync",
+            "type": {"type": "fixed", "name": "sync16", "size": 16},
+        },
+        {
+            "name": "opt_amt",
+            "type": [
+                "null",
+                {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 10,
+                    "scale": 3,
+                },
+            ],
+        },
+    ],
+}
+
+
+@st.composite
+def def_rows(draw):
+    import decimal
+
+    n = draw(st.integers(min_value=1, max_value=40))
+    out = []
+    for i in range(n):
+        amt = decimal.Decimal(
+            draw(st.integers(min_value=-(10**16), max_value=10**16))
+        ).scaleb(-2)
+        famt = decimal.Decimal(
+            draw(st.integers(min_value=-(10**30), max_value=10**30))
+        ).scaleb(-6)
+        opt = draw(
+            st.one_of(
+                st.none(),
+                st.integers(min_value=-(10**9), max_value=10**9),
+            )
+        )
+        out.append(
+            {
+                "id": i,
+                "amt": amt,
+                "famt": famt,
+                "color": draw(st.sampled_from(["RED", "GREEN", "BLUE"])),
+                "sync": bytes(draw(st.binary(min_size=16, max_size=16))),
+                "opt_amt": None
+                if opt is None
+                else decimal.Decimal(opt).scaleb(-3),
+            }
+        )
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(def_rows())
+def test_decimal_enum_fixed_fast_path_matches_per_datum(tmp_path_factory, rows):
+    """The compiled decoder's decimal/enum/fixed output must equal the
+    per-datum reference path (read_container -> read_datum ->
+    decode_logical) value-for-value, including the nullable decimal
+    union and sign/scale edge cases."""
+    from ice_spark.sources.avro_io import decode_logical, read_container, write_container
+    from ice_spark.sources.avro_vec import (
+        avro_schema_to_arrow,
+        compile_decoder,
+        decode_container_bytes_arrow,
+    )
+
+    # all three constructs compile (no Unsupported fallback)
+    compile_decoder(DEF_SCHEMA)
+    for f in DEF_SCHEMA["fields"]:
+        avro_schema_to_arrow(f["type"])
+
+    td = tmp_path_factory.mktemp("avrodef")
+    p = str(td / "t.avro")
+    write_container(p, DEF_SCHEMA, rows)
+    with open(p, "rb") as f:
+        batch = decode_container_bytes_arrow(f.read(), DEF_SCHEMA)
+    _, _, raw = read_container(p)
+    ref = [decode_logical(r, DEF_SCHEMA) for r in raw]
+    got = batch.to_pylist()
+    assert len(got) == len(ref) == len(rows)
+    for g, r, orig in zip(got, ref, rows):
+        for k in ("id", "amt", "famt", "color", "sync", "opt_amt"):
+            assert g[k] == r[k] == orig[k], (k, g[k], r[k], orig[k])
+
+
+def test_decimal_avro_ingest_end_to_end(spark, tmp_path):
+    """insert-path plumbing: a decimal/enum/fixed container lands as
+    DecimalType/StringType/BinaryType through _read_avro's fast path,
+    and avro_decode_report says 'vectorized'."""
+    import decimal
+
+    from ice_spark.ingest.insert import avro_decode_report, read_input
+    from ice_spark.sources.avro_io import write_container
+
+    rows = [
+        {
+            "id": i,
+            "amt": decimal.Decimal(i * 7 - 3).scaleb(-2),
+            "famt": decimal.Decimal(-i).scaleb(-6),
+            "color": ["RED", "GREEN", "BLUE"][i % 3],
+            "sync": bytes(range(i % 10, i % 10 + 16)),
+            "opt_amt": None if i % 3 == 0 else decimal.Decimal(i).scaleb(-3),
+        }
+        for i in range(50)
+    ]
+    p = str(tmp_path / "d.avro")
+    write_container(p, DEF_SCHEMA, rows)
+    rep = avro_decode_report(p)
+    assert rep["mode"] == "vectorized", rep
+    df = read_input(spark, p, "avro")
+    sch = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert sch["amt"] == "decimal(18,2)"
+    assert sch["famt"] == "decimal(38,6)"
+    assert sch["opt_amt"] == "decimal(10,3)"
+    assert sch["color"] == "string"
+    assert sch["sync"] == "binary"
+    got = {r["id"]: r for r in df.collect()}
+    assert len(got) == 50
+    for r in rows:
+        g = got[r["id"]]
+        assert g["amt"] == r["amt"] and g["famt"] == r["famt"]
+        assert g["color"] == r["color"] and bytes(g["sync"]) == r["sync"]
+        assert g["opt_amt"] == r["opt_amt"]

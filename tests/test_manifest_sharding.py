@@ -300,3 +300,29 @@ def test_manifest_gc_spares_inflight_commits():
     assert res["removed_manifests"] == ["manifest-deadbeef00000001.json"]
     assert not io.exists(inflight)
     assert len(t.files()) == 10  # live data untouched
+
+
+def test_commit_bytes_stay_o_delta(big_table):
+    """Bytes written per commit (r12 probe regression,
+    tools/probe_metadata.py at 250k entries): a late append may
+    exceed an early one ONLY by the manifest list's one-line-per-
+    shard growth (~640 B/shard measured) — any O(table) component
+    beyond the list (e.g. rewriting shards) blows the 2 KiB/shard
+    envelope immediately."""
+    io, t = big_table
+    day = len(t.manifest_list_entries(t.snapshot()))
+    io.reset_counts()
+    t.append_snapshot(entries_for_day(day, 1000))
+    early_like = io.bytes_written  # at ~100 shards
+    shards_before = day + 1
+    for d in range(day + 1, day + 21):
+        t.append_snapshot(entries_for_day(d, 1000))
+    io.reset_counts()
+    t.append_snapshot(entries_for_day(day + 21, 1000))
+    late = io.bytes_written
+    growth_per_shard = (late - early_like) / (day + 21 - day)
+    assert growth_per_shard < 2048, (
+        f"manifest-list growth {growth_per_shard:.0f} B/shard; "
+        f"early={early_like} late={late} shards={shards_before}"
+    )
+    assert io.counts["writes"] == 3  # shard + manifest list + hint
