@@ -157,14 +157,38 @@ def bloom_prefilter_df(
     *,
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
-    """bloom_prefilter against a build_bloom_df bitmap (one-row
-    DataFrame broadcast, no driver round trip)."""
-    out = df.crossJoin(F.broadcast(bm_df))
+    """bloom_prefilter against a build_bloom_df bitmap, attached via a
+    CONSTANT-KEY BroadcastHashJoin rather than a crossJoin or a scalar
+    subquery — the delivery mechanism is the whole game at volume:
+
+    - crossJoin + filter: the optimizer pushes the test INTO the
+      BroadcastNestedLoopJoin condition, and a conditioned BNLJ does
+      not participate in whole-stage codegen — the per-row bloom test
+      runs interpreted (measured +222 s over 4.1e9 probe rows at
+      g02's sf10 probe).
+    - scalar subquery: codegen-friendly, but the subquery RESULT is
+      embedded in every serialized task closure — a multi-MB bitmap
+      re-allocates per task and GC-thrashes (measured: GCLocker retry
+      storms at a 16 MB bitmap x 32 threads).
+    - equi-join on a literal key: compiles to a codegen'd
+      BroadcastHashJoin whose build side ships ONCE per executor via
+      torrent broadcast; the fused join+filter reads the array
+      through element_at without ever copying it into output rows.
+    """
+    # the join key must be constant-valued but NOT foldable: literal
+    # keys constant-fold away and the join degrades back to the
+    # interpreted BNLJ. pmod(xxhash64(key), 1) is always 0, references
+    # the probe side, and survives the optimizer.
+    out = df.withColumn(
+        "__bj", F.pmod(F.xxhash64(F.col(key)), F.lit(1))
+    ).join(
+        F.broadcast(bm_df.withColumn("__bj", F.lit(0).cast("long"))), "__bj"
+    )
     cond = F.col(key).isNotNull()
     for p in _positions(F.col(key), num_hashes, num_bits):
         word = F.element_at(F.col("__bloom_bm"), (p / 64).cast("int") + 1)
         cond = cond & (word.bitwiseAND(_bit(p)) != 0)
-    return out.filter(cond).drop("__bloom_bm")
+    return out.filter(cond).drop("__bj", "__bloom_bm")
 
 
 def bloom_filter_join(

@@ -307,34 +307,27 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # A wedge is a triangle iff its packed closure key is an oriented
-    # edge. The r11 shape shuffled ALL wedges (4.1e9 rows, ~60GB) to
-    # meet the edge set; now a broadcast Bloom filter of the packed
-    # edge keys (operators/bloomjoin.build_bloom_df — ~10 bits/key up
-    # to a 512Mbit ceiling, beyond which it degrades to pruning less,
-    # never wrongly) drops non-triangle wedges MAP-SIDE, before they
-    # ever shuffle. False positives only — the exact semi join below
-    # removes them — so n_triangles is unchanged. The bitmap lives in
-    # a ONE-ROW broadcast DataFrame, never on the driver; the single
-    # eager action (edge count, for bitmap/partition sizing) is the
-    # IVF-centroid pattern: metadata-scale, never row data.
-    from ice_spark.operators.bloomjoin import bloom_prefilter_df, build_bloom_df
-
-    closure = od.select((F.col("sid") * pack + F.col("did")).alias("k"))
-    m_edges = closure.count()
-    num_bits = 1 << 20
-    while num_bits < 10 * m_edges and num_bits < (1 << 29):
-        num_bits <<= 1
-    bm = build_bloom_df(closure, "k", num_bits=num_bits, num_hashes=3)
-    candidates = bloom_prefilter_df(wedges, "k", bm, num_bits, num_hashes=3)
-    # Exact verify of the surviving sliver: shuffle_hash, not merge —
+    # edge: SEMI join against the edge set, count the survivors. The
+    # r11 LEFT-join shape pushed all 4.1e9 wedge rows through the
+    # final count aggregate; the semi form discards non-matches inside
+    # the join. A map-side Bloom prefilter of the wedge stream
+    # (operators/bloomjoin.build_bloom_df/bloom_prefilter_df) was
+    # built, made codegen-clean, and REJECTED here on interleaved
+    # A/B evidence (PERF.md §Round 12): at sf10 the broadcastable
+    # bitmap ceiling leaves 4.5 bits/key (~12% FPR at k=3) so pruning
+    # collapses while the 3-hash build + per-wedge probe still get
+    # paid (+175-220 s); at sf1 interleaved pairs the direct shuffle
+    # wins every pair — local NVMe shuffle is cheaper than the hash
+    # work. On a network-bound cluster the tradeoff reverses; the
+    # tested operator is one .join() away. shuffle_hash, not merge:
     # the build side is the EDGE set (unique, hash-uniform keys — no
-    # hub-node partition, a hazard the degree joins above do have), so
-    # candidates probe without ever sorting; partition count scales
-    # with the edge set to keep each no-spill-path build map at ~75k
-    # edges (~10MB) without paying 1600 tasks at gate SF.
-    n_part = max(32, min(1600, m_edges // 75_000 + 1))
-    closed = candidates.join(
-        closure.repartition(n_part, "k").hint("shuffle_hash"), "k", "semi"
+    # hub-node partition, a hazard the degree joins above do have),
+    # so the wedge stream probes without ever sorting; the wide
+    # repartition keeps each no-spill-path build map at ~75k edges
+    # (~10MB).
+    closure = od.select((F.col("sid") * pack + F.col("did")).alias("k"))
+    closed = wedges.join(
+        closure.repartition(1600, "k").hint("shuffle_hash"), "k", "semi"
     )
     wt = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -72,3 +72,55 @@ def test_empty_dim_filters_everything(spark):
     fact = spark.range(10).select(F.col("id").alias("k"))
     dim = spark.range(0).select(F.col("id").alias("k"))
     assert bloom_filter_join(fact, dim, "k").count() == 0
+
+
+def test_bloom_df_variant_matches_driver_variant(spark):
+    """build_bloom_df/bloom_prefilter_df (the bitmap-as-DataFrame form
+    g02 uses) must admit exactly the same rows as the driver-side
+    build_bloom/bloom_prefilter on the same keys and parameters —
+    same hash family, same bitmap, different delivery."""
+    from ice_spark.operators.bloomjoin import (
+        bloom_prefilter,
+        bloom_prefilter_df,
+        build_bloom,
+        build_bloom_df,
+    )
+
+    dim = spark.range(0, 500, 3).select((F.col("id") * 7).alias("k"))
+    fact = spark.range(0, 4000).select(F.col("id").alias("k"))
+    nb, nh = 1 << 12, 3
+    bitmap = build_bloom(dim, "k", num_bits=nb, num_hashes=nh)
+    bm_df = build_bloom_df(dim, "k", num_bits=nb, num_hashes=nh)
+    # identical bitmaps
+    assert bm_df.collect()[0]["__bloom_bm"] == bitmap
+    a = sorted(
+        r.k for r in bloom_prefilter(fact, "k", bitmap, num_hashes=nh).collect()
+    )
+    b = sorted(
+        r.k
+        for r in bloom_prefilter_df(fact, "k", bm_df, nb, num_hashes=nh).collect()
+    )
+    assert a == b
+    true_keys = {r.k for r in dim.collect()}
+    assert true_keys <= set(a)  # no false negatives
+
+
+def test_bloom_prefilter_df_is_codegen_bhj(spark):
+    """The bitmap must arrive through a codegen'd BroadcastHashJoin —
+    NOT a conditioned BroadcastNestedLoopJoin (interpreted per-row
+    eval; +222s over 4.1e9 rows at g02's sf10 probe) and NOT a scalar
+    subquery (bitmap re-shipped in every task closure)."""
+    from ice_spark.operators.bloomjoin import bloom_prefilter_df, build_bloom_df
+
+    dim = spark.range(10).select(F.col("id").alias("k"))
+    fact = spark.range(100).select(F.col("id").alias("k"))
+    bm_df = build_bloom_df(dim, "k", num_bits=1 << 10, num_hashes=3)
+    plan = (
+        bloom_prefilter_df(fact, "k", bm_df, 1 << 10, num_hashes=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Subquery" not in plan

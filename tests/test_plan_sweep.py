@@ -79,10 +79,9 @@ AUDITED_BNLJ = {
     "e23_dau_wau_stickiness": 1,
     "e26_user_lifespan_survival": 2,
     "e27_three_step_funnel": 2,
-    # 3x 1-row aggregate crossJoins (n_nodes/n_edges/n_wedges/wt) +
-    # the 1-row Bloom-bitmap broadcast (operators/bloomjoin) — every
-    # broadcast side is exactly one row by construction
-    "g02_copurchase_triangles": 4,
+    # 3x 1-row aggregate crossJoins (n_nodes x n_edges x n_wedges x
+    # wt) — every broadcast side is exactly one row by construction
+    "g02_copurchase_triangles": 3,
     "j01_bloom_semijoin_revenue": 1,
     "j02_salted_hot_key_join": 1,
     "k04_kmv_audience_overlap": 2,
