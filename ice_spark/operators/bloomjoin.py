@@ -51,10 +51,12 @@ def _bit(pos: Column) -> Column:
     )
 
 
-def _positions(key: Column, num_hashes: int, num_bits: int) -> list[Column]:
+def _positions(
+    key: Column, num_hashes: int, num_bits: "int | Column"
+) -> list[Column]:
+    nb = num_bits if isinstance(num_bits, Column) else F.lit(num_bits)
     return [
-        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
-        for i in range(num_hashes)
+        F.pmod(F.xxhash64(key, F.lit(i)), nb) for i in range(num_hashes)
     ]
 
 
@@ -153,7 +155,6 @@ def bloom_prefilter_df(
     df: DataFrame,
     key: str,
     bm_df: DataFrame,
-    num_bits: int,
     *,
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
@@ -184,8 +185,13 @@ def bloom_prefilter_df(
     ).join(
         F.broadcast(bm_df.withColumn("__bj", F.lit(0).cast("long"))), "__bj"
     )
+    # num_bits is DERIVED from the bitmap (size*64) rather than taken
+    # as a caller argument: a mismatched modulus would change pmod's
+    # positions and silently drop true matches (false negatives) —
+    # the one failure mode a Bloom prefilter must never have.
+    nb = (F.size(F.col("__bloom_bm")) * 64).cast("long")
     cond = F.col(key).isNotNull()
-    for p in _positions(F.col(key), num_hashes, num_bits):
+    for p in _positions(F.col(key), num_hashes, nb):
         word = F.element_at(F.col("__bloom_bm"), (p / 64).cast("int") + 1)
         cond = cond & (word.bitwiseAND(_bit(p)) != 0)
     return out.filter(cond).drop("__bj", "__bloom_bm")

@@ -142,8 +142,23 @@ def exact_group_percentiles(
     # group-keyed join: the group relation grows with the corpus, so
     # no broadcast hint (AQE still broadcasts it while it's small).
     # Right join keeps all-null groups (absent from vc/cum) so they
-    # emit a null percentile instead of vanishing.
-    j = cum.join(n, group_col, "right")
+    # emit a null percentile instead of vanishing. eqNullSafe so a
+    # NULL group KEY (a real group to both groupBy and F.percentile)
+    # matches its own cum rows instead of falling out of the join.
+    cum_a, n_a = cum.alias("__pct_cum"), n.alias("__pct_n")
+    j = cum_a.join(
+        n_a,
+        F.col(f"__pct_cum.{group_col}").eqNullSafe(
+            F.col(f"__pct_n.{group_col}")
+        ),
+        "right",
+    ).select(
+        F.col(f"__pct_n.{group_col}").alias(group_col),
+        F.col(f"__pct_cum.{value_col}").alias(value_col),
+        "__c",
+        "__cum",
+        "__n",
+    )
     v = F.col(value_col).cast("double")
     aggs = []
     for alias, p in percentiles:

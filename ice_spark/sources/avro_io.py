@@ -180,7 +180,17 @@ def _decimal_bytes(datum, schema, size: int | None = None) -> bytes:
     if not isinstance(datum, decimal.Decimal):
         return bytes(datum)
     scale = int(schema.get("scale", 0)) if isinstance(schema, dict) else 0
-    unscaled = int(datum.scaleb(scale).to_integral_exact())
+    # prec=76 keeps >28-significant-digit values exact; trapping
+    # Inexact makes a datum with more fractional digits than the
+    # schema scale fail loudly instead of half-even rounding on write
+    ctx = decimal.Context(prec=76, traps=[decimal.Inexact])
+    try:
+        unscaled = int(datum.scaleb(scale, ctx).to_integral_exact(context=ctx))
+    except decimal.Inexact:
+        raise ValueError(
+            f"decimal {datum} does not fit schema scale {scale} "
+            "without rounding"
+        ) from None
     length = size or max(1, (unscaled.bit_length() + 8) // 8)
     return unscaled.to_bytes(length, "big", signed=True)
 
@@ -526,9 +536,12 @@ def decode_logical(v, s):
             # bytes (for both bytes- and fixed-backed decimals)
             import decimal
 
+            # scale under an explicit prec=76 context: the default
+            # thread context (prec=28) would silently round decimals
+            # with >28 significant digits (ADVICE r12)
             return decimal.Decimal(
                 int.from_bytes(v, "big", signed=True)
-            ).scaleb(-int(s.get("scale", 0)))
+            ).scaleb(-int(s.get("scale", 0)), decimal.Context(prec=76))
         typ = s["type"]
         if typ == "record":
             return {

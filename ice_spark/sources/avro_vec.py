@@ -405,12 +405,13 @@ class _Emitter:
                 and schema.get("logicalType") == "decimal"
             ):
                 # Avro decimal-on-bytes: two's-complement big-endian
-                # unscaled int; scaleb applies the schema scale so the
-                # Arrow decimal128 column sees exact Decimal values
+                # unscaled int; scaleb under _DCTX (prec=76, not the
+                # default-28 thread context) keeps all digits of a
+                # decimal(38,*) exact instead of half-even rounding
                 scale = int(schema.get("scale", 0))
                 lines.append(
                     f"{ind}{out} = _DEC(int.from_bytes(mv[p:p+{n}], "
-                    f"'big', signed=True)).scaleb(-{scale}); p += {n}"
+                    f"'big', signed=True)).scaleb(-{scale}, _DCTX); p += {n}"
                 )
             else:
                 lines.append(f"{ind}{out} = bytes(mv[p:p+{n}]); p += {n}")
@@ -420,7 +421,7 @@ class _Emitter:
                 scale = int(schema.get("scale", 0))
                 lines.append(
                     f"{ind}{out} = _DEC(int.from_bytes(mv[p:p+{size}], "
-                    f"'big', signed=True)).scaleb(-{scale}); p += {size}"
+                    f"'big', signed=True)).scaleb(-{scale}, _DCTX); p += {size}"
                 )
             else:
                 lines.append(f"{ind}{out} = bytes(mv[p:p+{size}]); p += {size}")
@@ -502,7 +503,13 @@ def compile_decoder(schema: dict):
     import decimal
     import struct
 
-    ns = {"_upf": struct.unpack_from, "_DEC": decimal.Decimal}
+    ns = {
+        "_upf": struct.unpack_from,
+        "_DEC": decimal.Decimal,
+        # scaleb context: default thread context is prec=28 and would
+        # silently round >28-significant-digit decimals (ADVICE r12)
+        "_DCTX": decimal.Context(prec=76),
+    }
     ns.update(em.consts)
     exec(compile(src, "<avro_vec.compile_decoder>", "exec"), ns)  # noqa: S102
     return ns["_decode"]

@@ -563,9 +563,12 @@ def def_rows(draw):
         amt = decimal.Decimal(
             draw(st.integers(min_value=-(10**16), max_value=10**16))
         ).scaleb(-2)
+        # exact scaling context: a bare .scaleb would round >28-digit
+        # unscaled ints under the default prec=28 thread context,
+        # pre-rounding the fixture the same way the r12 decode bug did
         famt = decimal.Decimal(
-            draw(st.integers(min_value=-(10**30), max_value=10**30))
-        ).scaleb(-6)
+            draw(st.integers(min_value=-(10**37), max_value=10**37))
+        ).scaleb(-6, decimal.Context(prec=76))
         opt = draw(
             st.one_of(
                 st.none(),
@@ -658,3 +661,84 @@ def test_decimal_avro_ingest_end_to_end(spark, tmp_path):
         assert g["amt"] == r["amt"] and g["famt"] == r["famt"]
         assert g["color"] == r["color"] and bytes(g["sync"]) == r["sync"]
         assert g["opt_amt"] == r["opt_amt"]
+
+
+def test_decimal_over_28_digits_exact_round_trip(tmp_path):
+    """Decimals with >28 significant digits must round-trip EXACTLY
+    through write_container -> compiled decoder AND the per-datum
+    path. The default decimal thread context (prec=28) silently
+    half-even-rounds such values during scaleb; r12 ADVICE reproduced
+    12345678901.123456789012345678 coming back ...68 instead of ...678
+    (decode at avro_vec + avro_io, encode at _decimal_bytes)."""
+    import decimal
+
+    from ice_spark.sources.avro_io import (
+        decode_logical,
+        read_container,
+        write_container,
+    )
+    from ice_spark.sources.avro_vec import decode_container_bytes_arrow
+
+    schema = {
+        "type": "record",
+        "name": "bigdec",
+        "fields": [
+            {
+                "name": "v",
+                "type": {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 38,
+                    "scale": 18,
+                },
+            },
+            {
+                "name": "vf",
+                "type": {
+                    "type": "fixed",
+                    "name": "vf16",
+                    "size": 16,
+                    "logicalType": "decimal",
+                    "precision": 38,
+                    "scale": 18,
+                },
+            },
+        ],
+    }
+    # string construction is context-free (exact); 29 significant digits
+    vals = [
+        decimal.Decimal("12345678901.123456789012345678"),
+        decimal.Decimal("-12345678901.123456789012345678"),
+        decimal.Decimal("99999999999999999999.999999999999999999"),
+        decimal.Decimal("0.000000000000000001"),
+    ]
+    rows = [{"v": v, "vf": v} for v in vals]
+    p = str(tmp_path / "big.avro")
+    write_container(p, schema, rows)
+    with open(p, "rb") as f:
+        fast = decode_container_bytes_arrow(f.read(), schema).to_pylist()
+    _, _, raw = read_container(p)
+    slow = [decode_logical(r, schema) for r in raw]
+    for got_f, got_s, v in zip(fast, slow, vals):
+        assert got_f["v"] == v, (got_f["v"], v)
+        assert got_f["vf"] == v
+        assert got_s["v"] == v
+        assert got_s["vf"] == v
+
+
+def test_decimal_write_rejects_excess_fractional_digits(tmp_path):
+    """_decimal_bytes must FAIL LOUDLY (ValueError) when a datum has
+    more fractional digits than the schema scale, not silently
+    half-even-round it on write (ANSI fail-loudly posture)."""
+    import decimal
+
+    import pytest
+
+    from ice_spark.sources.avro_io import _decimal_bytes
+
+    sch = {"logicalType": "decimal", "precision": 18, "scale": 2}
+    # exact fit: fine
+    assert _decimal_bytes(decimal.Decimal("12.34"), sch)
+    assert _decimal_bytes(decimal.Decimal("12.3"), sch)
+    with pytest.raises(ValueError, match="scale"):
+        _decimal_bytes(decimal.Decimal("12.345"), sch)

@@ -98,7 +98,7 @@ def test_bloom_df_variant_matches_driver_variant(spark):
     )
     b = sorted(
         r.k
-        for r in bloom_prefilter_df(fact, "k", bm_df, nb, num_hashes=nh).collect()
+        for r in bloom_prefilter_df(fact, "k", bm_df, num_hashes=nh).collect()
     )
     assert a == b
     true_keys = {r.k for r in dim.collect()}
@@ -116,7 +116,7 @@ def test_bloom_prefilter_df_is_codegen_bhj(spark):
     fact = spark.range(100).select(F.col("id").alias("k"))
     bm_df = build_bloom_df(dim, "k", num_bits=1 << 10, num_hashes=3)
     plan = (
-        bloom_prefilter_df(fact, "k", bm_df, 1 << 10, num_hashes=3)
+        bloom_prefilter_df(fact, "k", bm_df, num_hashes=3)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

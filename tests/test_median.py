@@ -86,3 +86,37 @@ def test_group_percentiles_null_parity(spark):
     assert got["allnull"] == (None, None, None)
     for g in ["a", "b", "c"]:
         assert got[g] == want[g], g  # bit-for-bit, not approx
+
+
+def test_group_percentiles_null_group_key(spark):
+    """A NULL group KEY is a real group to both groupBy and
+    F.percentile; the cum/n join must use eqNullSafe so the null
+    group's value rows reach the final aggregation (r12 ADVICE: plain
+    equi-join dropped them — null percentiles for a group with real
+    values)."""
+    from pyspark.sql import functions as F
+
+    from ice_spark.operators.median import exact_group_percentiles
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 3.0),
+        (None, 10.0), (None, 20.0), (None, 30.0), (None, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = [("p50", 0.5), ("p90", 0.9)]
+    got = {
+        r["g"]: (r["p50"], r["p90"])
+        for r in exact_group_percentiles(df, "g", "v", ps).collect()
+    }
+    want = {
+        r["g"]: (r["p50"], r["p90"])
+        for r in df.groupBy("g")
+        .agg(
+            F.percentile("v", 0.5).alias("p50"),
+            F.percentile("v", 0.9).alias("p90"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want) == {"a", None}
+    for g in got:
+        assert got[g] == pytest.approx(want[g]), (g, got[g], want[g])
