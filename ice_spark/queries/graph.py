@@ -247,52 +247,20 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = ann.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(u_first, F.col("dv.d")).otherwise(F.col("du.d")).alias("dst_d"),
     )
-    # The wedge stream is O(sum of out-deg^2) — 4.1e9 rows at the sf10
-    # probe — and it dominates everything downstream: a sort-merge
-    # closure join must SORT it (66GB+ of sort spill exhausted the
-    # probe host's disk once the honest evaluator actually ran this),
-    # and even sort-free, shuffling two 8-byte endpoints per wedge
-    # wrote ~60GB. So shrink the rows before they exist: remap nodes
-    # to DENSE ids (operators/ranking.with_global_rank — the scalable
-    # offsets pass, no single-partition window over nodes) and pack
-    # each wedge's closure key (v, w) into ONE long. Dense rank is
-    # order-isomorphic to the node id, so the orientation and wedge
-    # tie-break comparisons are unchanged. Valid for graphs under
-    # 2^31 nodes (nid * 2^32 must stay in int64 — ANSI would fail
-    # loudly past that, not corrupt).
-    from ice_spark.operators.ranking import with_global_rank
-
-    ids = with_global_rank(deg.select("node"), [F.col("node")], "nid").select(
-        "node", "nid"
-    )
-    su = ids.select(F.col("node").alias("src"), F.col("nid").alias("sid"))
-    sv = ids.select(F.col("node").alias("dst"), F.col("nid").alias("did"))
-    # merge-pinned: the id map grows with the graph. DISK_ONLY like e
-    # (three consumers; the heap copy OOM'd the long-session sweep).
-    od = (
-        oriented.join(su.hint("merge"), "src")
-        .join(sv.hint("merge"), "dst")
-        .select("sid", "did", "dst_d")
-        .persist(StorageLevel.DISK_ONLY)
-    )
-    pack = F.lit(1 << 32).cast("long")
-    o1, o2 = od.alias("o1"), od.alias("o2")
-    wedges = o1.join(
-        o2,
-        (F.col("o1.sid") == F.col("o2.sid"))
-        & (
-            (F.col("o1.dst_d") < F.col("o2.dst_d"))
-            | ((F.col("o1.dst_d") == F.col("o2.dst_d")) & (F.col("o1.did") < F.col("o2.did")))
-        ),
-    ).select((F.col("o1.did") * pack + F.col("o2.did")).alias("k"))
-    # n_wedges WITHOUT counting the joined wedge stream: the oriented
-    # enumeration emits each wedge exactly once from its src with a
-    # strict (dst_d, did) tie-break, so the stream's cardinality is
-    # sum over src of C(outdeg, 2) — one keyed agg over od instead of
-    # evaluating 4.1e9 join rows at the sf10 probe. c*(c-1) rides
-    # decimal(38,0) (count-squared — lint_overflow's class; the
+    # No dense-id remap: it existed to pack the wedge form's closure
+    # key (v, w) into one long for a 4.1e9-row semi join; the
+    # intersection form below never builds that stream, so raw node
+    # ids ride the arrays directly and the with_global_rank pass plus
+    # two merge joins it cost are gone. DISK_ONLY like e (multiple
+    # consumers; the heap copy OOM'd the r11 long-session sweep).
+    od = oriented.select(
+        F.col("src").alias("sid"), F.col("dst").alias("did")
+    ).persist(StorageLevel.DISK_ONLY)
+    # n_wedges WITHOUT materializing wedges: the oriented enumeration
+    # defines each wedge exactly once at its src, so the count is
+    # sum over src of C(outdeg, 2) — one keyed agg over od. c*(c-1)
+    # rides decimal(38,0) (count-squared — lint_overflow's class; the
     # arboricity bound keeps c ~ sqrt(m), but the SUM crosses int64
     # long before the halved total does).
     nw = (
@@ -306,30 +274,49 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_wedges")
         )
     )
-    # A wedge is a triangle iff its packed closure key is an oriented
-    # edge: SEMI join against the edge set, count the survivors. The
-    # r11 LEFT-join shape pushed all 4.1e9 wedge rows through the
-    # final count aggregate; the semi form discards non-matches inside
-    # the join. A map-side Bloom prefilter of the wedge stream
-    # (operators/bloomjoin.build_bloom_df/bloom_prefilter_df) was
-    # built, made codegen-clean, and REJECTED here on interleaved
-    # A/B evidence (PERF.md §Round 12): at sf10 the broadcastable
-    # bitmap ceiling leaves 4.5 bits/key (~12% FPR at k=3) so pruning
-    # collapses while the 3-hash build + per-wedge probe still get
-    # paid (+175-220 s); at sf1 interleaved pairs the direct shuffle
-    # wins every pair — local NVMe shuffle is cheaper than the hash
-    # work. On a network-bound cluster the tradeoff reverses; the
-    # tested operator is one .join() away. shuffle_hash, not merge:
-    # the build side is the EDGE set (unique, hash-uniform keys — no
-    # hub-node partition, a hazard the degree joins above do have),
-    # so the wedge stream probes without ever sorting; the wide
-    # repartition keeps each no-spill-path build map at ~75k edges
-    # (~10MB).
-    closure = od.select((F.col("sid") * pack + F.col("did")).alias("k"))
-    closed = wedges.join(
-        closure.repartition(1600, "k").hint("shuffle_hash"), "k", "semi"
+    # Triangles by ADJACENCY-ARRAY INTERSECTION — the wedge stream
+    # never exists. The r12 shape self-joined od on sid to emit every
+    # wedge (4.1e9 rows at sf10) and SEMI-joined the closure edge set;
+    # its map-side sort spilled 125 GB and was 439 of g02's 552 s
+    # (PERF.md §Round 12). Instead: each oriented edge (u,v) closes
+    # |N+(u) ∩ N+(v)| triangles, and every triangle {a<b<c in
+    # orientation order} is counted exactly once — at its (a,b) edge,
+    # since a→c and b→c are both oriented low-to-high. So: build each
+    # node's out-neighbor ARRAY once (bounded: degree-ordered
+    # orientation caps outdeg at sqrt(2m) — every out-neighbor has
+    # degree >= deg(u), so outdeg(u)*deg(u) <= 2m; measured max 222
+    # at sf10), attach both endpoints' arrays to each of the m edges
+    # (two keyed joins), and sum array_intersect sizes. The heavy
+    # relation is now m rows carrying ~outdeg-sized payloads — the
+    # per-ROW sort/shuffle cost that dominated the wedge form scales
+    # with m (2e8), not sum-outdeg^2 (8e9). A Bloom prefilter of the
+    # old wedge stream was built and REJECTED on interleaved A/B
+    # (operators/bloomjoin, PERF.md §Round 12) before this reshape
+    # removed the stream it would have pruned.
+    # collect_list audit (AUDITED_BUFFERING_AGGS): input is od keyed
+    # by sid; group size = oriented out-degree <= sqrt(2m) by the
+    # arboricity argument above — per-node envelope, never
+    # corpus-scaled. shuffle_hash on the adj build sides: adj is n
+    # rows (sum m array elements), hash-uniform node keys; AQE skew
+    # split still applies to SHJ if an in-degree hub shows up on the
+    # e_did probe.
+    # two consumers (both endpoint joins) and no exchange reuse across
+    # them — persist like e/od so the agg over od runs once. DISK_ONLY:
+    # total payload is one array cell per edge (~1.6 GB at sf10).
+    adj = (
+        od.groupBy("sid")
+        .agg(F.collect_list("did").alias("nbrs"))
+        .persist(StorageLevel.DISK_ONLY)
     )
-    wt = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    a1 = adj.select(F.col("sid").alias("e_sid"), F.col("nbrs").alias("n1"))
+    a2 = adj.select(F.col("sid").alias("e_did"), F.col("nbrs").alias("n2"))
+    wt = (
+        od.select(F.col("sid").alias("e_sid"), F.col("did").alias("e_did"))
+        .join(a1.hint("shuffle_hash"), "e_sid")
+        .join(a2.hint("shuffle_hash"), "e_did")
+        .select(F.size(F.array_intersect("n1", "n2")).alias("t"))
+        .agg(F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_triangles"))
+    )
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return (

@@ -422,10 +422,29 @@ def avro_schema_to_spark(schema):
     def conv(s):
         if isinstance(s, list):  # union
             branches = [b for b in s if b != "null"]
-            if len(branches) != 1:
+            nullable = len(branches) != len(s)
+            if len(branches) == 1:
+                t, _ = conv(branches[0])
+                return t, nullable
+            # >=2 non-null branches: readable when all are plain
+            # numeric primitives (Avro promotion chain) — one column
+            # type, {int,long} -> long, any float/double -> double.
+            # Mirrors avro_vec._union_promote; anything else fails
+            # loudly below.
+            from ice_spark.sources.avro_vec import Unsupported, _union_promote
+
+            try:
+                import pyarrow as pa
+
+                promoted = _union_promote(s)
+            except Unsupported:
                 raise ValueError(f"unsupported avro union: {s}")
-            t, _ = conv(branches[0])
-            return t, True
+            t = (
+                T.LongType()
+                if promoted == pa.int64()
+                else T.DoubleType()
+            )
+            return t, nullable
         if isinstance(s, dict):
             typ = s["type"]
             lt = s.get("logicalType")

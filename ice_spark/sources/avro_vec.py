@@ -119,12 +119,18 @@ def _fixed_lb(
     return _lb(m[mask].tobytes(), _offsets_from_lengths(total))
 
 
-def _validity(arr: pa.Array) -> tuple[np.ndarray | None, np.ndarray | None]:
-    """(live bool array, marker uint8 array) or (None, None) if dense."""
+def _validity(
+    arr: pa.Array, vm: np.uint8 = np.uint8(2), nm: np.uint8 = np.uint8(0)
+) -> tuple[np.ndarray | None, np.ndarray | None]:
+    """(live bool array, marker uint8 array) or (None, None) if dense.
+
+    vm/nm are the value/null branch marker bytes (zigzag of the branch
+    INDEX): null-first unions use (2, 0), null-last ["T","null"] —
+    legal Avro that foreign writers emit — use (0, 2)."""
     if arr.null_count == 0:
         return None, None
     live = arr.is_valid().to_numpy(zero_copy_only=False)
-    return live, np.where(live, np.uint8(2), np.uint8(0))
+    return live, np.where(live, vm, nm)
 
 
 def _ints_np(arr: pa.Array) -> np.ndarray:
@@ -143,13 +149,18 @@ def _ints_np(arr: pa.Array) -> np.ndarray:
     return pc.fill_null(arr.cast(pa.int64()), 0).to_numpy(zero_copy_only=False)
 
 
-def _union_wrap(arr: pa.Array, payload: pa.Array) -> pa.Array:
-    """Generic ["null", T] wrapper for payloads built without a folded
+def _union_wrap(
+    arr: pa.Array,
+    payload: pa.Array,
+    vm: np.uint8 = np.uint8(2),
+    nm: np.uint8 = np.uint8(0),
+) -> pa.Array:
+    """Generic null-union wrapper for payloads built without a folded
     marker (records, arrays, maps): branch byte + payload-or-empty."""
-    live, marker = _validity(arr)
+    live, marker = _validity(arr, vm, nm)
     if live is None:
         n = len(arr)
-        marker = np.full(n, np.uint8(2))
+        marker = np.full(n, vm)
         return pc.binary_join_element_wise(
             _lb(marker.tobytes(), np.arange(n + 1, dtype=np.int64)), payload, _SEP
         )
@@ -164,35 +175,66 @@ def _is_null_schema(s) -> bool:
     return s == "null" or (isinstance(s, dict) and s.get("type") == "null")
 
 
+def _union_promote(schema: list) -> "pa.DataType":
+    """Arrow column type for a union with >=2 non-null branches.
+
+    Readable only when every non-null branch is a plain numeric
+    primitive (no logicalType), following the Avro-spec promotion
+    chain int->long->float->double: {int,long} -> int64, any float/
+    double in the mix -> float64. Anything else (string+long, named
+    types, logical types) has no single faithful column type — raise
+    Unsupported so the caller falls back / fails loudly."""
+    prims = set()
+    for b in schema:
+        if _is_null_schema(b):
+            continue
+        t = b if isinstance(b, str) else None
+        if isinstance(b, dict) and not b.get("logicalType"):
+            t = b.get("type")
+        if t not in ("int", "long", "float", "double"):
+            raise Unsupported(f"union {schema!r}")
+        prims.add(t)
+    if not prims:
+        raise Unsupported(f"union {schema!r}")
+    if prims <= {"int", "long"}:
+        return pa.int64()
+    return pa.float64()
+
+
 def _encode(arr: pa.Array, schema) -> pa.Array:
     """Per-row Avro encoding of `arr` under `schema` as large_binary.
 
     Null-union schemas fold the branch byte in; everything the
     subset does not cover raises Unsupported (caller falls back)."""
-    if isinstance(schema, list):  # union — only ["null", T] supported
+    if isinstance(schema, list):  # union — 2-branch with null supported
         branches = [b for b in schema if not _is_null_schema(b)]
         if len(schema) != 2 or len(branches) != 1:
             raise Unsupported(f"union {schema!r}")
-        if not _is_null_schema(schema[0]):
-            # The marker bytes below hard-code null-first branch indexes
-            # (0 = null, 2 = value); a ["T","null"] schema would emit the
-            # wrong branch byte. Our own writer always emits null-first;
-            # fall back to the per-datum path for foreign order.
-            raise Unsupported(f"union with non-first null {schema!r}")
-        return _encode_nullable(arr, branches[0])
+        # Branch bytes are zigzag of the branch INDEX, so null-last
+        # ["T","null"] (legal Avro, emitted by foreign writers) swaps
+        # the markers: value byte zigzag(0)=0, null byte zigzag(1)=2.
+        null_idx = 0 if _is_null_schema(schema[0]) else 1
+        vm = np.uint8(2 * (1 - null_idx))
+        nm = np.uint8(2 * null_idx)
+        return _encode_nullable(arr, branches[0], vm, nm)
     if arr.null_count != 0:
         raise Unsupported("nulls in a non-nullable avro field")
     return _encode_dense(arr, schema, None, None)
 
 
-def _encode_nullable(arr: pa.Array, schema) -> pa.Array:
-    live, marker = _validity(arr)
+def _encode_nullable(
+    arr: pa.Array,
+    schema,
+    vm: np.uint8 = np.uint8(2),
+    nm: np.uint8 = np.uint8(0),
+) -> pa.Array:
+    live, marker = _validity(arr, vm, nm)
     if live is None:
         n = len(arr)
-        live, marker = None, np.full(n, np.uint8(2))
+        live, marker = None, np.full(n, vm)
     t = schema["type"] if isinstance(schema, dict) else schema
     if t in ("record", "array", "map"):
-        return _union_wrap(arr, _encode_dense(arr, schema, None, None))
+        return _union_wrap(arr, _encode_dense(arr, schema, None, None), vm, nm)
     return _encode_dense(arr, schema, marker, live)
 
 
@@ -364,18 +406,43 @@ class _Emitter:
         into the variable `out` (p advances)."""
         if isinstance(schema, list):
             branches = [b for b in schema if not _is_null_schema(b)]
-            if len(schema) != 2 or len(branches) != 1:
-                raise Unsupported(f"union {schema!r}")
-            # Branch indexes are zigzag varints; for a 2-branch union the
-            # byte is 0 (index 0) or 2 (index 1). The null branch may sit
-            # at either index — ["long","null"] is legal Avro — so derive
-            # the null byte from the schema instead of assuming null-first.
-            null_idx = 0 if _is_null_schema(schema[0]) else 1
-            lines.append(f"{ind}if mv[p] == {null_idx * 2}:")
-            lines.append(f"{ind}    p += 1; {out} = None")
+            if len(schema) == 2 and len(branches) == 1:
+                # Branch indexes are zigzag varints; for a 2-branch union
+                # the byte is 0 (index 0) or 2 (index 1). The null branch
+                # may sit at either index — ["long","null"] is legal Avro
+                # — so derive the null byte from the schema instead of
+                # assuming null-first.
+                null_idx = 0 if _is_null_schema(schema[0]) else 1
+                lines.append(f"{ind}if mv[p] == {null_idx * 2}:")
+                lines.append(f"{ind}    p += 1; {out} = None")
+                lines.append(f"{ind}else:")
+                lines.append(f"{ind}    p += 1")
+                self.emit(branches[0], out, lines, ind + "    ")
+                return
+            # >=2 non-null branches: foreign writers emit e.g.
+            # ["null","int","long"] or ["null","float","double"].
+            # Readable when every non-null branch is a plain numeric
+            # primitive (the Avro-spec promotion chain int->long->
+            # float->double gives one Arrow column type:
+            # avro_schema_to_arrow maps {int,long}->int64, else
+            # float64). Dispatch on the decoded branch INDEX — per-row
+            # branch bytes are data, not schema, so each row picks its
+            # own decode.
+            _union_promote(schema)  # raises Unsupported if unmappable
+            idx = self.tmp()
+            _dec_varint("p", idx, lines, ind)
+            kw = "if"
+            for i, b in enumerate(schema):
+                lines.append(f"{ind}{kw} {idx} == {i}:")
+                kw = "elif"
+                if _is_null_schema(b):
+                    lines.append(f"{ind}    {out} = None")
+                else:
+                    self.emit(b, out, lines, ind + "    ")
             lines.append(f"{ind}else:")
-            lines.append(f"{ind}    p += 1")
-            self.emit(branches[0], out, lines, ind + "    ")
+            lines.append(
+                f"{ind}    raise ValueError('bad union branch ' + repr({idx}))"
+            )
             return
         t = schema["type"] if isinstance(schema, dict) else schema
         if t in ("int", "long"):
@@ -527,9 +594,9 @@ def avro_schema_to_arrow(schema) -> "pa.DataType":
     def conv(s):
         if isinstance(s, list):
             branches = [b for b in s if not _is_null_schema(b)]
-            if len(s) != 2 or len(branches) != 1:
-                raise Unsupported(f"union {s!r}")
-            return conv(branches[0])
+            if len(branches) == 1:
+                return conv(branches[0])
+            return _union_promote(s)
         if isinstance(s, dict):
             t = s["type"]
             lt = s.get("logicalType")

@@ -206,21 +206,61 @@ def test_compiled_decoder_null_last_union(tmp_path):
     assert batch.to_pylist() == rows
 
 
-def test_encode_null_last_union_refused():
-    """The vectorized encoder's marker bytes hard-code null-first
-    branch order; a null-last schema must be Unsupported (caller
-    falls back to write_datum, which is branch-correct) rather than
-    emit wrong branch bytes."""
-    batch = pa.RecordBatch.from_pydict(
-        {"a": pa.array([5, None], type=pa.int64())}
-    )
+def test_encode_null_last_union_matches_per_datum():
+    """Null-last ["T","null"] unions (legal Avro; foreign fleet
+    schemas emit them) must encode on the vectorized path with the
+    SWAPPED branch bytes — value zigzag(0)=0, null zigzag(1)=2 —
+    byte-identical to the branch-correct per-datum writer. Covers the
+    folded-marker primitives AND the _union_wrap composites
+    (record/array/map)."""
     schema = {
         "type": "record",
         "name": "row",
-        "fields": [{"name": "a", "type": ["long", "null"]}],
+        "fields": [
+            {"name": "a", "type": ["long", "null"]},
+            {"name": "s", "type": ["string", "null"]},
+            {
+                "name": "arr",
+                "type": [{"type": "array", "items": "long"}, "null"],
+            },
+            {
+                "name": "rec",
+                "type": [
+                    {
+                        "type": "record",
+                        "name": "inner2",
+                        "fields": [{"name": "x", "type": "int"}],
+                    },
+                    "null",
+                ],
+            },
+        ],
     }
-    with pytest.raises(Unsupported):
-        encode_batch(batch, schema)
+    arrow = pa.schema(
+        [
+            ("a", pa.int64()),
+            ("s", pa.string()),
+            ("arr", pa.list_(pa.int64())),
+            ("rec", pa.struct([("x", pa.int32())])),
+        ]
+    )
+    rows = [
+        {"a": 5, "s": "x", "arr": [1, 2], "rec": {"x": 7}},
+        {"a": None, "s": None, "arr": None, "rec": None},
+        {"a": 0, "s": "", "arr": [], "rec": {"x": 0}},
+    ]
+    batch = pa.RecordBatch.from_pylist(rows, schema=arrow)
+    n, payload = encode_batch(batch, schema)
+    assert n == 3
+    fields = [(f["name"], f["type"]) for f in schema["fields"]]
+    out = io.BytesIO()
+    for r in batch.to_pylist():
+        write_datum(
+            out, schema, {k: _avro_normalize(r.get(k), s) for k, s in fields}
+        )
+    assert payload == out.getvalue()
+    # first byte of row 0 is field a's branch byte: value at index 0
+    assert payload[0] == 0
 
 
 def test_export_paths_byte_identical(spark, tmp_path):
@@ -742,3 +782,195 @@ def test_decimal_write_rejects_excess_fractional_digits(tmp_path):
     assert _decimal_bytes(decimal.Decimal("12.3"), sch)
     with pytest.raises(ValueError, match="scale"):
         _decimal_bytes(decimal.Decimal("12.345"), sch)
+
+
+def test_compiled_decoder_multibranch_numeric_union(tmp_path):
+    """A >=2-non-null-branch numeric union (["null","int","long"],
+    ["int","long","float","double"]) — legal Avro that foreign
+    writers emit for promoted numerics — must decode on the compiled
+    fast path by BRANCH-INDEX dispatch, matching the per-datum
+    read_datum ground truth, with the promoted Arrow column type
+    ({int,long} -> int64, any float/double -> float64). The container
+    is hand-assembled because our own writer always picks the first
+    fitting branch."""
+    import json
+    import struct as _struct
+
+    from ice_spark.sources.avro_io import (
+        MAGIC,
+        read_container,
+        write_long,
+    )
+    from ice_spark.sources.avro_vec import (
+        avro_schema_to_arrow,
+        decode_container_bytes_arrow,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "mb",
+        "fields": [
+            {"name": "a", "type": ["null", "int", "long"]},
+            {"name": "b", "type": ["int", "long", "float", "double"]},
+        ],
+    }
+    assert avro_schema_to_arrow(["null", "int", "long"]) == pa.int64()
+    assert avro_schema_to_arrow(["int", "long", "float", "double"]) == pa.float64()
+
+    # (branch_idx, value) per field per row — exercises EVERY branch
+    rows = [
+        ((0, None), (0, 7)),          # a: null branch; b: int branch
+        ((1, 42), (1, 1 << 40)),      # a: int;  b: long
+        ((2, 1 << 50), (2, 2.5)),     # a: long; b: float
+        ((1, -3), (3, -0.125)),       # a: int;  b: double
+    ]
+
+    def enc_value(out, t, v):
+        if t in ("int", "long"):
+            write_long(out, v)
+        elif t == "float":
+            out.write(_struct.pack("<f", v))
+        elif t == "double":
+            out.write(_struct.pack("<d", v))
+
+    payload = io.BytesIO()
+    for (ia, va), (ib, vb) in rows:
+        write_long(payload, ia)
+        if va is not None:
+            enc_value(payload, ["null", "int", "long"][ia], va)
+        write_long(payload, ib)
+        enc_value(payload, ["int", "long", "float", "double"][ib], vb)
+    body = payload.getvalue()
+
+    sync = b"\x01" * 16
+    out = io.BytesIO()
+    out.write(MAGIC)
+    write_long(out, 2)  # metadata map: 2 entries
+    for k, v in [
+        ("avro.schema", json.dumps(schema).encode()),
+        ("avro.codec", b"null"),
+    ]:
+        kb = k.encode()
+        write_long(out, len(kb)); out.write(kb)
+        write_long(out, len(v)); out.write(v)
+    write_long(out, 0)  # end of map
+    out.write(sync)
+    write_long(out, len(rows)); write_long(out, len(body))
+    out.write(body); out.write(sync)
+    data = out.getvalue()
+
+    p = tmp_path / "mb.avro"
+    p.write_bytes(data)
+    _, _, ref = read_container(str(p))  # per-datum ground truth
+    batch = decode_container_bytes_arrow(data, schema)
+    assert batch.schema.field("a").type == pa.int64()
+    assert batch.schema.field("b").type == pa.float64()
+    got = batch.to_pylist()
+    assert [r["a"] for r in got] == [r["a"] for r in ref] == [None, 42, 1 << 50, -3]
+    want_b = [7.0, float(1 << 40), 2.5, -0.125]
+    assert [r["b"] for r in got] == want_b
+    assert [float(r["b"]) for r in ref] == want_b
+
+
+def test_string_plus_long_union_still_unsupported():
+    """Non-numeric multi-branch unions have no single faithful column
+    type — must stay Unsupported (per-shard fallback), not guess."""
+    from ice_spark.sources.avro_vec import avro_schema_to_arrow, compile_decoder
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": ["null", "string", "long"]}],
+    }
+    with pytest.raises(Unsupported):
+        compile_decoder(schema)
+    with pytest.raises(Unsupported):
+        avro_schema_to_arrow(["null", "string", "long"])
+
+
+def test_foreign_order_corpus_decodes_vectorized(spark, tmp_path):
+    """End-to-end ingest pin for the r12 verdict-#4 gap: a container
+    whose schema uses null-LAST unions and a multi-branch numeric
+    union — the legal-Avro shapes foreign writers emit — must decode
+    through _read_avro's FAST path (avro_decode_report mode
+    'vectorized', zero fallback shards) and land the right Spark
+    types and values."""
+    from ice_spark.ingest.insert import avro_decode_report, read_input
+    from ice_spark.sources.avro_io import write_container
+
+    schema = {
+        "type": "record",
+        "name": "foreign",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "a", "type": ["long", "null"]},
+            {"name": "s", "type": ["string", "null"]},
+            {"name": "n", "type": ["null", "int", "long"]},
+        ],
+    }
+    rows = [
+        {"id": 1, "a": 5, "s": "x", "n": 7},
+        {"id": 2, "a": None, "s": None, "n": None},
+        {"id": 3, "a": 0, "s": "", "n": -2},
+    ]
+    p = str(tmp_path / "foreign.avro")
+    write_container(p, schema, rows)
+    rep = avro_decode_report(p)
+    assert rep["mode"] == "vectorized", rep
+    assert rep.get("fallback_shards") in (0, [], None), rep
+    df = read_input(spark, p, "avro")
+    sch = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert sch == {"id": "bigint", "a": "bigint", "s": "string", "n": "bigint"}
+    got = {r["id"]: r for r in df.collect()}
+    assert (got[1]["a"], got[1]["s"], got[1]["n"]) == (5, "x", 7)
+    assert (got[2]["a"], got[2]["s"], got[2]["n"]) == (None, None, None)
+    assert (got[3]["a"], got[3]["s"], got[3]["n"]) == (0, "", -2)
+
+
+NL_PROP_SCHEMA = {
+    "type": "record",
+    "name": "nlrow",
+    "fields": [
+        {"name": "a", "type": ["long", "null"]},
+        {"name": "s", "type": ["string", "null"]},
+        {"name": "f", "type": ["float", "null"]},
+        {"name": "arr", "type": [{"type": "array", "items": "long"}, "null"]},
+    ],
+}
+NL_ARROW = pa.schema(
+    [
+        ("a", pa.int64()),
+        ("s", pa.string()),
+        ("f", pa.float32()),
+        ("arr", pa.list_(pa.int64())),
+    ]
+)
+nl_row_st = st.fixed_dictionaries(
+    {
+        "a": st.none() | longs,
+        "s": st.none() | text,
+        "f": st.none() | floats,
+        "arr": st.none() | st.lists(longs, max_size=4),
+    }
+)
+
+
+@given(st.lists(nl_row_st, max_size=15))
+@settings(max_examples=40, deadline=None)
+def test_encode_null_last_property(rows):
+    """Property form of the null-last encode fix: arbitrary rows under
+    a ["T","null"] schema must encode byte-identical to the
+    branch-correct per-datum writer (folded markers AND _union_wrap
+    composites, nulls in every position)."""
+    batch = pa.RecordBatch.from_pylist(rows, schema=NL_ARROW)
+    n, payload = encode_batch(batch, NL_PROP_SCHEMA)
+    assert n == len(rows)
+    fields = [(f["name"], f["type"]) for f in NL_PROP_SCHEMA["fields"]]
+    out = io.BytesIO()
+    for r in batch.to_pylist():
+        write_datum(
+            out,
+            NL_PROP_SCHEMA,
+            {k: _avro_normalize(r.get(k), s) for k, s in fields},
+        )
+    assert payload == out.getvalue()

@@ -132,6 +132,14 @@ AUDITED_BUFFERING_AGGS = {
     # input relation is the (o_orderpriority, o_orderstatus) grain —
     # 5x3 fixed key domain, bounded before the collect_list runs
     "f15_map_functions": {"collect_list": 1},
+    # oriented out-neighbor adjacency arrays: group size is the
+    # degree-ordered out-degree, <= sqrt(2m) by the arboricity bound
+    # (every out-neighbor has degree >= deg(u), so outdeg*deg <= 2m);
+    # measured max 222 at sf10 — per-node envelope, never
+    # corpus-scaled (queries/graph.py g02). x2: the same adj relation
+    # feeds both endpoint joins, so the one bounded aggregate prints
+    # twice in the plan (exchange reuse computes it once at runtime)
+    "g02_copurchase_triangles": {"collect_list": 2},
 }
 
 

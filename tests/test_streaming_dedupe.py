@@ -254,3 +254,56 @@ def test_epoch_enumeration_uses_hadoop_fs(spark, tmp_path):
     assert sorted(p.rsplit("/", 1)[-1] for p in got_bare) == ["epoch=0", "epoch=seed"]
     # missing dir => no index yet (empty), not an error
     assert _list_epoch_dirs(spark, str(tmp_path / "nope")) == []
+
+
+def test_epoch_listing_io_error_fails_batch(spark, tmp_path, monkeypatch):
+    """A FAILING index LISTING (not just a corrupt shard) must fail
+    the micro-batch so the checkpoint retries it (r12 verdict #5).
+    If the listing error were swallowed as 'no index yet', the batch
+    would be gated against an EMPTY index and admit duplicates
+    permanently. Injected at the enumeration seam: the process()
+    closure resolves _list_epoch_dirs from module globals at call
+    time, so the monkeypatch is exactly a listStatus failure as the
+    gate sees one."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from ice_spark.streaming import dedupe as sd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(10, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    def boom(sess, index_dir, exclude=None):
+        raise IOError("injected listStatus failure")
+
+    monkeypatch.setattr(sd, "_list_epoch_dirs", boom)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    dest = tmp_path / "dest"
+    q = sd.span_admission_stream(
+        stream, str(dest), str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    )
+    with pytest.raises(StreamingQueryException, match="listStatus"):
+        q.awaitTermination()
+    # nothing was admitted on the failed batch
+    assert not list(dest.glob("epoch=*/part-*.parquet"))
+
+
+def test_epoch_listing_unresolvable_scheme_raises(spark, tmp_path):
+    """_list_epoch_dirs must RAISE on a real FS-level error (here: an
+    unregistered scheme — the same surface a dead NN / bad creds
+    reaches the caller through), never return [] as if no index
+    existed."""
+    import pytest
+
+    from ice_spark.streaming.dedupe import _list_epoch_dirs
+
+    with pytest.raises(Exception, match="(?i)no filesystem|unsupported|scheme"):
+        _list_epoch_dirs(spark, "no-such-scheme://bucket/idx")
