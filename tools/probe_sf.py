@@ -52,15 +52,15 @@ SF10_EXPECT_ROWS = {
     "d16_dedup_policy_simulator": 4,
 }
 
-# Run these in an ISOLATED SparkSession (stop + fresh app before and
-# after): g02's 4.1e9-row wedge stream needs the entire execution
-# region, and after ~80 queries of single-JVM sweep history it hits
-# UNABLE_TO_ACQUIRE_MEMORY even though the standalone run passes
-# comfortably. A real cluster runs every job as its own application —
-# the marathon shared session is a probe-harness artifact, and this
-# pin makes the sweep behave like production for the one query that
-# needs it.
-FRESH_SESSION = {"g02_copurchase_triangles"}
+# Queries that need an ISOLATED SparkSession (stop + fresh app before
+# and after) mid-sweep. Empty since r13: g02 — the only member — left
+# when the adjacency-intersection reshape removed the 4.1e9-row wedge
+# sort whose spill OOM'd a marathon shared session at sf10 (r11). A
+# shared-session heavy sequence (d04 -> s11 -> g02 -> g01 -> g02 at
+# sf10, PERF.md §Round 13) holds WITH the sweep's inter-query
+# gc.collect()+System.gc() hygiene below — and OOM'd without it, so
+# that hygiene is a load-bearing part of dropping the isolation.
+FRESH_SESSION: set[str] = set()
 
 
 def main() -> int:
@@ -86,6 +86,47 @@ def main() -> int:
 
     assert_ansi(spark)
     specs = load_all()
+
+    if args.span_cut_check:
+        # Cross-invariant at scale (VERDICT r9 item 8): the applied
+        # transform must remove EXACTLY the token mass the gated d19
+        # summary reports, per source — the same pin
+        # tests/test_dedup.py holds at gate SF, re-asserted wherever
+        # the probe runs (sf10's 100x dup density included).
+        from pyspark.sql import functions as F
+
+        from ice_spark.operators.dedup import span_cut_documents
+        from ice_spark.tables import load_table
+
+        t0 = time.time()
+        docs = load_table(spark, args.sf_dir, "documents")
+        got = {
+            r.source: (r.n, r.cut)
+            for r in span_cut_documents(docs)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("tokens_cut").alias("cut"))
+            .collect()
+        }
+        t_cut = time.time() - t0
+        t0 = time.time()
+        want = {
+            r.source: (r.n_docs, r.tokens_cut)
+            for r in specs["d19_span_dedup_cut"].spark_fn(spark, args.sf_dir).collect()
+        }
+        t_d19 = time.time() - t0
+        total_cut = sum(c for _, c in got.values())
+        print(
+            f"span-cut-check@{args.sf_dir}: cut={t_cut:.1f}s d19={t_d19:.1f}s "
+            f"sources={len(got)} tokens_cut={total_cut} "
+            f"conserved={'YES' if got == want else 'NO'}",
+            flush=True,
+        )
+        if got != want:
+            print(f"  span_cut per source: {got}", flush=True)
+            print(f"  d19 per source:      {want}", flush=True)
+            return 1
+        if not args.queries and not args.sweep:
+            return 0
 
     if args.sweep:
         from ice_spark.plans import force_rows
@@ -152,47 +193,6 @@ def main() -> int:
             flush=True,
         )
         return 1 if fails else 0
-
-    if args.span_cut_check:
-        # Cross-invariant at scale (VERDICT r9 item 8): the applied
-        # transform must remove EXACTLY the token mass the gated d19
-        # summary reports, per source — the same pin
-        # tests/test_dedup.py holds at gate SF, re-asserted wherever
-        # the probe runs (sf10's 100x dup density included).
-        from pyspark.sql import functions as F
-
-        from ice_spark.operators.dedup import span_cut_documents
-        from ice_spark.tables import load_table
-
-        t0 = time.time()
-        docs = load_table(spark, args.sf_dir, "documents")
-        got = {
-            r.source: (r.n, r.cut)
-            for r in span_cut_documents(docs)
-            .groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("tokens_cut").alias("cut"))
-            .collect()
-        }
-        t_cut = time.time() - t0
-        t0 = time.time()
-        want = {
-            r.source: (r.n_docs, r.tokens_cut)
-            for r in specs["d19_span_dedup_cut"].spark_fn(spark, args.sf_dir).collect()
-        }
-        t_d19 = time.time() - t0
-        total_cut = sum(c for _, c in got.values())
-        print(
-            f"span-cut-check@{args.sf_dir}: cut={t_cut:.1f}s d19={t_d19:.1f}s "
-            f"sources={len(got)} tokens_cut={total_cut} "
-            f"conserved={'YES' if got == want else 'NO'}",
-            flush=True,
-        )
-        if got != want:
-            print(f"  span_cut per source: {got}", flush=True)
-            print(f"  d19 per source:      {want}", flush=True)
-            return 1
-        if not args.queries:
-            return 0
 
     for name in args.queries:
         if name not in specs:
