@@ -184,22 +184,11 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
 """
 
 
-@register(
-    "g02_copurchase_triangles",
-    _G02_ORACLE,
-    doc="Triangle count over the part co-purchase graph (parts sharing "
-    "an order). Uses the degree-ordered orientation: each undirected "
-    "edge points from its lower-(degree, id) endpoint to the higher, "
-    "so every wedge is enumerated exactly once from its lowest-degree "
-    "corner and each out-degree is O(sqrt(m)) — the arboricity bound "
-    "that makes distributed triangle counting feasible on skewed "
-    "graphs (a hub of degree 1M contributes ZERO wedges from itself; "
-    "its triangles are found from their low-degree corners). Plan: "
-    "edge dedup (one shuffle), degree agg (one), two self-joins on "
-    "src/(v,w) — all keyed shuffles, no global ordering or "
-    "driver-side structure; counts only cross the final exchange.",
-)
-def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _copurchase_graph(spark: SparkSession, sf_dir: str):
+    """(edges e, degrees deg, oriented edges od) of the part
+    co-purchase graph — the shared build for g02/g03. e and od are
+    persisted DISK_ONLY, deg cached; every caller consumes each
+    relation more than once."""
     from pyspark import StorageLevel
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -257,6 +246,68 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = oriented.select(
         F.col("src").alias("sid"), F.col("dst").alias("did")
     ).persist(StorageLevel.DISK_ONLY)
+    return e, deg, od
+
+
+def _oriented_adjacency(od: DataFrame) -> DataFrame:
+    """Per-node oriented out-neighbor arrays, bounded by the
+    degree-ordered orientation's sqrt(2m) out-degree cap (every
+    out-neighbor has degree >= deg(u), so outdeg(u)*deg(u) <= 2m;
+    measured max 222 at sf10). collect_list is audited in
+    AUDITED_BUFFERING_AGGS on that envelope. Persisted DISK_ONLY:
+    both endpoint joins consume it and there is no exchange reuse
+    across them (~1.6 GB at sf10 — one array cell per edge)."""
+    from pyspark import StorageLevel
+
+    return (
+        od.groupBy("sid")
+        .agg(F.collect_list("did").alias("nbrs"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
+
+
+def _triangles_per_edge(od: DataFrame, adj: DataFrame) -> DataFrame:
+    """(e_sid, e_did, t): each oriented edge with the number of
+    triangles it closes, t = |N+(u) ∩ N+(v)| — every triangle
+    {a<b<c in orientation order} lands exactly once, on its (a,b)
+    edge, since a→c and b→c are both oriented low-to-high. The heavy
+    relation is m rows carrying ~outdeg-sized array payloads — per-row
+    shuffle cost scales with m, not sum-outdeg^2 (the r12 wedge
+    stream's 4.1e9 rows / 125 GB sort spill, PERF.md §Round 12-13).
+    shuffle_hash on the adj build sides: n rows, hash-uniform node
+    keys; AQE skew split still applies on the e_did probe."""
+    a1 = adj.select(F.col("sid").alias("e_sid"), F.col("nbrs").alias("n1"))
+    a2 = adj.select(F.col("sid").alias("e_did"), F.col("nbrs").alias("n2"))
+    return (
+        od.select(F.col("sid").alias("e_sid"), F.col("did").alias("e_did"))
+        .join(a1.hint("shuffle_hash"), "e_sid")
+        .join(a2.hint("shuffle_hash"), "e_did")
+        .select(
+            "e_sid",
+            "e_did",
+            F.size(F.array_intersect("n1", "n2")).alias("t"),
+        )
+    )
+
+
+@register(
+    "g02_copurchase_triangles",
+    _G02_ORACLE,
+    doc="Triangle count over the part co-purchase graph (parts sharing "
+    "an order). Uses the degree-ordered orientation: each undirected "
+    "edge points from its lower-(degree, id) endpoint to the higher, "
+    "so every wedge is enumerated exactly once from its lowest-degree "
+    "corner and each out-degree is O(sqrt(m)) — the arboricity bound "
+    "that makes distributed triangle counting feasible on skewed "
+    "graphs (a hub of degree 1M contributes ZERO wedges from itself; "
+    "its triangles are found from their low-degree corners). Plan: "
+    "edge dedup (one shuffle), degree agg (one), bounded adjacency "
+    "arrays + per-edge intersection — all keyed shuffles, no global "
+    "ordering or driver-side structure; counts only cross the final "
+    "exchange.",
+)
+def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, deg, od = _copurchase_graph(spark, sf_dir)
     # n_wedges WITHOUT materializing wedges: the oriented enumeration
     # defines each wedge exactly once at its src, so the count is
     # sum over src of C(outdeg, 2) — one keyed agg over od. c*(c-1)
@@ -275,47 +326,14 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # Triangles by ADJACENCY-ARRAY INTERSECTION — the wedge stream
-    # never exists. The r12 shape self-joined od on sid to emit every
-    # wedge (4.1e9 rows at sf10) and SEMI-joined the closure edge set;
-    # its map-side sort spilled 125 GB and was 439 of g02's 552 s
-    # (PERF.md §Round 12). Instead: each oriented edge (u,v) closes
-    # |N+(u) ∩ N+(v)| triangles, and every triangle {a<b<c in
-    # orientation order} is counted exactly once — at its (a,b) edge,
-    # since a→c and b→c are both oriented low-to-high. So: build each
-    # node's out-neighbor ARRAY once (bounded: degree-ordered
-    # orientation caps outdeg at sqrt(2m) — every out-neighbor has
-    # degree >= deg(u), so outdeg(u)*deg(u) <= 2m; measured max 222
-    # at sf10), attach both endpoints' arrays to each of the m edges
-    # (two keyed joins), and sum array_intersect sizes. The heavy
-    # relation is now m rows carrying ~outdeg-sized payloads — the
-    # per-ROW sort/shuffle cost that dominated the wedge form scales
-    # with m (2e8), not sum-outdeg^2 (8e9). A Bloom prefilter of the
-    # old wedge stream was built and REJECTED on interleaved A/B
-    # (operators/bloomjoin, PERF.md §Round 12) before this reshape
-    # removed the stream it would have pruned.
-    # collect_list audit (AUDITED_BUFFERING_AGGS): input is od keyed
-    # by sid; group size = oriented out-degree <= sqrt(2m) by the
-    # arboricity argument above — per-node envelope, never
-    # corpus-scaled. shuffle_hash on the adj build sides: adj is n
-    # rows (sum m array elements), hash-uniform node keys; AQE skew
-    # split still applies to SHJ if an in-degree hub shows up on the
-    # e_did probe.
-    # two consumers (both endpoint joins) and no exchange reuse across
-    # them — persist like e/od so the agg over od runs once. DISK_ONLY:
-    # total payload is one array cell per edge (~1.6 GB at sf10).
-    adj = (
-        od.groupBy("sid")
-        .agg(F.collect_list("did").alias("nbrs"))
-        .persist(StorageLevel.DISK_ONLY)
-    )
-    a1 = adj.select(F.col("sid").alias("e_sid"), F.col("nbrs").alias("n1"))
-    a2 = adj.select(F.col("sid").alias("e_did"), F.col("nbrs").alias("n2"))
-    wt = (
-        od.select(F.col("sid").alias("e_sid"), F.col("did").alias("e_did"))
-        .join(a1.hint("shuffle_hash"), "e_sid")
-        .join(a2.hint("shuffle_hash"), "e_did")
-        .select(F.size(F.array_intersect("n1", "n2")).alias("t"))
-        .agg(F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_triangles"))
+    # never exists (the r12 shape's 4.1e9-row self-join sort-spilled
+    # 125 GB and was 439 of g02's 552 s; a Bloom prefilter of that
+    # stream was built and REJECTED on interleaved A/B before this
+    # reshape removed it, PERF.md §Round 12-13). Mechanics + bounds
+    # in _oriented_adjacency/_triangles_per_edge.
+    adj = _oriented_adjacency(od)
+    wt = _triangles_per_edge(od, adj).agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_triangles")
     )
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
@@ -324,4 +342,85 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(nw)
         .crossJoin(wt)
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    )
+
+
+_G03_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  ) GROUP BY node
+),
+od AS (
+  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst
+  FROM e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+apex AS (
+  SELECT o1.src AS node, COUNT(*) AS apex_tri
+  FROM od o1
+  JOIN od o2 ON o2.src = o1.src AND o1.dst <> o2.dst
+  JOIN od o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+  GROUP BY o1.src
+)
+SELECT CAST(LENGTH(BIN(deg.d)) AS BIGINT) AS degree_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(COALESCE(apex.apex_tri, 0)) AS BIGINT) AS n_triangles,
+       CAST(MAX(COALESCE(apex.apex_tri, 0)) AS BIGINT) AS max_apex_triangles
+FROM deg LEFT JOIN apex ON apex.node = deg.node
+GROUP BY degree_bucket
+ORDER BY degree_bucket
+"""
+
+
+@register(
+    "g03_triangle_support_by_degree",
+    _G03_ORACLE,
+    doc="Triangle support per APEX node, rolled up by power-of-two "
+    "degree bucket (bucket = bit-length of the undirected degree — "
+    "exact integer arithmetic on both engines, no float log2 seam). "
+    "Each triangle is attributed to its orientation-lowest corner "
+    "(the node sourcing two of its three oriented edges) — the same "
+    "exactly-once accounting as g02's count, disaggregated. The "
+    "per-apex support distribution is the standard cohesion signal "
+    "truss/k-core style corpus-graph pruning reads. Plan: shared "
+    "_copurchase_graph build, bounded adjacency arrays, per-edge "
+    "intersection grouped by apex (one extra keyed agg over m rows), "
+    "degree join, 1-row-per-bucket rollup — nothing beyond g02's "
+    "proven sf10 envelope; the oracle triple-self-join is "
+    "DuckDB-only, gate-SF-only.",
+)
+def g03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, deg, od = _copurchase_graph(spark, sf_dir)
+    adj = _oriented_adjacency(od)
+    apex = (
+        _triangles_per_edge(od, adj)
+        .groupBy("e_sid")
+        .agg(F.sum("t").alias("apex_tri"))
+    )
+    node_tri = deg.join(
+        apex, deg["node"] == apex["e_sid"], "left"
+    ).select(
+        "d", F.coalesce("apex_tri", F.lit(0)).alias("apex_tri")
+    )
+    return (
+        node_tri.groupBy(
+            F.length(F.bin(F.col("d"))).cast("long").alias("degree_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("apex_tri").cast("long").alias("n_triangles"),
+            F.max("apex_tri").cast("long").alias("max_apex_triangles"),
+        )
+        .orderBy("degree_bucket")
     )

@@ -140,6 +140,8 @@ AUDITED_BUFFERING_AGGS = {
     # feeds both endpoint joins, so the one bounded aggregate prints
     # twice in the plan (exchange reuse computes it once at runtime)
     "g02_copurchase_triangles": {"collect_list": 2},
+    # same bounded _oriented_adjacency relation, same x2 print
+    "g03_triangle_support_by_degree": {"collect_list": 2},
 }
 
 

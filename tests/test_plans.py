@@ -349,8 +349,6 @@ def test_g02_triangle_joins_never_broadcast_graph_relations(spark, sf_dir):
     """g02: edges/degrees/oriented all grow with the graph, so the
     self-joins must be shuffle joins — a broadcast of the oriented
     relation OOMs the driver at scale (observed at sf0.1 pre-hint)."""
-    a = _audit(spark, sf_dir, "g02_copurchase_triangles")
-    assert a.sort_merge_joins >= 3, a.plan[:1500]
     # The static (pre-AQE) plan may still broadcast the lineitem
     # self-join side — AQE re-plans that from runtime sizes. What must
     # never be broadcast are the hinted graph relations; the hints are
@@ -358,12 +356,19 @@ def test_g02_triangle_joins_never_broadcast_graph_relations(spark, sf_dir):
     # degree-keyed joins are MERGE, not shuffle_hash: the r8 sf5 probe
     # showed the per-task hash build of a hub-skewed partition has no
     # spill path (hard "can't acquire memory" crash), while sort-merge
-    # spills and AQE splits the skewed partitions. EXACTLY one
-    # ShuffledHashJoin is sanctioned — the closure probe of the
-    # packed-key wedge stream, whose build side is the unique-keyed
-    # hash-uniform EDGE set (no hub partition): sorting 4.1e9 wedges
-    # for an SMJ exhausted the sf10 probe host's disk (r11).
-    assert a.plan.count("ShuffledHashJoin") == 1, a.plan[:1500]
+    # spills and AQE splits the skewed partitions. EXACTLY two
+    # ShuffledHashJoins are sanctioned (r13 shape) — the two
+    # adjacency-array endpoint joins, whose build side is the
+    # per-node adjacency relation (unique hash-uniform node keys, no
+    # hub partition; AQE skew split covers an in-degree hub on the
+    # probe side).
+    for name in (
+        "g02_copurchase_triangles",
+        "g03_triangle_support_by_degree",
+    ):
+        a = _audit(spark, sf_dir, name)
+        assert a.sort_merge_joins >= 2, (name, a.plan[:1500])
+        assert a.plan.count("ShuffledHashJoin") == 2, (name, a.plan[:1500])
 
 
 def test_dq01_single_pass_per_table(spark, sf_dir):
@@ -518,3 +523,24 @@ def test_force_rows_handles_map_columns(spark):
         [(1, {"a": 1}), (2, {"b": 2})], "id long, kv map<string,int>"
     )
     assert force_rows(df) == 2
+
+
+def test_g03_triangle_mass_matches_g02(spark, sf_dir):
+    """Cross-invariant: g03's per-degree-bucket triangle counts are
+    g02's exactly-once apex accounting DISAGGREGATED, so their sum
+    must equal g02's n_triangles on the same corpus (both relations
+    also hold independently against their DuckDB oracles)."""
+    from pyspark.sql import functions as F
+
+    from ice_spark.queries.registry import load_all
+
+    specs = load_all()
+    g02 = specs["g02_copurchase_triangles"].spark_fn(spark, sf_dir).collect()[0]
+    g03 = (
+        specs["g03_triangle_support_by_degree"]
+        .spark_fn(spark, sf_dir)
+        .agg(F.sum("n_triangles").alias("t"), F.sum("n_nodes").alias("n"))
+        .collect()[0]
+    )
+    assert g03["t"] == g02["n_triangles"]
+    assert g03["n"] == g02["n_nodes"]
