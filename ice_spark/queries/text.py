@@ -3604,16 +3604,31 @@ def p05(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = docs.select("doc_id", T.token_count("text").alias("n_tok"))
     frames = []
+    # The LSH finder takes no cap parameter, so its drop set is
+    # IDENTICAL for every cap routed to it — compute it once and
+    # persist (DISK_ONLY, same posture as the finders' internals).
+    # At the sf10 probe both caps route to lsh and the unshared form
+    # paid the full signature+banding pass twice (~2x d04).
+    lsh_drop = None
     for row in audit:
         if row["route"] == "capped-shingle":
-            pairs = shingle_jaccard_pairs(docs, max_posting=row["cap"])
+            drop = (
+                shingle_jaccard_pairs(docs, max_posting=row["cap"])
+                .select(F.col("doc_b").alias("doc_id"))
+                .distinct()
+            )
         else:
-            pairs = minhash_lsh_pairs(docs, id_col="doc_id", text_col="text")
-        kept = tok.join(
-            pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
-            "doc_id",
-            "left_anti",
-        )
+            if lsh_drop is None:
+                from pyspark import StorageLevel
+
+                lsh_drop = (
+                    minhash_lsh_pairs(docs, id_col="doc_id", text_col="text")
+                    .select(F.col("doc_b").alias("doc_id"))
+                    .distinct()
+                    .persist(StorageLevel.DISK_ONLY)
+                )
+            drop = lsh_drop
+        kept = tok.join(drop, "doc_id", "left_anti")
         frames.append(
             kept.agg(
                 F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
