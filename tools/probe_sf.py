@@ -53,14 +53,19 @@ SF10_EXPECT_ROWS = {
 }
 
 # Queries that need an ISOLATED SparkSession (stop + fresh app before
-# and after) mid-sweep. Empty since r13: g02 — the only member — left
-# when the adjacency-intersection reshape removed the 4.1e9-row wedge
-# sort whose spill OOM'd a marathon shared session at sf10 (r11). A
-# shared-session heavy sequence (d04 -> s11 -> g02 -> g01 -> g02 at
-# sf10, PERF.md §Round 13) holds WITH the sweep's inter-query
-# gc.collect()+System.gc() hygiene below — and OOM'd without it, so
-# that hygiene is a load-bearing part of dropping the isolation.
-FRESH_SESSION: set[str] = set()
+# and after) mid-sweep: the graph triangle pair. r13 tried removing
+# g02 after the adjacency-intersection reshape cut its footprint 3.7x
+# — a 5-query shared-session sequence (d04 -> s11 -> g02 -> g01 ->
+# g02 at sf10) held with the inter-query GC hygiene below, but the
+# REAL sweep OOM'd g02 at 77 queries of session history (r13 final
+# sweep log): accumulated JVM state a short sequence can't reproduce.
+# A real cluster runs every job as its own application; the marathon
+# shared session is a probe-harness artifact, and this pin makes the
+# sweep behave like production for the two queries that need it.
+FRESH_SESSION: set[str] = {
+    "g02_copurchase_triangles",
+    "g03_triangle_support_by_degree",
+}
 
 
 def main() -> int:
