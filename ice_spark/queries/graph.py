@@ -192,23 +192,39 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str):
     from pyspark import StorageLevel
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # Edge build: per-order sorted part set + i<j pair explode. The
+    # set is bounded by the l_linenumber domain (<= 7 parts per order
+    # — the f13 per-entity envelope; collect_set is audited in
+    # AUDITED_BUFFERING_AGGS on it), so the explode emits each
+    # order's C(|ps|, 2) pairs with u < v for free from the sort.
+    # This replaces the lineitem self-join + distinct: one keyed agg
+    # instead of a join stage. r13-opt A/B, value-identical noop
+    # medians: sf0.1 6.54 s vs 6.75 s, sf1 20.0 s vs 24.5 s (every
+    # interleaved pair in the agg form's favor); sf10 interleaved
+    # trials were flat (self-join 30.7/19.1 s vs collect-set
+    # 25.2/20.9 s, PERF.md §R13) — AQE amortizes the self-join's
+    # shuffle there, while at bench SFs the agg form drops a stage.
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
     e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .distinct()
         # e / deg / od are each consumed by several downstream
         # operators; without materializing, Catalyst replays the whole
-        # edge build (a lineitem self-join) once per consumer —
-        # measured 56 lineitem scans in the unmaterialized plan.
-        # DISK_ONLY, not cache: the edge list is O(m) rows and at the
-        # sf10 probe its in-heap copy (~2GB) plus od's (~2.4GB) tipped
-        # the 77-queries-in sweep session into OOM — same posture as
-        # g01's persisted edges.
+        # edge build once per consumer — measured 56 lineitem scans in
+        # the unmaterialized plan. DISK_ONLY, not cache: the edge list
+        # is O(m) rows and at the sf10 probe its in-heap copy (~2GB)
+        # plus od's (~2.4GB) tipped the 77-queries-in sweep session
+        # into OOM — same posture as g01's persisted edges.
         .persist(StorageLevel.DISK_ONLY)
     )
     deg = (
@@ -308,23 +324,6 @@ def _triangles_per_edge(od: DataFrame, adj: DataFrame) -> DataFrame:
 )
 def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
     e, deg, od = _copurchase_graph(spark, sf_dir)
-    # n_wedges WITHOUT materializing wedges: the oriented enumeration
-    # defines each wedge exactly once at its src, so the count is
-    # sum over src of C(outdeg, 2) — one keyed agg over od. c*(c-1)
-    # rides decimal(38,0) (count-squared — lint_overflow's class; the
-    # arboricity bound keeps c ~ sqrt(m), but the SUM crosses int64
-    # long before the halved total does).
-    nw = (
-        od.groupBy("sid")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(
-            F.expr(
-                "COALESCE(SUM(CAST(c AS DECIMAL(38,0)) * (c - 1)), 0) div 2"
-            )
-            .cast("long")
-            .alias("n_wedges")
-        )
-    )
     # Triangles by ADJACENCY-ARRAY INTERSECTION — the wedge stream
     # never exists (the r12 shape's 4.1e9-row self-join sort-spilled
     # 125 GB and was 439 of g02's 552 s; a Bloom prefilter of that
@@ -332,6 +331,22 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reshape removed it, PERF.md §Round 12-13). Mechanics + bounds
     # in _oriented_adjacency/_triangles_per_edge.
     adj = _oriented_adjacency(od)
+    # n_wedges WITHOUT materializing wedges: the oriented enumeration
+    # defines each wedge exactly once at its src, so the count is
+    # sum over src of C(outdeg, 2). outdeg is size(nbrs) of the
+    # already-persisted adjacency — reading it there instead of a
+    # second groupBy over od removes one m-row shuffle (r13-opt:
+    # 0.99 s -> 0.29 s for this agg at sf0.1). c*(c-1) rides
+    # decimal(38,0) (count-squared — lint_overflow's class; the
+    # arboricity bound keeps c ~ sqrt(m), but the SUM crosses int64
+    # long before the halved total does).
+    nw = adj.select(F.size("nbrs").alias("c")).agg(
+        F.expr(
+            "COALESCE(SUM(CAST(c AS DECIMAL(38,0)) * (c - 1)), 0) div 2"
+        )
+        .cast("long")
+        .alias("n_wedges")
+    )
     wt = _triangles_per_edge(od, adj).agg(
         F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_triangles")
     )

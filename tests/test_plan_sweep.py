@@ -136,12 +136,26 @@ AUDITED_BUFFERING_AGGS = {
     # degree-ordered out-degree, <= sqrt(2m) by the arboricity bound
     # (every out-neighbor has degree >= deg(u), so outdeg*deg <= 2m);
     # measured max 222 at sf10 — per-node envelope, never
-    # corpus-scaled (queries/graph.py g02). x2: the same adj relation
-    # feeds both endpoint joins, so the one bounded aggregate prints
-    # twice in the plan (exchange reuse computes it once at runtime)
-    "g02_copurchase_triangles": {"collect_list": 2},
-    # same bounded _oriented_adjacency relation, same x2 print
-    "g03_triangle_support_by_degree": {"collect_list": 2},
+    # corpus-scaled (queries/graph.py g02). x3: the same persisted
+    # adj relation feeds both endpoint joins and the n_wedges
+    # outdeg agg, so the one bounded aggregate prints three times
+    # (the persisted relation computes it once at runtime).
+    # collect_set x3: the per-order part set of the edge build,
+    # bounded by the l_linenumber domain (<= 7 parts/order — the
+    # f13 per-entity envelope); the persisted e relation prints it
+    # under each of its consumers (deg union sides, orientation
+    # join, n_edges count).
+    # Exact counts are textual-print multiplicities: executedPlan
+    # .toString() re-prints each persisted relation's build subtree
+    # under every one of its consumers, and the subtrees nest
+    # (adj ⊃ od ⊃ e), so ONE bounded collect_set prints 23x in g02
+    # (17x in g03, which has one fewer adj consumer) and the ONE
+    # bounded adjacency collect_list prints 3x (g02: two endpoint
+    # joins + the n_wedges outdeg agg) / 2x (g03). At runtime each
+    # aggregate computes once (DISK_ONLY persist).
+    "g02_copurchase_triangles": {"collect_list": 3, "collect_set": 23},
+    # same bounded _oriented_adjacency / edge-build relations
+    "g03_triangle_support_by_degree": {"collect_list": 2, "collect_set": 17},
 }
 
 
