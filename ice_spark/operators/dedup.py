@@ -200,8 +200,12 @@ def shingle_jaccard_pairs(
         docs.select("__id", F.explode("__sh").alias("__s")), ["__s"], max_posting
     )
     ex2 = ex.select(F.col("__id").alias("__id2"), F.col("__s").alias("__s2"))
+    # MERGE hint: same posting relation on both sides, partitioned +
+    # sorted on the posting key by the cap window — shuffle join
+    # reuses the one exchange instead of recomputing the index as a
+    # broadcast build side at small SFs (see band_candidates).
     pairs = (
-        ex.join(ex2, (F.col("__s") == F.col("__s2")) & (F.col("__id") < F.col("__id2")))
+        ex.join(ex2.hint("merge"), (F.col("__s") == F.col("__s2")) & (F.col("__id") < F.col("__id2")))
         .groupBy(F.col("__id").alias("doc_a"), F.col("__id2").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
@@ -289,9 +293,18 @@ def band_candidates(
     b2 = buckets.select(
         F.col("__id").alias("__id2"), F.col("band").alias("band2"), F.col("key").alias("key2")
     )
+    # MERGE hint on the self-join: both sides are the SAME capped
+    # bucket relation, already hash-partitioned AND sorted on
+    # (band, key) by the cap window — a sort-merge join adds zero
+    # exchanges/sorts and the exchange subtree is computed once
+    # (AQE stage reuse), where the small-SF auto-broadcast rebuilt
+    # the whole signature pipeline as the build side. At corpus
+    # scale both sides grow with the data, so the shuffle join is
+    # the only correct strategy anyway. r13-opt A/B at sf1:
+    # 2.24 s vs 2.50 s median (5/5 pairs), flat at sf0.1.
     return (
         buckets.join(
-            b2,
+            b2.hint("merge"),
             (F.col("band") == F.col("band2"))
             & (F.col("key") == F.col("key2"))
             & (F.col("__id") < F.col("__id2")),
@@ -396,9 +409,11 @@ def simhash_pairs(
         F.col("blk").alias("blk2"),
         F.col("val").alias("val2"),
     )
+    # MERGE hint: same block relation both sides, partitioned + sorted
+    # on (blk, val) by the cap window (see band_candidates).
     cands = (
         ex.join(
-            ex2,
+            ex2.hint("merge"),
             (F.col("blk") == F.col("blk2"))
             & (F.col("val") == F.col("val2"))
             & (F.col("__id") < F.col("__id2")),

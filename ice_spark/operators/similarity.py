@@ -247,9 +247,13 @@ def banded_cosine_neardup_pairs(
     )
     left = bk.select(F.col(id_col).alias("__ida"), "band", "key")
     right = bk.select(F.col(id_col).alias("__idb"), F.col("band").alias("__band2"), F.col("key").alias("__key2"))
+    # MERGE hint: same capped bucket relation both sides, partitioned
+    # + sorted on (band, key) by the cap window (see
+    # dedup.band_candidates — exchange reused instead of a broadcast
+    # rebuild of the banding pipeline at small SFs).
     cand = (
         left.join(
-            right,
+            right.hint("merge"),
             (left.band == right.__band2)
             & (left.key == right.__key2)
             & (F.col("__ida") < F.col("__idb")),
