@@ -73,7 +73,19 @@ class _CheckpointPool:
         # blocks pinned the storage region while the next round's
         # shuffle starved. Local-disk sequential IO is not the
         # bottleneck of a CC round; the shuffles are.
-        out = df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        # eager=False: every pool.checkpoint here is immediately
+        # followed by an action over the checkpointed relation (the
+        # convergence signature scan / changed-count), so a lazy
+        # checkpoint materializes inside THAT job instead of paying a
+        # separate materialization job first — one job per CC round
+        # instead of two (r13-opt: the rounds are scheduling-latency
+        # bound — isolated CC A/B at sf0.1, identical components:
+        # 2.47 s -> 1.83 s median of 5). The persistent-RDD
+        # id registers at call time even when lazy (verified), so the
+        # release() bookkeeping is unchanged, and materialization
+        # always precedes release of the prior round's blocks because
+        # the signature action runs before release() in every loop.
+        out = df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         return out, self._ids() - before
 
     def release(self, ids: set) -> None:
