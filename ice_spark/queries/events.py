@@ -575,51 +575,67 @@ def e17(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.get_json_object("props", "$.k").cast("long") % 4).cast("string"),
         ).alias("channel"),
     )
-    m = (
-        p.join(
-            cl,
-            (F.col("p_uid") == F.col("c_uid"))
-            & (F.col("cts") < F.col("pts"))
-            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 72 HOURS")),
-        )
-        .select(
-            "pid",
-            "v",
-            "cid",
-            "channel",
-            F.row_number()
-            .over(Window.partitionBy("pid").orderBy("cts", "cid"))
-            .alias("rn"),
-            F.count(F.lit(1)).over(Window.partitionBy("pid")).alias("n"),
-        )
+    # LEFT join so touchless purchases flow through the same pass with
+    # cid NULL instead of being recomputed by a second evaluation of
+    # the join subtree (the old anti-join branch re-ran the whole
+    # purchase x click join to find unmatched pids). count('cid') over
+    # the pid window is 0 for those rows, so the equal-split arithmetic
+    # is guarded by cid IS NOT NULL and they land in 'unattributed'
+    # with their full value. A constant seed row keeps the
+    # 'unattributed' output row present even when every purchase is
+    # touched (the old branch emitted it unconditionally).
+    m = p.join(
+        cl,
+        (F.col("p_uid") == F.col("c_uid"))
+        & (F.col("cts") < F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 72 HOURS")),
+        "left",
+    ).select(
+        "pid",
+        "v",
+        "cid",
+        "channel",
+        F.row_number().over(Window.partitionBy("pid").orderBy("cts", "cid")).alias("rn"),
+        F.count("cid").over(Window.partitionBy("pid")).alias("n"),
     )
     attr = m.select(
-        "channel",
+        # keyed on cid (not coalesce(channel)): a MATCHED click with a
+        # null props channel must stay a NULL-channel group, exactly as
+        # the two-pass form grouped it.
+        F.when(F.col("cid").isNull(), F.lit("unattributed"))
+        .otherwise(F.col("channel"))
+        .alias("channel"),
         "pid",
-        (
+        F.col("cid").isNotNull().alias("touched"),
+        F.when(
+            F.col("cid").isNotNull(),
             F.expr("v div n")
-            + F.when(F.col("rn") <= F.col("v") % F.col("n"), 1).otherwise(0)
-        ).alias("cents"),
+            + F.when(F.col("rn") <= F.col("v") % F.col("n"), 1).otherwise(0),
+        )
+        .otherwise(F.col("v"))
+        .alias("cents"),
     )
-    by_channel = attr.groupBy("channel").agg(
-        F.count(F.lit(1)).alias("n_touches"),
+    grouped = attr.groupBy("channel").agg(
+        F.sum(F.when(F.col("touched"), 1).otherwise(0)).cast("long").alias("n_touches"),
         F.countDistinct("pid").alias("n_purchases"),
         F.sum("cents").cast("long").alias("attributed_cents"),
     )
-    un = (
-        p.join(m.select("pid").distinct(), "pid", "left_anti")
-        .agg(
-            F.count(F.lit(1)).alias("n_purchases"),
-            F.coalesce(F.sum("v"), F.lit(0)).cast("long").alias("attributed_cents"),
-        )
-        .select(
-            F.lit("unattributed").alias("channel"),
-            F.lit(0).cast("long").alias("n_touches"),
-            "n_purchases",
-            "attributed_cents",
-        )
+    seed = spark.range(1).select(
+        F.lit("unattributed").alias("channel"),
+        F.lit(0).cast("long").alias("n_touches"),
+        F.lit(0).cast("long").alias("n_purchases"),
+        F.lit(0).cast("long").alias("attributed_cents"),
     )
-    return by_channel.unionAll(un).orderBy("channel")
+    return (
+        grouped.unionAll(seed)
+        .groupBy("channel")
+        .agg(
+            F.sum("n_touches").cast("long").alias("n_touches"),
+            F.sum("n_purchases").cast("long").alias("n_purchases"),
+            F.sum("attributed_cents").cast("long").alias("attributed_cents"),
+        )
+        .orderBy("channel")
+    )
 
 
 @register(

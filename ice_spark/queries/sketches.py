@@ -942,9 +942,14 @@ def k08(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hll_estimate"),
     )
+    # Distinct (d, user_id) BEFORE the 7-day range join: the join
+    # replicates every matching row up to 7x, so deduplicating first
+    # shrinks the replicated stream from raw events to distinct
+    # user-days (events per user-day >> 1 at scale) while the
+    # countDistinct result is unchanged.
     exact = (
         days.join(
-            ev,
+            ev.distinct(),
             (F.col("d") >= F.date_sub(F.col("t_d"), 6)) & (F.col("d") <= F.col("t_d")),
         )
         .groupBy("t_d")

@@ -2135,6 +2135,8 @@ def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the rate d01 would deduplicate.",
 )
 def p03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     from ice_spark.functions.text import char_hash, token_count
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2145,12 +2147,17 @@ def p03(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).alias("n_toks"),
         char_hash(F.col("text")).alias("fp"),
     )
-    fpg = base.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
-    flagged = base.join(fpg, "fp").select(
+    # keeper = min(doc_id) within the fingerprint group, as a window
+    # over the single fp shuffle instead of a groupBy + join back: the
+    # join form re-evaluates `base` (tokenize + char-hash over the full
+    # text) on BOTH sides. Partitioned by fp (high-cardinality hash;
+    # partition size = exact-dup group size), so no unbounded window.
+    w = Window.partitionBy("fp")
+    flagged = base.select(
         "source",
         "lang",
         "n_toks",
-        (F.col("doc_id") != F.col("keeper")).alias("is_dup"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
         (F.col("n_toks") < 20).alias("is_short"),
     )
     cnt = F.count(F.lit(1))
