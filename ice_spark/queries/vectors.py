@@ -972,11 +972,16 @@ def v13(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_vec_col="embedding",
         k=8,
     )
+    # Lazy localCheckpoint BEFORE deriving `pair`: pair references cand
+    # twice (ca/cb sides) and mmr_rerank consumes it again, so without
+    # this the brute-force corpus scan + cosine subtree evaluates up to
+    # 3x per run (sf0.1 noop 5-rep median 2.309 -> 2.054s; sf1 3.158 ->
+    # 3.016s). mmr_rerank's own checkpoint then wraps this tiny RDD.
     cand = topk.select(
         "query_id",
         F.col("neighbor_id").alias("cid"),
         F.round(F.col("cos_sim") * 1e6).cast("long").alias("rel_u"),
-    )
+    ).localCheckpoint(eager=False)
     ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("av"))
     eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("bv"))
     ca = cand.select("query_id", F.col("cid").alias("ca"))
