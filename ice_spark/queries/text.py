@@ -2307,23 +2307,40 @@ def _d13_oracle() -> str:
     "pipeline; candidates, not the corpus, bound the work.",
 )
 def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ice_spark.functions.text import shingle_hashes
-    from ice_spark.operators.dedup import band_candidates, minhash_signatures
+    from ice_spark.functions.text import MOD, shingle_hashes
+    from ice_spark.operators.dedup import band_candidates
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", k=16).select(
-        F.col("doc_id").alias("__id"), *[f"mh{j}" for j in range(16)]
-    )
+    # One checkpointed (id, shingles) relation feeds BOTH the
+    # signature/banding side and the exact-verify side — before, the
+    # shingle hash (the pipeline's most expensive expression) was
+    # computed TWICE (once inside minhash_signatures' explode subtree,
+    # once for the verify arrays) and the signatures were joined back
+    # to the shingles with a corpus-sized merge join. Signatures are
+    # map-side array_min(transform(...)) over the materialized array
+    # (exactly the minhash_lsh_pairs form — see operators/dedup.py;
+    # the size() filter reproduces the explode form's no-row-for-
+    # empty-docs semantics), and sa is a single projection of base,
+    # so the groupBy exchange AND the sigs-to-shingles join are gone.
+    base = docs.select(
+        F.col("doc_id").alias("__id"), shingle_hashes("text").alias("shs")
+    ).localCheckpoint(eager=False)
+    mins = [
+        F.expr(
+            f"array_min(transform(shs, h -> (h * {2 * j + 3} + {7 * j + 1}) % {MOD}))"
+        ).alias(f"mh{j}")
+        for j in range(16)
+    ]
+    sigs = base.where(F.size("shs") > 0).select("__id", *mins)
     cands = band_candidates(sigs, n_hashes=16, bands=8)
-    base = docs.select(F.col("doc_id").alias("__id"), shingle_hashes("text").alias("shs"))
     # merge-pinned: sa/sb carry per-doc signature + shingle ARRAYS and
     # grow with the corpus — the static planner broadcast them at the
     # sf10 probe (4 BroadcastHashJoins of a multi-GB deserialized
     # relation, OOM at 8g once the honest evaluator stopped count()
     # from pruning the arrays). Same relation class as d18/g01.
-    sa = sigs.select(
-        F.col("__id"), F.array(*[F.col(f"mh{j}") for j in range(16)]).alias("ma")
-    ).join(base.select("__id", F.col("shs").alias("sha")).hint("merge"), "__id")
+    sa = base.select(
+        "__id", F.array(*mins).alias("ma"), F.col("shs").alias("sha")
+    )
     sb = sa.select(
         F.col("__id").alias("__id2"), F.col("ma").alias("mb"), F.col("sha").alias("shb")
     )
