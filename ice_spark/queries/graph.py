@@ -91,39 +91,59 @@ def g01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     bidir = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = bidir.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
-    # Edge list annotated with source out-degree, persisted: every
-    # iteration re-reads this relation, and without it the unrolled
-    # plan replays the edge-build subtree once per iteration
-    # (N iterations -> N scans of lineitem). This is the standard
-    # Spark iterative-algorithm shape (GraphX/MLlib persist exactly
-    # this way). DISK_ONLY, not cache(): the edge relation GROWS with
-    # the corpus while the unified memory region doesn't — at the
-    # sf10 probe (~100M bidirectional edges) the in-memory cache
-    # OOMed the heap, while a disk-persisted edge list is one
+    # Degree-annotated edge list in ONE exchange: repartition by src,
+    # then outdeg = count over (partition by src) rides that
+    # partitioning and its sort — the former groupBy(src) + merge
+    # join shuffled bidir twice and scanned it twice (r13-opt A/B:
+    # sf0.1 3.45 -> 2.29 s, sf1 7.54 -> 6.16 s, every pair in favor;
+    # a repartition WITHOUT the window rewrite loses, so the window
+    # is the load-bearing half). Per-partition window state is one
+    # node's edge set (max outdeg, bounded by the partner-entity
+    # count) — the same per-key bound the old degree join carried.
+    # Persisted: every iteration re-reads this relation, and without
+    # it the unrolled plan replays the edge-build subtree once per
+    # iteration (N iterations -> N scans of lineitem). This is the
+    # standard Spark iterative-algorithm shape (GraphX/MLlib persist
+    # exactly this way). DISK_ONLY, not cache(): the edge relation
+    # GROWS with the corpus while the unified memory region doesn't —
+    # at the sf10 probe (~100M bidirectional edges) the in-memory
+    # cache OOMed the heap, while a disk-persisted edge list is one
     # sequential columnar read per iteration and leaves execution
     # memory to the iteration shuffles. At gate SF the write+read
-    # costs milliseconds.
+    # costs milliseconds. Unlike a localCheckpoint, persist KEEPS the
+    # plan's outputPartitioning/ordering, so each iteration's merge
+    # join needs no exchange and no sort on the edge side.
     # Lifecycle: no explicit unpersist is possible here (the returned
     # plan hasn't executed yet); once the caller drops the result,
     # Spark's ContextCleaner reclaims the unreferenced persisted RDD
     # (spark.cleaner.referenceTracking, on by default), so repeated
     # invocations don't accumulate storage.
     from pyspark import StorageLevel
+    from pyspark.sql import Window
 
     # MERGE hints on every growing-side join (the g02 lesson, which
-    # g01 re-learned at the sf10 probe): deg and pr are node-count
-    # relations and ed is the edge list — ALL grow with the corpus,
-    # and AQE happily builds a LongHashedRelation broadcast of the
-    # rank side per unrolled iteration when it measures small at the
-    # current SF; ten of those live at once OOMed the 8g heap at
-    # ~3.3M nodes. Sort-merge spills, and AQE can still skew-split it.
+    # g01 re-learned at the sf10 probe): pr is a node-count relation
+    # and ed is the edge list — BOTH grow with the corpus, and AQE
+    # happily builds a LongHashedRelation broadcast of the rank side
+    # per unrolled iteration when it measures small at the current
+    # SF; ten of those live at once OOMed the 8g heap at ~3.3M
+    # nodes. Sort-merge spills, and AQE can still skew-split it.
     ed = (
-        bidir.join(deg.hint("merge"), bidir.src == deg.node)
-        .select("src", "dst", "outdeg")
+        bidir.repartition("src")
+        .withColumn(
+            "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+        .sortWithinPartitions("src")
         .persist(StorageLevel.DISK_ONLY)
     )
-    pr = deg.select("node", F.lit(PR_INIT).cast("long").alias("rank"))
+    # Initial ranks: the distinct srcs of ed — a hash aggregate that
+    # reuses ed's partitioning (no exchange; HashPartitioning(src)
+    # satisfies the dedup's clustering requirement).
+    pr = (
+        ed.select(F.col("src").alias("node"))
+        .dropDuplicates()
+        .select("node", F.lit(PR_INIT).cast("long").alias("rank"))
+    )
     for _ in range(PR_ITERS):
         contrib = pr.hint("merge").join(ed, pr.node == ed.src).select(
             "dst", F.expr("rank div outdeg").alias("c")
