@@ -279,9 +279,22 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str):
     # ids ride the arrays directly and the with_global_rank pass plus
     # two merge joins it cost are gone. DISK_ONLY like e (multiple
     # consumers; the heap copy OOM'd the r11 long-session sweep).
-    od = oriented.select(
-        F.col("src").alias("sid"), F.col("dst").alias("did")
-    ).persist(StorageLevel.DISK_ONLY)
+    # repartition("sid") BEFORE the persist: both consumers key on sid
+    # — _oriented_adjacency's groupBy(sid) and the intersection's
+    # probe join — so one exchange, baked into the persisted blocks
+    # and advertised by the InMemoryRelation, replaces the exchange
+    # each consumer would otherwise run (guide §2.4: two operations
+    # keyed the same way share one exchange). adj inherits the
+    # partitioning through its exchange-free aggregate, which also
+    # makes BOTH adjacency joins in _triangles_per_edge build-side
+    # exchange-free. r13-opt A/B, values identical: sf0.1 g02
+    # 4.82 -> 4.49 s (4/5 pairs), g03 5.10 -> 4.26 s (5/5); sf1
+    # medians in favor in both (18.1 -> 16.7, 16.5 -> 16.4).
+    od = (
+        oriented.select(F.col("src").alias("sid"), F.col("dst").alias("did"))
+        .repartition("sid")
+        .persist(StorageLevel.DISK_ONLY)
+    )
     return e, deg, od
 
 
