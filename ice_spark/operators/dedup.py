@@ -176,6 +176,7 @@ def shingle_jaccard_pairs(
     threshold: float = 0.8,
     max_posting: int = DEFAULT_MAX_POSTING,
     shingle_n: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a capped shingle-hash
     inverted index — the d02 finder as a reusable, cap-parametrized
@@ -191,10 +192,19 @@ def shingle_jaccard_pairs(
     never a cross join; per-bucket candidate work is hard-bounded at
     O(max_posting²).
     """
-    docs = df.select(
-        F.col(id_col).alias("__id"),
-        T.shingle_hashes(text_col, n=shingle_n).alias("__sh"),
-    ).localCheckpoint(eager=False)
+    # `shingled`: an optional PRE-CHECKPOINTED (__id, __sh) relation a
+    # caller that also computes shingles for other stages (the p05
+    # router: audit + both finders) passes in, so the corpus-wide
+    # shingle-hash pass — the pipeline's most expensive expression —
+    # is evaluated once per run instead of once per stage.
+    docs = (
+        shingled
+        if shingled is not None
+        else df.select(
+            F.col(id_col).alias("__id"),
+            T.shingle_hashes(text_col, n=shingle_n).alias("__sh"),
+        ).localCheckpoint(eager=False)
+    )
     sizes = docs.select("__id", F.size("__sh").alias("__n"))
     ex = _cap_buckets(
         docs.select("__id", F.explode("__sh").alias("__s")), ["__s"], max_posting
@@ -323,10 +333,14 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     shingle_n: int = 3,
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding + exact verify.
 
     Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+
+    `shingled`: optional pre-checkpointed (__id, __shs) relation from
+    a caller that shares the shingle pass across stages (p05 router).
 
     Band collision probability for Jaccard s with r rows/band and b
     bands is 1-(1-s^r)^b; with r=2, b=8 the curve passes ~0.99 recall
@@ -346,10 +360,14 @@ def minhash_lsh_pairs(
     # lineage truncation also means a stage retry cannot recompute a
     # different relation, and the blocks are GC-freed with the
     # DataFrame (no unpersist bookkeeping).
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        T.shingle_hashes(text_col, n=shingle_n).alias("__shs"),
-    ).localCheckpoint(eager=False)
+    base = (
+        shingled
+        if shingled is not None
+        else df.select(
+            F.col(id_col).alias("__id"),
+            T.shingle_hashes(text_col, n=shingle_n).alias("__shs"),
+        ).localCheckpoint(eager=False)
+    )
     ex = base.select("__id", F.explode("__shs").alias("__h"))
     sigs = _signatures_from_exploded(ex, "__id", n_hashes)
 

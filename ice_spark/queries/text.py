@@ -3630,6 +3630,20 @@ def p05(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ice_spark.operators.pipeline import dedup_route_audit
 
     docs = load_table(spark, sf_dir, "documents")
+    # ONE shared lazy-checkpointed (__id, __sh) relation for BOTH
+    # finder routes (r13-opt): each finder otherwise materializes its
+    # own identical shingle checkpoint, so when the caps take
+    # different routes (gate SFs) the corpus shingle pass — the
+    # pipeline's most expensive expression — ran and materialized
+    # twice. The AUDIT deliberately keeps its own streaming map-side
+    # explode instead of reading this relation: extending the share
+    # to it was measured and LOST at sf1 (checkpoint IO for the full
+    # arrays costs more than the audit's in-scan recompute — the d11
+    # lesson; receipts in OPTIMIZATION_r13.md).
+    shingled = docs.select(
+        F.col("doc_id").alias("__id"),
+        T.shingle_hashes("text").alias("__sh"),
+    ).localCheckpoint(eager=False)
     # O(len(caps))-row driver collect: the routing decision itself
     # (bounded like the IVF centroid pull; documented ceiling = #caps)
     audit = sorted(
@@ -3647,7 +3661,9 @@ def p05(spark: SparkSession, sf_dir: str) -> DataFrame:
     for row in audit:
         if row["route"] == "capped-shingle":
             drop = (
-                shingle_jaccard_pairs(docs, max_posting=row["cap"])
+                shingle_jaccard_pairs(
+                    docs, max_posting=row["cap"], shingled=shingled
+                )
                 .select(F.col("doc_b").alias("doc_id"))
                 .distinct()
             )
@@ -3656,7 +3672,14 @@ def p05(spark: SparkSession, sf_dir: str) -> DataFrame:
                 from pyspark import StorageLevel
 
                 lsh_drop = (
-                    minhash_lsh_pairs(docs, id_col="doc_id", text_col="text")
+                    minhash_lsh_pairs(
+                        docs,
+                        id_col="doc_id",
+                        text_col="text",
+                        shingled=shingled.select(
+                            "__id", F.col("__sh").alias("__shs")
+                        ),
+                    )
                     .select(F.col("doc_b").alias("doc_id"))
                     .distinct()
                     .persist(StorageLevel.DISK_ONLY)
