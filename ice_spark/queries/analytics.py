@@ -99,9 +99,12 @@ def w01(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w02(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # timestamp key through the lineitem agg, string rendered after
+    # (e01 pattern — narrower map-side hash key than the 10-char month)
     monthly = (
-        li.groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias("month"))
+        li.groupBy(F.date_trunc("month", "l_shipdate").alias("__m"))
         .agg(F.sum(rev_dec()).alias("mrev_dec"))
+        .select(F.date_format("__m", "yyyy-MM-dd").alias("month"), "mrev_dec")
     )
     w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # Running total stays in decimal through the window (double window

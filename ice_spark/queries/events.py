@@ -36,15 +36,24 @@ from ice_spark.tables import load_table
 )
 def e01(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # Group by the TRUNCATED TIMESTAMP and render the string after the
+    # aggregate: the distinct-agg Expand triples every input row, so
+    # the shuffle key rides 3x — an 8-byte timestamp instead of a
+    # 19-char string (guide §2.3, narrower shuffle keys). Same string
+    # per group either way.
     return (
-        ev.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
-            "event_type",
-        )
+        ev.groupBy(F.date_trunc("hour", "ts").alias("__h"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
             dsum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format("__h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
         )
     )
 
@@ -325,10 +334,16 @@ def e09(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    c = ev.groupBy(
-        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
-        "event_type",
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # Group by the DATE, render the string after the aggregate — the
+    # map-side hash agg over raw events keys on 4 bytes instead of a
+    # 10-char string (guide §2.3); same string per group (e01 pattern).
+    c = (
+        ev.groupBy(F.col("ts").cast("date").alias("__d"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("__d", "yyyy-MM-dd").alias("day"), "event_type", "n"
+        )
+    )
     w = Window.partitionBy("day").orderBy(F.desc("n"), F.asc("event_type"))
     return (
         c.withColumn("rnk", F.row_number().over(w).cast("int"))
@@ -375,9 +390,16 @@ def e11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return act.groupBy(
-        F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"), "week_off"
-    ).agg(F.count(F.lit(1)).alias("n_users"))
+    # date key through the agg, string rendered after (e01 pattern)
+    return (
+        act.groupBy("d0", "week_off")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+            "week_off",
+            "n_users",
+        )
+    )
 
 
 @register(
@@ -469,10 +491,17 @@ def e14(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e15(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
-        "event_type",
-    ).agg(F.count(F.lit(1)).alias("n_events"))
+    # timestamp key through the raw-event agg, string rendered after
+    # (e01 pattern — 8-byte map-side hash key instead of 19 chars)
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("__h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("__h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+        )
+    )
     w = Window.partitionBy("event_type")
     # decimal(38,0) for every count-times-count term: n_events^2 and
     # the z-score cross terms square corpus-scaled counts, which
