@@ -205,11 +205,22 @@ def shingle_jaccard_pairs(
             T.shingle_hashes(text_col, n=shingle_n).alias("__sh"),
         ).localCheckpoint(eager=False)
     )
-    sizes = docs.select("__id", F.size("__sh").alias("__n"))
+    # Uncapped per-doc set sizes ride the posting explode as one int
+    # per posting row and come back out of the pair aggregate via
+    # max() — no size joins (the d02 rewrite; sf1 21.3 -> 17.6 s,
+    # 5/5 pairs, ~0.1 s cost at sf0.1 where AQE broadcast the joins).
     ex = _cap_buckets(
-        docs.select("__id", F.explode("__sh").alias("__s")), ["__s"], max_posting
+        docs.select(
+            "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__s")
+        ),
+        ["__s"],
+        max_posting,
     )
-    ex2 = ex.select(F.col("__id").alias("__id2"), F.col("__s").alias("__s2"))
+    ex2 = ex.select(
+        F.col("__id").alias("__id2"),
+        F.col("__n").alias("__n2"),
+        F.col("__s").alias("__s2"),
+    )
     # MERGE hint: same posting relation on both sides, partitioned +
     # sorted on the posting key by the cap window — shuffle join
     # reuses the one exchange instead of recomputing the index as a
@@ -217,18 +228,17 @@ def shingle_jaccard_pairs(
     pairs = (
         ex.join(ex2.hint("merge"), (F.col("__s") == F.col("__s2")) & (F.col("__id") < F.col("__id2")))
         .groupBy(F.col("__id").alias("doc_a"), F.col("__id2").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("__inter"))
+        .agg(
+            F.count(F.lit(1)).alias("__inter"),
+            F.max("__n").alias("__na"),
+            F.max("__n2").alias("__nb"),
+        )
     )
-    sa = sizes.select(F.col("__id").alias("__a_id"), F.col("__n").alias("__na"))
-    sb = sizes.select(F.col("__id").alias("__b_id"), F.col("__n").alias("__nb"))
     jacc = F.col("__inter").cast("double") / (
         F.col("__na") + F.col("__nb") - F.col("__inter")
     )
-    return (
-        pairs.join(sa, F.col("doc_a") == F.col("__a_id"))
-        .join(sb, F.col("doc_b") == F.col("__b_id"))
-        .where(jacc >= threshold)
-        .select("doc_a", "doc_b", jacc.alias("jaccard"))
+    return pairs.where(jacc >= threshold).select(
+        "doc_a", "doc_b", jacc.alias("jaccard")
     )
 
 

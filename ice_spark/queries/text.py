@@ -244,29 +244,34 @@ def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", T.shingle_hashes("text").alias("sh"))
         .localCheckpoint(eager=False)
     )
-    sizes = docs.select("doc_id", F.size("sh").alias("n"))
     # The window count shuffles on s — the same key the candidate
     # self-join hashes on, so the exchange is shared downstream.
-    ex = cap_postings(docs.select("doc_id", F.explode("sh").alias("s")), ["s"])
-    ex2 = ex.select(F.col("doc_id").alias("doc_b_id"), F.col("s").alias("s2"))
+    # Uncapped per-doc set sizes RIDE the posting explode as one int
+    # per posting row and come back out of the pair aggregate via
+    # max() (functionally dependent on the group key) — the two size
+    # joins that previously re-attached them to the pair set are gone
+    # (r13-opt: sf1 21.3 -> 17.6 s, 5/5 interleaved pairs; costs
+    # ~0.1 s at sf0.1 where AQE made the joins broadcasts, the
+    # documented growing-relation hazard at corpus scale).
+    ex = cap_postings(
+        docs.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")),
+        ["s"],
+    )
+    ex2 = ex.select(
+        F.col("doc_id").alias("doc_b_id"), F.col("n").alias("n2"), F.col("s").alias("s2")
+    )
     pairs = (
         ex.join(ex2, (ex.s == ex2.s2) & (ex.doc_id < ex2.doc_b_id))
         .groupBy(F.col("doc_id").alias("doc_a"), F.col("doc_b_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("n").alias("na"),
+            F.max("n2").alias("nb"),
+        )
     )
-    # No broadcast hint on the size lookups: `sizes` is one row per
-    # document, so it GROWS with the corpus — forcing a broadcast here
-    # is exactly the relation-that-grows-with-data hazard (g02's
-    # shuffle_hash lesson). AQE still broadcasts it at small SF where
-    # it measures small; at 100 TB this becomes a keyed shuffle join
-    # against the (much smaller) verified-pair set.
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     jacc = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        pairs.join(sa, F.col("doc_a") == F.col("a_id"))
-        .join(sb, F.col("doc_b") == F.col("b_id"))
-        .where(jacc >= 0.8)
+        pairs.where(jacc >= 0.8)
         .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
     )
 
