@@ -62,7 +62,12 @@ DEFAULT_MAX_BUCKET = 512
 DEFAULT_MAX_POSTING = 512
 
 
-def _cap_buckets(buckets: DataFrame, key_cols: list[str], max_bucket_size: int) -> DataFrame:
+def _cap_buckets(
+    buckets: DataFrame,
+    key_cols: list[str],
+    max_bucket_size: int,
+    keep_size: str | None = None,
+) -> DataFrame:
     """Drop buckets with more than `max_bucket_size` members.
 
     Implemented as a window count partitioned by the bucket key: ONE
@@ -71,21 +76,31 @@ def _cap_buckets(buckets: DataFrame, key_cols: list[str], max_bucket_size: int) 
     measured ~15% slower on the d04 headline). Trades bounded recall
     loss in degenerate buckets for a hard O(max_bucket_size²)
     per-bucket candidate bound.
+
+    keep_size: expose the window's bucket count under this column
+    name instead of dropping it — for surviving rows it IS the
+    bucket/posting frequency (the cap drops whole buckets), so a
+    caller that needs per-key frequencies gets them without a second
+    aggregate or join (d10).
     """
     if max_bucket_size <= 0:
         return buckets
     from pyspark.sql import Window
 
     w = Window.partitionBy(*key_cols)
-    return (
-        buckets.withColumn("__bsz", F.count(F.lit(1)).over(w))
-        .where(F.col("__bsz") <= max_bucket_size)
-        .drop("__bsz")
+    capped = buckets.withColumn("__bsz", F.count(F.lit(1)).over(w)).where(
+        F.col("__bsz") <= max_bucket_size
     )
+    if keep_size is not None:
+        return capped.withColumnRenamed("__bsz", keep_size)
+    return capped.drop("__bsz")
 
 
 def cap_postings(
-    ex: DataFrame, key_cols: list[str], max_posting: int = DEFAULT_MAX_POSTING
+    ex: DataFrame,
+    key_cols: list[str],
+    max_posting: int = DEFAULT_MAX_POSTING,
+    keep_size: str | None = None,
 ) -> DataFrame:
     """Drop inverted-index postings whose list exceeds `max_posting`.
 
@@ -96,7 +111,7 @@ def cap_postings(
     (doc_id, key) index relation. Audit dropped mass with
     ``lsh_dropped_bucket_mass(ex, key_cols, max_posting)``.
     """
-    return _cap_buckets(ex, key_cols, max_posting)
+    return _cap_buckets(ex, key_cols, max_posting, keep_size=keep_size)
 
 
 def lsh_dropped_bucket_mass(

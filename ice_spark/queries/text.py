@@ -1200,21 +1200,28 @@ def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", T.shingle_hashes("text").alias("sh")
     )
-    sizes = docs.select("doc_id", F.size("sh").alias("n"))
-    ex = cap_postings(docs.select("doc_id", F.explode("sh").alias("s")), ["s"])
-    ex2 = ex.select(F.col("doc_id").alias("doc_b_id"), F.col("s").alias("s2"))
+    # Sizes ride the posting explode and come back out of the pair
+    # aggregate (the d02 rewrite — both size joins gone; the shingle
+    # relation now has a single consumer, so no checkpoint either).
+    ex = cap_postings(
+        docs.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")),
+        ["s"],
+    )
+    ex2 = ex.select(
+        F.col("doc_id").alias("doc_b_id"), F.col("n").alias("n2"), F.col("s").alias("s2")
+    )
     pairs = (
         ex.join(ex2, (ex.s == ex2.s2) & (ex.doc_id < ex2.doc_b_id))
         .groupBy(F.col("doc_id").alias("doc_a"), F.col("doc_b_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("n").alias("na"),
+            F.max("n2").alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     cont = F.col("inter").cast("double") / F.least(F.col("na"), F.col("nb"))
     return (
-        pairs.join(sa, F.col("doc_a") == F.col("a_id"))
-        .join(sb, F.col("doc_b") == F.col("b_id"))
-        .where(cont >= 0.9)
+        pairs.where(cont >= 0.9)
         .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
     )
 
@@ -1524,15 +1531,16 @@ def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", T.shingle_hashes("text").alias("sh")
     )
-    ex = cap_postings(docs.select("doc_id", F.explode("sh").alias("s")), ["s"])
-    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("nd"))
-    per = (
-        ex.join(freq, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_dup"),
-        )
+    # The cap window's own per-posting count IS the frequency for
+    # every surviving row (the cap drops whole buckets), so the freq
+    # aggregate + join are gone — one window pass feeds the per-doc
+    # rollup directly (r13-opt).
+    ex = cap_postings(
+        docs.select("doc_id", F.explode("sh").alias("s")), ["s"], keep_size="nd"
+    )
+    per = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_dup"),
     )
     return per.filter(F.col("n_dup") > 0).select(
         "doc_id",
