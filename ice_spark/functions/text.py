@@ -167,13 +167,87 @@ def bind_once(expr: Column, body) -> Column:
     return F.element_at(F.transform(F.array(expr), body), 1)
 
 
+# --- Arrow-batched producers -------------------------------------------------
+# The SQL/Column hash pipelines above are higher-order-function trees;
+# HOF lambdas are CodegenFallback in Spark, so every character of
+# every token pays an interpreted expression-tree walk. For the
+# corpus-scan producers (whole-document hash columns) the same folds
+# run as vectorized numpy over Arrow batches (functions/text_np.py,
+# guide §4.2) — bit-identical outputs, pinned by tests/test_text_np.py
+# against the SQL path. The SQL forms stay: they are the oracle spec,
+# they serve HOF call sites (expressions nested inside transform()),
+# and they are the parity reference.
+
+
+def _arrow_array_udf(fn, text: Column | str) -> Column:
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.types import ArrayType, LongType
+
+    def _fn(s):
+        return pd.Series(fn(s.tolist()))
+
+    # real type objects: the module's `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf
+    # cannot resolve against this module's globals
+    _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_fn, ArrayType(LongType()))
+    return udf(F.col(text) if isinstance(text, str) else text)
+
+
+def shingle_hashes_arrow(text: Column | str, n: int = 3) -> Column:
+    """Arrow-batched ``shingle_hashes`` (same bits, numpy fold)."""
+    from ice_spark.functions.text_np import shingle_hash_lists
+
+    return _arrow_array_udf(lambda ts: shingle_hash_lists(ts, n), text)
+
+
+def span_hashes_arrow(text: Column | str, w: int = 8) -> Column:
+    """Arrow-batched ``span_hashes_sql`` (positional, duplicates
+    kept, < w tokens or NULL -> empty array — same bits)."""
+    from ice_spark.functions.text_np import span_hash_lists
+
+    return _arrow_array_udf(lambda ts: span_hash_lists(ts, w), text)
+
+
+def token_hashes_arrow(text: Column | str) -> Column:
+    """Arrow-batched ``token_hashes_sql`` (same bits)."""
+    from ice_spark.functions.text_np import token_hash_lists
+
+    return _arrow_array_udf(token_hash_lists, text)
+
+
+def char_hash_arrow(text: Column | str) -> Column:
+    """Arrow-batched whole-string ``char_hash`` — for corpus-scan
+    fingerprint columns over full document text. Keep the Column/SQL
+    form for short keys and for call sites inside HOF lambdas (a
+    pandas UDF cannot appear there)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.types import LongType
+
+    from ice_spark.functions.text_np import char_hash_values
+
+    def _fn(s):
+        return pd.Series(char_hash_values(s.tolist()), dtype="object")
+
+    _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_fn, LongType())
+    return udf(F.col(text) if isinstance(text, str) else text)
+
+
 def shingle_hashes(text: Column | str, n: int = 3) -> Column:
     """Distinct portable hashes of word n-gram shingles.
 
     Tokens are hashed once (char walk), shingle hashes combine the
     token hashes polynomially — O(total chars + shingles), not
-    O(total chars * shingles).
+    O(total chars * shingles). Since r13-opt this dispatches to the
+    Arrow-batched numpy fold (bit-identical; the HOF form below is
+    kept as the spec/parity reference via ``shingle_hashes_column``).
     """
+    return shingle_hashes_arrow(text, n)
+
+
+def shingle_hashes_column(text: Column | str, n: int = 3) -> Column:
+    """The original Column/HOF implementation (parity reference)."""
     if isinstance(text, str):
         return F.expr(shingle_hashes_sql(text, n))
     th_expr = F.transform(tokens(text), char_hash)

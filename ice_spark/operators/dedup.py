@@ -270,7 +270,7 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 def dedup_by_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup shuffling only (fingerprint, id) — the scale path."""
-    fp = df.select(F.col(id_col), T.char_hash(text_col).alias("__fp"))
+    fp = df.select(F.col(id_col), T.char_hash_arrow(text_col).alias("__fp"))
     keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     return df.join(keep.select(id_col), on=id_col, how="left_semi")
 
@@ -574,7 +574,7 @@ def duplicate_span_cut_positions(
     sp = (
         df.select(
             F.col(id_col).alias("__id"),
-            F.posexplode(F.expr(T.span_hashes_sql(text_col, w))).alias(
+            F.posexplode(T.span_hashes_arrow(text_col, w)).alias(
                 "__pos0", "__h"
             ),
         )
@@ -698,7 +698,7 @@ def span_incremental_admission(
     document's spans, never the corpus)."""
     idx = (
         corpus.select(
-            F.explode(F.expr(T.span_hashes_sql(text_col, w))).alias("__h")
+            F.explode(T.span_hashes_arrow(text_col, w)).alias("__h")
         )
         .distinct()
     )
@@ -713,7 +713,7 @@ def span_index(df: DataFrame, text_col: str = "text", w: int = 8) -> DataFrame:
     In production this is computed once at ingest and STORED — the
     admission gate then never rescans the corpus."""
     return df.select(
-        F.explode(F.expr(T.span_hashes_sql(text_col, w))).alias("__h")
+        F.explode(T.span_hashes_arrow(text_col, w)).alias("__h")
     ).distinct()
 
 
@@ -731,7 +731,7 @@ def span_admission_against_index(
     rebuilding it per batch (streaming/dedupe.span_admission_stream)."""
     b_sp = batch.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.expr(T.span_hashes_sql(text_col, w))).alias("__pos0", "__h"),
+        F.posexplode(T.span_hashes_arrow(text_col, w)).alias("__pos0", "__h"),
     ).select("__id", (F.col("__pos0") + 1).alias("__pos"), "__h")
     occ = b_sp.join(idx.hint("merge"), "__h", "semi").select("__id", "__pos")
 

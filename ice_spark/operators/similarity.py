@@ -288,7 +288,14 @@ def srp_weight_sql(p_sql: str, d_sql: str) -> str:
 
 
 def srp_signature_sql(vec_sql: str, n_planes: int = 16) -> str:
-    """Spark SQL expression: n_planes-bit SRP signature as a BIGINT."""
+    """Spark SQL expression: n_planes-bit SRP signature as a BIGINT.
+
+    Works for any vector length (the fold runs over ``size(vec)``),
+    but every higher-order-function lambda here evaluates on Spark's
+    INTERPRETED expression path — n_planes * dim iterations per row
+    outside whole-stage codegen. For a corpus with a fixed dimension,
+    use :func:`srp_signature_unrolled_sql` (identical bits, ~30x).
+    """
     proj = (
         f"aggregate(sequence(1, size({vec_sql})), CAST(0 AS DOUBLE), "
         f"(s, d) -> s + CAST(element_at({vec_sql}, d) AS DOUBLE) * "
@@ -298,6 +305,40 @@ def srp_signature_sql(vec_sql: str, n_planes: int = 16) -> str:
         f"aggregate(sequence(0, {n_planes - 1}), CAST(0 AS BIGINT), "
         f"(acc, p) -> acc * 2 + (CASE WHEN {proj} >= 0 THEN 1 ELSE 0 END))"
     )
+
+
+def srp_signature_unrolled_sql(
+    vec_sql: str, n_planes: int = 16, dim: int = 64
+) -> str:
+    """``srp_signature_sql`` with the plane/dim loops unrolled for a
+    FIXED vector dimension — bit-identical output, whole-stage
+    codegen instead of the interpreted lambda path.
+
+    The ±1 plane weights are pure functions of (p, d), so they fold
+    at build time into a plain add/subtract chain in the same
+    d = 1..dim order as the aggregate fold (x * +-1.0 is IEEE-exact,
+    a - b == a + (-b), so the projection is the same double
+    bit-for-bit); the bit fold acc*2+bit over p = 0..n-1 becomes a
+    sum of power-of-two literals. Precondition: every vector has
+    exactly ``dim`` entries (the registry corpus contract — v09/v15/
+    v17 pin generate_series(1, 64) in their oracles); a shorter
+    vector fails loudly under ANSI element_at instead of mis-hashing.
+    r13-opt receipt: 200k rows 31.5 -> 0.6 s, 0 mismatches.
+    """
+    plane_bits = []
+    for p in range(n_planes):
+        terms = []
+        for d in range(1, dim + 1):
+            w = ((p * 7919 + d * 104729) % SRP_MOD) % 2 == 0
+            t = f"CAST(element_at({vec_sql}, {d}) AS DOUBLE)"
+            terms.append(f"+ {t}" if w else f"- {t}")
+        proj = f"(CAST(0 AS DOUBLE) {' '.join(terms)})"
+        bit_val = 1 << (n_planes - 1 - p)
+        plane_bits.append(
+            f"(CASE WHEN {proj} >= 0 THEN CAST({bit_val} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "(" + " + ".join(plane_bits) + ")"
 
 
 def srp_signature_duckdb_sql(vec_sql: str, n_planes: int = 16) -> str:

@@ -562,7 +562,13 @@ def a06(spark: SparkSession, sf_dir: str) -> DataFrame:
     "-> NULL, counted via the qty=30 rows), try_cast on unparseable "
     "strings. Spark's try_* maps to DuckDB's NULLIF-division and "
     "TRY_CAST — same null semantics, pinned by the oracle. Map-only "
-    "plus one aggregation.",
+    "plus one aggregation. The try_casts run AFTER a "
+    "(returnflag, linestatus) pre-aggregate: a failing try_cast "
+    "throws and catches a JVM exception per evaluation, and both "
+    "cast inputs here never parse ('A'/'N'/'R', 'O'/'F'), so the "
+    "per-row form paid exception unwinding on every row — 15x at "
+    "sf0.1 (11.7s -> 0.7s), identical output since every try-family "
+    "column is a function of the two group keys alone.",
 )
 def f14(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -570,14 +576,25 @@ def f14(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents(F.col("l_extendedprice")),
         F.round("l_quantity").cast("long") - F.lit(30),
     )
-    return li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(F.when(div.isNull(), 1)).alias("n_div_by_zero"),
-        F.count(
-            F.when(F.expr("try_cast(l_linestatus AS INT)").isNull(), 1)
+    # Stage 1: per-row work keyed on the tiny (flag, status) domain —
+    # try_divide stays per-row (its null-ness depends on l_quantity).
+    pre = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count(F.when(div.isNull(), 1)).alias("dz"),
+    )
+    # Stage 2: the string try_casts evaluate once per group (~6 rows),
+    # not once per lineitem row; counts recombine exactly.
+    return pre.groupBy("l_returnflag").agg(
+        F.sum("cnt").alias("n"),
+        F.sum("dz").alias("n_div_by_zero"),
+        F.sum(
+            F.when(
+                F.expr("try_cast(l_linestatus AS INT)").isNull(), F.col("cnt")
+            ).otherwise(F.lit(0))
         ).alias("n_unparsed"),
         F.sum(
-            F.coalesce(
+            F.col("cnt")
+            * F.coalesce(
                 F.expr("try_cast(substring(l_returnflag, 1, 1) AS INT)"),
                 F.lit(0),
             )

@@ -1049,13 +1049,13 @@ def _bloom_pos_sql(fp: str, a: int, b: int) -> str:
     "engine-specific hash functions.",
 )
 def k09(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ice_spark.functions.text import char_hash
+    from ice_spark.functions.text import char_hash_arrow
     from ice_spark.operators.sampling import hash_bucket
 
     docs = load_table(spark, sf_dir, "documents")
     fps = docs.select(
         "doc_id",
-        char_hash(F.col("text")).alias("fp"),
+        char_hash_arrow(F.col("text")).alias("fp"),
         hash_bucket(F.col("doc_id")).alias("bucket"),
     )
     held = fps.where(F.col("bucket") < 1000).select("fp")

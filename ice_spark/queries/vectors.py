@@ -482,11 +482,13 @@ def _v08_oracle() -> str:
     "sign bit (operators/similarity.srp_signature_sql).",
 )
 def v08(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ice_spark.operators.similarity import srp_signature_sql
+    from ice_spark.operators.similarity import srp_signature_unrolled_sql
 
     emb = load_table(spark, sf_dir, "embeddings")
     sigs = emb.select(
-        "vec_id", "label", F.expr(srp_signature_sql("embedding", 16)).alias("sig")
+        "vec_id",
+        "label",
+        F.expr(srp_signature_unrolled_sql("embedding", 16)).alias("sig"),
     )
     return (
         sigs.groupBy("sig")

@@ -17,11 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ice_spark.functions.text import char_hash
+from ice_spark.functions.text import char_hash_arrow
 
 
 def with_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
-    return df.withColumn(out_col, char_hash(F.col(text_col)))
+    return df.withColumn(out_col, char_hash_arrow(F.col(text_col)))
 
 
 def dedup_stream(

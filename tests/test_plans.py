@@ -206,7 +206,10 @@ def test_round4_query_shuffle_budget(spark, sf_dir, name, max_exchanges):
     "name,max_exchanges",
     [
         ("a06_grouping_id_rollup", 1),  # rollup expands map-side
-        ("f14_try_functions", 1),  # map-only + one aggregation
+        # r13: +1 — the failing-try_cast columns moved behind a
+        # (flag, status) pre-aggregate (per-row exception unwinding
+        # was 15x the query); the second exchange carries ~6 rows
+        ("f14_try_functions", 2),
         ("s09_temperature_sampling", 3),  # counts + broadcast rates + final agg
         ("s10_importance_resampling", 1),  # per-row threshold, one agg
         # keyed dedup agg + per-type rollup + the round-6

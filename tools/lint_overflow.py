@@ -96,6 +96,13 @@ AUDITED: dict[str, set[str]] = {
     "k02_countmin_heavy_hitters": {
         "((o_custkey % CAST(2147483647 AS BIGINT)) * CAST(p.`a` AS BIGINT))"
     },
+    # group count x one parsed DIGIT: try_cast(substring(flag,1,1))
+    # yields NULL or 0-9 (coalesced to 0), so the product is <= 9n —
+    # linear in corpus rows, same envelope as the ntile sites
+    "f14_try_functions": {
+        "(cnt * CAST(coalesce(TRY_CAST(substring(l_returnflag, 1, 1) "
+        "AS INT), 0) AS BIGINT))"
+    },
     # percentile-rank arithmetic: n (count, linear) x p_num <= 99
     # (from the 3-row percentile-spec VALUES relation) -> <= 99n,
     # linear in corpus rows
