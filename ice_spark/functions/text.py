@@ -179,12 +179,34 @@ def bind_once(expr: Column, body) -> Column:
 # and they are the parity reference.
 
 
-def _arrow_array_udf(fn, text: Column | str) -> Column:
+def _repo_root() -> str:
+    import os  # noqa: PLC0415
+
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _arrow_array_udf(kernel_name: str, text: Column | str, **kw) -> Column:
     import pandas as pd  # noqa: PLC0415 — executor-side import
     from pyspark.sql.types import ArrayType, LongType
 
+    root = _repo_root()
+
+    # NOTE: the closure must stay self-contained (only stdlib/pandas
+    # globals): anything referencing this module by name forces the
+    # executor worker — which inherits the driver's cwd but NOT its
+    # sys.path — to import ice_spark before the fallback can run.
     def _fn(s):
-        return pd.Series(fn(s.tolist()))
+        import importlib  # noqa: PLC0415
+
+        try:
+            text_np = importlib.import_module("ice_spark.functions.text_np")
+        except ModuleNotFoundError:  # pragma: no cover - path-dependent
+            import sys  # noqa: PLC0415
+
+            sys.path.insert(0, root)
+            text_np = importlib.import_module("ice_spark.functions.text_np")
+        fn = getattr(text_np, kernel_name)
+        return pd.Series(fn(s.tolist(), **kw))
 
     # real type objects: the module's `from __future__ import
     # annotations` would stringify inline hints, which pandas_udf
@@ -196,24 +218,18 @@ def _arrow_array_udf(fn, text: Column | str) -> Column:
 
 def shingle_hashes_arrow(text: Column | str, n: int = 3) -> Column:
     """Arrow-batched ``shingle_hashes`` (same bits, numpy fold)."""
-    from ice_spark.functions.text_np import shingle_hash_lists
-
-    return _arrow_array_udf(lambda ts: shingle_hash_lists(ts, n), text)
+    return _arrow_array_udf("shingle_hash_lists", text, n=n)
 
 
 def span_hashes_arrow(text: Column | str, w: int = 8) -> Column:
     """Arrow-batched ``span_hashes_sql`` (positional, duplicates
     kept, < w tokens or NULL -> empty array — same bits)."""
-    from ice_spark.functions.text_np import span_hash_lists
-
-    return _arrow_array_udf(lambda ts: span_hash_lists(ts, w), text)
+    return _arrow_array_udf("span_hash_lists", text, w=w)
 
 
 def token_hashes_arrow(text: Column | str) -> Column:
     """Arrow-batched ``token_hashes_sql`` (same bits)."""
-    from ice_spark.functions.text_np import token_hash_lists
-
-    return _arrow_array_udf(token_hash_lists, text)
+    return _arrow_array_udf("token_hash_lists", text)
 
 
 def char_hash_arrow(text: Column | str) -> Column:
@@ -224,10 +240,19 @@ def char_hash_arrow(text: Column | str) -> Column:
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.types import LongType
 
-    from ice_spark.functions.text_np import char_hash_values
+    root = _repo_root()
 
     def _fn(s):
-        return pd.Series(char_hash_values(s.tolist()), dtype="object")
+        import importlib  # noqa: PLC0415
+
+        try:
+            text_np = importlib.import_module("ice_spark.functions.text_np")
+        except ModuleNotFoundError:  # pragma: no cover - path-dependent
+            import sys  # noqa: PLC0415
+
+            sys.path.insert(0, root)
+            text_np = importlib.import_module("ice_spark.functions.text_np")
+        return pd.Series(text_np.char_hash_values(s.tolist()), dtype="object")
 
     _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(_fn, LongType())
