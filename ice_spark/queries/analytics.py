@@ -1072,40 +1072,24 @@ def w07(spark: SparkSession, sf_dir: str) -> DataFrame:
     "both_cnt >= 3 prunes the long noise tail before ranking.",
 )
 def a07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Per-order part set (collect_set dedups the (orderkey, partkey)
-    # grain map-side, replacing the old distinct() exchange); bounded
-    # by the l_linenumber domain (<= 7 parts/order — the f13
-    # per-entity envelope, audited in AUDITED_BUFFERING_AGGS). The
-    # ordered-pair explode then replaces the li self-join + pair
-    # groupBy: <= 42 pairs per order emitted map-side, one keyed agg
-    # instead of a join stage — the same rewrite as g02's edge build
-    # (r13-opt). One relation feeds n_ord/item/pair, so cache it like
-    # the old distinct li (comparable bytes: one array row per order).
-    sets = (
+    li = (
         load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
         .cache()
     )
     # Basket count rides the plan as a broadcast 1-row relation — the
     # query stays fully lazy (no driver-side action at construction).
-    n_ord = sets.agg(F.count(F.lit(1)).alias("n"))
-    item = (
-        sets.select(F.explode("ps").alias("l_partkey"))
-        .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    n_ord = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = li.alias("a"), li.alias("b")
     pair = (
-        sets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> transform("
-                    "concat(slice(ps, 1, i), slice(ps, i + 2, size(ps))), "
-                    "y -> struct(x AS ante, y AS cons))))"
-                )
-            ).alias("p")
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
         )
-        .groupBy(F.col("p.ante").alias("ante"), F.col("p.cons").alias("cons"))
+        .groupBy(F.col("a.l_partkey").alias("ante"), F.col("b.l_partkey").alias("cons"))
         .agg(F.count(F.lit(1)).alias("both_cnt"))
         .where(F.col("both_cnt") >= 3)
     )

@@ -2729,44 +2729,29 @@ def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(T.tokens_sql("text")).alias("t")
     )
 
-    # One pass instead of two: the old form built bigram and trigram
-    # branches as separate explode+agg pipelines, so the corpus was
-    # scanned and TOKENIZED twice and the two per-doc aggregates met
-    # in a join. Emit both gram sizes from one explode, tagged with n
-    # (every position i < len has a bigram; positions i < len-1 also
-    # a trigram), count on (doc_id, n, g) once, and split the per-doc
-    # metrics by n inside a single aggregate — 1 scan / 1 tokenize,
-    # 2 exchanges, 0 joins (was 2 scans, 4 exchanges, 1 join).
-    # Docs with bigrams but no trigrams (len == 2) simply have no
-    # n=3 rows, reproducing the old LEFT-join null exactly.
-    grams = docs.where(F.expr("size(t) >= 2")).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(1, size(t) - 1), i -> "
-                "IF(i <= size(t) - 2, "
-                "array(named_struct('n', 2, 'g', concat_ws(' ', slice(t, i, 2))), "
-                "named_struct('n', 3, 'g', concat_ws(' ', slice(t, i, 3)))), "
-                "array(named_struct('n', 2, 'g', concat_ws(' ', slice(t, i, 2)))))))"
-            )
-        ).alias("p"),
-    )
-    cnt = grams.groupBy(
-        "doc_id", F.col("p.n").alias("n"), F.col("p.g").alias("g")
-    ).agg(F.count(F.lit(1)).alias("c"))
-    is2, is3 = F.col("n") == 2, F.col("n") == 3
-    b = cnt.groupBy("doc_id").agg(
-        F.sum(F.when(is2, F.col("c"))).cast("long").alias("n_bigrams"),
-        F.max(F.when(is2, F.col("c"))).cast("long").alias("top_c"),
-        F.coalesce(
-            F.sum(F.when(is2 & (F.col("c") > 1), F.col("c"))), F.lit(0)
+    def gram_agg(n: int, names: tuple[str, str, str]) -> DataFrame:
+        total, top, dup = names
+        grams = docs.where(F.expr(f"size(t) >= {n}")).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n - 1}), "
+                    f"i -> concat_ws(' ', slice(t, i, {n})))"
+                )
+            ).alias("g"),
         )
-        .cast("long")
-        .alias("dup_c"),
-        F.sum(F.when(is3, F.col("c"))).cast("long").alias("n_trigrams"),
-        F.sum(F.when(is3 & (F.col("c") > 1), F.col("c")))
-        .cast("long")
-        .alias("dup_c3"),
+        cnt = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        return cnt.groupBy("doc_id").agg(
+            F.sum("c").cast("long").alias(total),
+            F.max("c").cast("long").alias(top),
+            F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias(dup),
+        )
+
+    b = gram_agg(2, ("n_bigrams", "top_c", "dup_c"))
+    t3 = gram_agg(3, ("n_trigrams", "top_c3", "dup_c3")).select(
+        F.col("doc_id").alias("t_doc"), "n_trigrams", "dup_c3"
     )
     top_frac = F.col("top_c").cast("double") / F.col("n_bigrams")
     dup_frac = F.col("dup_c").cast("double") / F.col("n_bigrams")
@@ -2774,7 +2759,8 @@ def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_trigrams").isNull() | (F.col("n_trigrams") == 0), F.lit(1)
     ).otherwise(F.col("n_trigrams"))
     return (
-        b.select(
+        b.join(t3, b.doc_id == F.col("t_doc"), "left")
+        .select(
             "doc_id",
             "n_bigrams",
             F.round(top_frac, 6).alias("top_bigram_frac"),

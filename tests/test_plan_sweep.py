@@ -147,11 +147,6 @@ def _buffering_sites(plan: str) -> Counter:
 # envelope (a doc's own tokens, an order's own lines), never by
 # corpus size. ANY new site fails the sweep and must be audited here.
 AUDITED_BUFFERING_AGGS = {
-    # per-order part set for the basket pair explode: bounded by the
-    # l_linenumber domain (<= 7 parts/order — the f13 per-entity
-    # envelope); same bounded edge-build aggregate as g02, cached so
-    # it computes once for its three consumers (r13-opt rewrite)
-    "a07_association_rules": {"collect_set": 1},
     # per-order line list: TPC-H lineitem has <= 7 lines per order
     # (l_linenumber domain) — per-entity envelope, not corpus-scaled
     "f13_array_ordinality": {"collect_list": 1},
