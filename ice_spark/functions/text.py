@@ -232,6 +232,30 @@ def token_hashes_arrow(text: Column | str) -> Column:
     return _arrow_array_udf("token_hash_lists", text)
 
 
+def minhash_sigs_arrow(text: Column | str, n: int = 3, k: int = 16) -> Column:
+    """Arrow-batched text -> k-permutation MinHash signature array —
+    bit-identical to exploding ``shingle_hashes`` and aggregating
+    ``min((h*(2j+3)+(7j+1)) % MOD)`` per permutation
+    (operators/dedup._signatures_from_exploded), in ONE Python pass:
+    tokenize + shingle + k mins, shipping k longs per doc back over
+    Arrow instead of the whole shingle array. NULL text -> NULL array
+    (all-null signature row, matching the exploded [None] group)."""
+    return _arrow_array_udf("minhash_sig_lists", text, n=n, k=k)
+
+
+def minhash_from_shingles_arrow(shingles: Column | str, k: int = 16) -> Column:
+    """Arrow-batched shingle-hash array -> k-permutation MinHash
+    signature array (same permutation spec); for callers that already
+    materialize the shingle relation and want the signature map-side
+    without the explode + groupBy exchange. [None]/NULL arrays ->
+    NULL signature. Parity-pinned but deliberately UNWIRED: inside
+    minhash_lsh_pairs it was measured and REJECTED (r13-opt A/B —
+    shipping the checkpointed arrays over Arrow costs more than the
+    exchange it removes; d04 2.08 vs 1.67 s sf0.1 medians, s13 flat);
+    kept for pipelines whose shingle relation is already Python-side."""
+    return _arrow_array_udf("minhash_from_hash_lists", shingles, k=k)
+
+
 def char_hash_arrow(text: Column | str) -> Column:
     """Arrow-batched whole-string ``char_hash`` — for corpus-scan
     fingerprint columns over full document text. Keep the Column/SQL

@@ -192,6 +192,95 @@ def shingle_hash_lists(texts: list, n: int = 3) -> list:
     return out
 
 
+def _seg_min_perms(
+    flat: np.ndarray, cnt: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per segment (cnt>0): [min((h*(2j+3)+(7j+1)) % MOD) for j<k] —
+    the minhash permutation spec of operators/dedup
+    (_signatures_from_exploded), vectorized. Returns (nonzero segment
+    indices, (len(nz), k) signature matrix). Duplicates in a segment
+    cannot change a min, so callers may pass windows WITHOUT the
+    order-preserving distinct."""
+    ndocs = len(cnt)
+    offs = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(cnt, out=offs[1:])
+    nz = np.flatnonzero(cnt > 0)
+    sig = np.empty((len(nz), k), dtype=np.int64)
+    if len(nz):
+        starts = offs[:-1][nz]
+        for j in range(k):
+            pj = (flat * (2 * j + 3) + (7 * j + 1)) % MOD
+            sig[:, j] = np.minimum.reduceat(pj, starts)
+    return nz, sig
+
+
+def minhash_sig_lists(texts: list, n: int = 3, k: int = 16) -> list:
+    """Per doc: the k-permutation MinHash signature over its n-token
+    shingle hashes — bit-identical to exploding
+    ``shingle_hash_lists`` and taking ``min((h*(2j+3)+(7j+1)) % MOD)``
+    per permutation (< n tokens -> mins over the single whole-fold
+    hash; NULL text -> None, i.e. an all-null signature row)."""
+    counts, th, null = _tokenize(texts)
+    win_doc, _local, vals, m = _windows(counts, th, n)
+    ndocs = len(counts)
+    short = np.flatnonzero((counts < n) & ~null)
+    short_acc = _whole_fold(counts, th, short)
+    cnt = m.copy()
+    cnt[short] = 1
+    cnt[null] = 0
+    offs = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(cnt, out=offs[1:])
+    flat = np.empty(int(offs[-1]), dtype=np.int64)
+    if len(vals):
+        woffs = np.zeros(ndocs + 1, dtype=np.int64)
+        np.cumsum(m, out=woffs[1:])
+        # window row i of doc d lands at offs[d] + (i - woffs[d])
+        shift = np.repeat(offs[:-1] - woffs[:-1], m)
+        flat[shift + np.arange(len(vals))] = vals
+    if len(short):
+        flat[offs[short]] = short_acc
+    nz, sig = _seg_min_perms(flat, cnt, k)
+    out: list = [None] * ndocs
+    for i, d in enumerate(nz):
+        out[d] = sig[i].tolist()
+    return out
+
+
+def minhash_from_hash_lists(arrs: list, k: int = 16) -> list:
+    """Per input hash array: the k-permutation MinHash signature (same
+    permutation spec as :func:`minhash_sig_lists`). Mirrors the
+    explode + groupBy-min semantics for everything the shingle
+    producers emit: a non-empty int array -> k mins; ``[None]`` (the
+    NULL-text marker) or NULL array -> None (all-null signature).
+    Arrow may deliver null-bearing arrays as float (NaN) or object
+    (None) — both are detected. Empty arrays (not producible by
+    shingle_hashes) also map to None."""
+    ndocs = len(arrs)
+
+    def _n(a) -> int:
+        if a is None or len(a) == 0:
+            return 0
+        h0 = a[0]
+        if h0 is None or h0 != h0:  # None or NaN
+            return 0
+        return len(a)
+
+    cnt = np.fromiter((_n(a) for a in arrs), dtype=np.int64, count=ndocs)
+    total = int(cnt.sum())
+    from itertools import chain  # noqa: PLC0415
+
+    flat = np.fromiter(
+        chain.from_iterable(a for a, c in zip(arrs, cnt) if c),
+        dtype=np.int64,
+        count=total,
+    )
+    nz, sig = _seg_min_perms(flat, cnt, k)
+    out: list = [None] * ndocs
+    for i, d in enumerate(nz):
+        out[d] = sig[i].tolist()
+    return out
+
+
 def span_hash_lists(texts: list, w: int = 8) -> list:
     """Per doc: ALL w-token span hashes in position order (duplicates
     kept); < w tokens -> []; NULL text -> []."""

@@ -301,10 +301,21 @@ _SQL_MINHASH_SIG = (
     "d04 (rows-only).",
 )
 def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ice_spark.operators.dedup import minhash_signatures
-
+    # One Arrow pass (tokenize + shingle + 4 mins in numpy) shipping
+    # 4 longs per doc — bit-identical to operators/dedup.
+    # minhash_signatures' explode + groupBy-min (pinned by
+    # tests/test_text_np.py), with no shingle array over the Python
+    # boundary and no groupBy exchange. The kernel is adopted ONLY
+    # where the signature IS the terminal result: inside the LSH
+    # pipelines (d04/d11/s13) the exploded aggregate's output
+    # partitioning feeds the band stage and the kernel form measured
+    # SLOWER there (r13-opt A/B, rejected list); here it wins 3/3
+    # sf0.1 pairs and 2/3 sf1 (0.42-0.72 vs 0.80-1.45 s sf0.1).
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(docs, "doc_id", "text", k=4)
+    sig = T.minhash_sigs_arrow("text", n=3, k=4)
+    return docs.select("doc_id", sig.alias("__sig")).select(
+        "doc_id", *[F.col("__sig").getItem(j).alias(f"mh{j}") for j in range(4)]
+    )
 
 
 def _d04_oracle() -> str:

@@ -86,6 +86,63 @@ def test_token_and_char_parity_adversarial(spark):
     )
 
 
+def _minhash_reference(df, id_col, text_col, k):
+    """The explode + groupBy-min spec form (kept in operators/dedup
+    as _signatures_from_exploded), driven off the HOF shingle
+    producer so the whole reference path is Spark-side."""
+    from ice_spark.operators.dedup import _signatures_from_exploded
+
+    ex = df.select(
+        F.col(id_col),
+        F.explode(T.shingle_hashes_column(F.col(text_col))).alias("__h"),
+    )
+    return _signatures_from_exploded(ex, id_col, k)
+
+
+def _assert_rows_equal(a, b, key):
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb, (ra[:3], rb[:3])
+
+
+def _kernel_sigs(df, k):
+    """The d03 construction: text -> signature array in one Arrow
+    pass, unpacked to mh columns."""
+    sig = T.minhash_sigs_arrow("text", n=3, k=k)
+    return df.select("doc_id", sig.alias("__sig")).select(
+        "doc_id", *[F.col("__sig").getItem(j).alias(f"mh{j}") for j in range(k)]
+    )
+
+
+def test_minhash_sig_parity_adversarial(spark):
+    df = _df(spark)
+    for k in (4, 16):
+        new = _kernel_sigs(df, k)
+        ref = _minhash_reference(df, "doc_id", "text", k)
+        _assert_rows_equal(new, ref, "doc_id")
+
+
+def test_minhash_from_shingles_parity(spark):
+    df = _df(spark)
+    arrs = df.select(
+        "doc_id", T.shingle_hashes_arrow(F.col("text")).alias("shs")
+    )
+    new = arrs.select(
+        "doc_id", T.minhash_from_shingles_arrow("shs", k=16).alias("sig")
+    ).select("doc_id", *[F.col("sig").getItem(j).alias(f"mh{j}") for j in range(16)])
+    ref = _minhash_reference(df, "doc_id", "text", 16)
+    _assert_rows_equal(new, ref, "doc_id")
+
+
+def test_minhash_sig_parity_on_corpus(spark, sf_dir):
+    from ice_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = _kernel_sigs(docs, 16)
+    ref = _minhash_reference(docs, "doc_id", "text", 16)
+    _assert_rows_equal(new, ref, "doc_id")
+
+
 def test_parity_on_corpus(spark, sf_dir):
     from ice_spark.tables import load_table
 
