@@ -150,8 +150,58 @@ def main() -> int:
                 print(f"SKIP {name}", flush=True)
                 continue
             if name in FRESH_SESSION:
-                spark.stop()
-                spark = get_spark("probe_sf")
+                # A truly fresh JVM via subprocess. The old form
+                # (spark.stop() + new session IN-PROCESS) restarts
+                # the SparkContext but keeps the py4j gateway JVM —
+                # and with it ~80 queries of heap state: the third
+                # r13-opt sweep OOM'd g02 that way
+                # (UNABLE_TO_ACQUIRE_MEMORY acquiring 128 MB pages)
+                # while the identical query was green in a clean
+                # process minutes later. A real cluster runs each job
+                # as its own application; subprocess isolation makes
+                # the sweep match that for the queries pinned here.
+                import re as _re  # noqa: PLC0415
+                import subprocess  # noqa: PLC0415
+
+                t0 = time.time()
+                proc = subprocess.run(
+                    [sys.executable, __file__, args.sf_dir, name, "--runs", "1"],
+                    capture_output=True,
+                    text=True,
+                    check=False,
+                )
+                dt = time.time() - t0
+                m = _re.search(r"rows=(\d+)", proc.stdout or "")
+                if proc.returncode == 0 and m:
+                    n = int(m.group(1))
+                    if name in expect and n != expect[name]:
+                        print(
+                            f"FAIL {name}: rows={n}, sf10 regime pin "
+                            f"expects rows={expect[name]} {dt:.1f}s",
+                            flush=True,
+                        )
+                        fails.append(name)
+                    else:
+                        pin = " (pinned)" if name in expect else ""
+                        print(
+                            f"OK   {name}: rows={n}{pin} {dt:.1f}s "
+                            "(fresh JVM)",
+                            flush=True,
+                        )
+                        ok += 1
+                else:
+                    tail = (
+                        ((proc.stdout or "") + (proc.stderr or ""))
+                        .strip()
+                        .splitlines()
+                    )
+                    last = tail[-1][:160] if tail else ""
+                    print(
+                        f"FAIL {name}: fresh-JVM run rc={proc.returncode} {last}",
+                        flush=True,
+                    )
+                    fails.append(name)
+                continue
             spark.catalog.clearCache()
             # localCheckpoint blocks are NOT freed by clearCache —
             # they go when the RDD is GC'd, and Python->py4j->JVM GC
@@ -186,12 +236,6 @@ def main() -> int:
             except Exception as ex:  # noqa: BLE001 - sweep reports, never dies
                 print(f"FAIL {name}: {str(ex).splitlines()[0][:160]}", flush=True)
                 fails.append(name)
-            finally:
-                if name in FRESH_SESSION:
-                    # don't let the heavy query's JVM state leak into
-                    # the rest of the sweep either
-                    spark.stop()
-                    spark = get_spark("probe_sf")
         print(
             f"DONE ok={ok} fail={len(fails)} skip={len(skip)} "
             f"total={time.time() - t_all:.0f}s fails={fails}",
