@@ -1,7 +1,12 @@
 """Text-analysis primitives: tokenization, portable hashes, shingles,
 MinHash signatures, SimHash, language-ID scoring, quality metrics.
 
-All pure Column expressions (whole-stage codegen, no Python).
+Two execution forms since r13-opt: the SQL/Column expression trees
+(whole-stage codegen; the oracle spec and parity reference) and
+Arrow-batched numpy producers (``*_arrow``, ``functions/text_np.py``)
+used at corpus-scan sites, where Spark's interpreted HOF-lambda path
+loses 1.5-10x to a vectorized pandas UDF (guide §4.2). Bit parity is
+pinned by ``tests/test_text_np.py``.
 
 Portable hash spec (reproducible in any engine, incl. the DuckDB
 oracle):
@@ -195,6 +200,11 @@ def _arrow_array_udf(kernel_name: str, text: Column | str, **kw) -> Column:
     # globals): anything referencing this module by name forces the
     # executor worker — which inherits the driver's cwd but NOT its
     # sys.path — to import ice_spark before the fallback can run.
+    # LOCAL-MODE ASSUMPTION: the sys.path fallback below points the
+    # worker at the DRIVER's repo root, which only resolves when
+    # executors share the driver's filesystem (local[N], or a cluster
+    # with a shared mount). On a distributed cluster, ship the package
+    # with sc.addPyFile/--py-files so the plain import succeeds first.
     def _fn(s):
         import importlib  # noqa: PLC0415
 
@@ -241,19 +251,6 @@ def minhash_sigs_arrow(text: Column | str, n: int = 3, k: int = 16) -> Column:
     Arrow instead of the whole shingle array. NULL text -> NULL array
     (all-null signature row, matching the exploded [None] group)."""
     return _arrow_array_udf("minhash_sig_lists", text, n=n, k=k)
-
-
-def minhash_from_shingles_arrow(shingles: Column | str, k: int = 16) -> Column:
-    """Arrow-batched shingle-hash array -> k-permutation MinHash
-    signature array (same permutation spec); for callers that already
-    materialize the shingle relation and want the signature map-side
-    without the explode + groupBy exchange. [None]/NULL arrays ->
-    NULL signature. Parity-pinned but deliberately UNWIRED: inside
-    minhash_lsh_pairs it was measured and REJECTED (r13-opt A/B —
-    shipping the checkpointed arrays over Arrow costs more than the
-    exchange it removes; d04 2.08 vs 1.67 s sf0.1 medians, s13 flat);
-    kept for pipelines whose shingle relation is already Python-side."""
-    return _arrow_array_udf("minhash_from_hash_lists", shingles, k=k)
 
 
 def char_hash_arrow(text: Column | str) -> Column:

@@ -246,41 +246,6 @@ def minhash_sig_lists(texts: list, n: int = 3, k: int = 16) -> list:
     return out
 
 
-def minhash_from_hash_lists(arrs: list, k: int = 16) -> list:
-    """Per input hash array: the k-permutation MinHash signature (same
-    permutation spec as :func:`minhash_sig_lists`). Mirrors the
-    explode + groupBy-min semantics for everything the shingle
-    producers emit: a non-empty int array -> k mins; ``[None]`` (the
-    NULL-text marker) or NULL array -> None (all-null signature).
-    Arrow may deliver null-bearing arrays as float (NaN) or object
-    (None) — both are detected. Empty arrays (not producible by
-    shingle_hashes) also map to None."""
-    ndocs = len(arrs)
-
-    def _n(a) -> int:
-        if a is None or len(a) == 0:
-            return 0
-        h0 = a[0]
-        if h0 is None or h0 != h0:  # None or NaN
-            return 0
-        return len(a)
-
-    cnt = np.fromiter((_n(a) for a in arrs), dtype=np.int64, count=ndocs)
-    total = int(cnt.sum())
-    from itertools import chain  # noqa: PLC0415
-
-    flat = np.fromiter(
-        chain.from_iterable(a for a, c in zip(arrs, cnt) if c),
-        dtype=np.int64,
-        count=total,
-    )
-    nz, sig = _seg_min_perms(flat, cnt, k)
-    out: list = [None] * ndocs
-    for i, d in enumerate(nz):
-        out[d] = sig[i].tolist()
-    return out
-
-
 def span_hash_lists(texts: list, w: int = 8) -> list:
     """Per doc: ALL w-token span hashes in position order (duplicates
     kept); < w tokens -> []; NULL text -> []."""

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ice_spark.operators.similarity import cosine
+from ice_spark.operators.similarity import cosine_fixed
 
 
 def _sq_dist(a, b):
@@ -178,7 +178,11 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+            # fixed-dim unrolled cosine: the centroid length IS the
+            # corpus dim (train_centroids seeds are corpus rows)
+            F.round(cosine_fixed("__qv", "__cv", len(centroids[0])), 6).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

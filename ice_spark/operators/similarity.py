@@ -42,6 +42,44 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _dot_unrolled_sql(a_sql: str, b_sql: str, dim: int) -> str:
+    """``_dot`` with the element loop unrolled for a FIXED dimension —
+    bit-identical doubles (same left-to-right fold order, same casts),
+    whole-stage codegen instead of the interpreted HOF-lambda path
+    (the v08/srp_signature_unrolled_sql lesson, guide §4.1: HOF
+    lambdas are CodegenFallback). Precondition: both vectors have
+    exactly ``dim`` entries (the registry corpus contract); a shorter
+    vector fails loudly under ANSI element_at instead of silently
+    zip_with-padding."""
+    terms = " ".join(
+        f"+ CAST(element_at({a_sql}, {d}) AS DOUBLE) "
+        f"* CAST(element_at({b_sql}, {d}) AS DOUBLE)"
+        for d in range(1, dim + 1)
+    )
+    return f"(CAST(0 AS DOUBLE) {terms})"
+
+
+def _norm_unrolled_sql(a_sql: str, dim: int) -> str:
+    terms = " ".join(
+        f"+ CAST(element_at({a_sql}, {d}) AS DOUBLE) "
+        f"* CAST(element_at({a_sql}, {d}) AS DOUBLE)"
+        for d in range(1, dim + 1)
+    )
+    return f"SQRT(CAST(0 AS DOUBLE) {terms})"
+
+
+def cosine_fixed(a_col: str, b_col: str, dim: int):
+    """``cosine`` for a fixed, known vector dimension: identical bits
+    (same fold order / cast / division structure), executed in
+    whole-stage codegen. Call sites that know the corpus dim (all the
+    v-series: the embedding contract is 64) should use this; ``cosine``
+    stays as the variable-length reference form."""
+    return F.expr(
+        f"({_dot_unrolled_sql(a_col, b_col, dim)}"
+        f" / ({_norm_unrolled_sql(a_col, dim)} * {_norm_unrolled_sql(b_col, dim)}))"
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -50,23 +88,31 @@ def brute_force_topk(
     query_id_col: str,
     query_vec_col: str,
     k: int = 3,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     Returns (query_id, neighbor_id, cos_sim, rank); self-matches are
     excluded when ids collide. Cosine is rounded to 6 digits before
     ranking (ties broken by neighbor id) so results are reproducible.
+    `dim`: pass the corpus's fixed vector dimension to score with the
+    codegen'd unrolled cosine (bit-identical; see cosine_fixed).
     """
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    cos = (
+        cosine_fixed("__qv", "__cv", dim)
+        if dim
+        else cosine(F.col("__qv"), F.col("__cv"))
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+            F.round(cos, 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -88,31 +134,31 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
     return vals
 
 
-def lsh_bucket(vec, dim: int, n_planes: int = 8, seed0: int = 1):
-    """Sign-bit bucket id from n random hyperplanes (Column expr).
+def lsh_bucket(vec_col: str, dim: int, n_planes: int = 8, seed0: int = 1):
+    """Sign-bit bucket id from n random hyperplanes (codegen'd expr).
 
     `seed0` selects the first plane seed so multiple independent
     BANDS can be derived from the same generator (band b at
     seed0 = b * n_planes + 1 uses disjoint planes).
+
+    r14-opt: the per-plane dot products are UNROLLED SQL (identical
+    bits — same left-to-right fold over the same double literals, same
+    2^p sign weights) instead of interpreted zip_with/aggregate
+    lambdas, which cost n_planes * dim CodegenFallback iterations per
+    row (guide §4.1; the v08 lesson). Takes the vector COLUMN NAME.
     """
-    bucket = F.lit(0).cast("long")
+    bits = []
     for p in range(n_planes):
         plane = _hyperplane(dim, seed=seed0 + p)
-        proj = F.aggregate(
-            # ONE nested-list literal per plane (the IVF centroid
-            # idiom): a per-element F.lit array costs dim py4j round
-            # trips per plane — ~2k driver calls for a 4x8 banding —
-            # measured 6s of plan-build time on v04 before this.
-            F.zip_with(
-                vec,
-                F.lit(plane),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        terms = " ".join(
+            f"+ CAST(element_at({vec_col}, {d + 1}) AS DOUBLE) * {w!r}"
+            for d, w in enumerate(plane)
         )
-        bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(0)
-    return bucket
+        bits.append(
+            f"(CASE WHEN (CAST(0 AS DOUBLE) {terms}) > 0 "
+            f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return F.expr("(CAST(0 AS BIGINT) + " + " + ".join(bits) + ")")
 
 
 def lsh_topk(
@@ -132,12 +178,12 @@ def lsh_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("__qv"),
-        lsh_bucket(F.col(query_vec_col), dim, n_planes).alias("__bq"),
+        lsh_bucket(query_vec_col, dim, n_planes).alias("__bq"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bc"),
+        lsh_bucket(vec_col, dim, n_planes).alias("__bc"),
     )
     scored = (
         c.join(
@@ -147,7 +193,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+            F.round(cosine_fixed("__qv", "__cv", dim), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -180,30 +226,34 @@ def banded_lsh_buckets(
     bands are computed in a single projection (array of structs +
     explode) — one corpus scan.
     """
-    # All bands*n_planes projections in ONE expression with ONE
-    # nested-list plane-matrix literal: per-plane Column construction
-    # (bands * n_planes lsh_bucket calls) costs ~80ms of py4j each —
-    # 2.6s of driver time for a 4x8 banding — while this builds in
-    # ~0.1s and yields an identical result (same plane seeds, same
-    # sequential dot fold, same 2^p sign-bit weights as lsh_bucket).
-    planes = [
-        _hyperplane(dim, seed=b * n_planes + p + 1)
-        for b in range(bands)
-        for p in range(n_planes)
-    ]
+    # All bands*n_planes projections UNROLLED into one codegen'd
+    # expression (r14-opt; previously one nested-list plane literal +
+    # interpreted HOF lambdas — bands * n_planes * dim = 2048
+    # interpreted iterations per row at the v04 call site, the same
+    # CodegenFallback pathology as v08's srp path). Identical bits:
+    # same plane seeds, the dot folds left-to-right over d with the
+    # SAME double literals (repr round-trips through the SQL parser
+    # exactly), the band key sums the same 2^p sign-bit weights.
+    # Per-plane Column construction was already rejected for py4j cost
+    # (~80ms/plane); this builds ONE expr string in ~1ms.
+    def band_key_sql(b: int) -> str:
+        bits = []
+        for p in range(n_planes):
+            plane = _hyperplane(dim, seed=b * n_planes + p + 1)
+            terms = " ".join(
+                f"+ CAST(element_at({vec_col}, {d + 1}) AS DOUBLE) * {w!r}"
+                for d, w in enumerate(plane)
+            )
+            bits.append(
+                f"(CASE WHEN (CAST(0 AS DOUBLE) {terms}) > 0 "
+                f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            )
+        return "(" + " + ".join(bits) + ")"
+
     keys = F.expr(
-        f"transform(sequence(0, {bands - 1}), b -> "
-        f"aggregate(sequence(0, {n_planes - 1}), CAST(0 AS BIGINT), (acc, p) -> "
-        f"acc + IF(aggregate(zip_with({vec_col}, "
-        f"element_at(__planes, b * {n_planes} + p + 1), "
-        f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), "
-        f"(a, v) -> a + v) > 0, shiftleft(CAST(1 AS BIGINT), p), "
-        f"CAST(0 AS BIGINT))))"
+        "array(" + ", ".join(band_key_sql(b) for b in range(bands)) + ")"
     )
-    return (
-        df.withColumn("__planes", F.lit(planes))
-        .select(F.col(id_col), F.posexplode(keys).alias("band", "key"))
-    )
+    return df.select(F.col(id_col), F.posexplode(keys).alias("band", "key"))
 
 
 def banded_cosine_neardup_pairs(
@@ -266,7 +316,7 @@ def banded_cosine_neardup_pairs(
     # small.
     ca = corpus.select(F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va"))
     cb = corpus.select(F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb"))
-    cos = cosine(F.col("__va"), F.col("__vb"))
+    cos = cosine_fixed("__va", "__vb", dim)
     return (
         cand.join(ca, "__ida")
         .join(cb, "__idb")

@@ -323,14 +323,31 @@ def _triangles_per_edge(od: DataFrame, adj: DataFrame) -> DataFrame:
     relation is m rows carrying ~outdeg-sized array payloads — per-row
     shuffle cost scales with m, not sum-outdeg^2 (the r12 wedge
     stream's 4.1e9 rows / 125 GB sort spill, PERF.md §Round 12-13).
+
+    JOIN ORDER (r14-opt): attach the DESTINATION arrays first, then
+    exchange the stream by e_sid and attach the source arrays from the
+    co-partitioned build side. The stream between the two joins is the
+    only per-edge array exchange, and which side rides it is
+    asymmetric: sum over edges of outdeg(did) = 4.92e9 elements vs
+    outdeg(sid) = 8.28e9 at the sf10 probe (destinations are the
+    higher-(degree,id) endpoints, whose OUT-degree the orientation
+    caps hardest), so shipping n2 moves 41% less than the old
+    n1-first order; od itself crosses the first exchange as two bare
+    longs per row. The closing repartition("e_sid") co-partitions the
+    stream with adj's baked-in sid partitioning, so the n1 join adds
+    no exchange, and g03's apex groupBy(e_sid) rides the same
+    exchange for free. sf10 phase A/B (zstd codec on both sides):
+    old order 150.2 s -> this order 37.2 s, identical triangle sum;
+    guide §2.3 (shuffle fewer bytes) + §2.4 (share one exchange).
     shuffle_hash on the adj build sides: n rows, hash-uniform node
-    keys; AQE skew split still applies on the e_did probe."""
+    keys; AQE skew split still applies on the probes."""
     a1 = adj.select(F.col("sid").alias("e_sid"), F.col("nbrs").alias("n1"))
     a2 = adj.select(F.col("sid").alias("e_did"), F.col("nbrs").alias("n2"))
     return (
         od.select(F.col("sid").alias("e_sid"), F.col("did").alias("e_did"))
-        .join(a1.hint("shuffle_hash"), "e_sid")
         .join(a2.hint("shuffle_hash"), "e_did")
+        .repartition("e_sid")
+        .join(a1.hint("shuffle_hash"), "e_sid")
         .select(
             "e_sid",
             "e_did",

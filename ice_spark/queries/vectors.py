@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ice_spark.operators.similarity import _norm, brute_force_topk, cosine
+from ice_spark.operators.similarity import brute_force_topk, cosine_fixed
 from ice_spark.queries.registry import register
 from ice_spark.tables import load_table
 
@@ -57,6 +57,7 @@ def v01(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries=queries,
         id_col="vec_id",
         vec_col="embedding",
+        dim=64,
         query_id_col="vec_id",
         query_vec_col="embedding",
         k=3,
@@ -103,8 +104,12 @@ def v02(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="L2-norm statistics per label.",
 )
 def v03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ice_spark.operators.similarity import _norm_unrolled_sql
+
     emb = load_table(spark, sf_dir, "embeddings")
-    t = emb.select("label", _norm(F.col("embedding")).alias("nrm"))
+    t = emb.select(
+        "label", F.expr(_norm_unrolled_sql("embedding", 64)).alias("nrm")
+    )
     return t.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("nrm") / F.count(F.lit(1)), 6).alias("avg_norm"),
@@ -665,7 +670,7 @@ def v10(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = assigned.select(
         "lid", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("__vb")
     )
-    cos = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    cos = F.round(cosine_fixed("__va", "__vb", 64), 6)
     return (
         a.join(b, "lid")
         .where(F.col("vec_a") < F.col("vec_b"))
@@ -857,7 +862,7 @@ def v12(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_vec_col="embedding",
         k=3,
     )
-    exact = brute_force_topk(**kw).select("query_id", "neighbor_id")
+    exact = brute_force_topk(dim=64, **kw).select("query_id", "neighbor_id")
     lsh = lsh_topk(dim=64, n_planes=6, **kw).select(
         F.col("query_id").alias("l_qid"), F.col("neighbor_id").alias("l_nid")
     )
@@ -970,6 +975,7 @@ def v13(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries=queries,
         id_col="vec_id",
         vec_col="embedding",
+        dim=64,
         query_id_col="vec_id",
         query_vec_col="embedding",
         k=8,
@@ -996,7 +1002,7 @@ def v13(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "ca",
             "cb",
-            F.round(F.round(cosine(F.col("av"), F.col("bv")), 6) * 1e6)
+            F.round(F.round(cosine_fixed("av", "bv", 64), 6) * 1e6)
             .cast("long")
             .alias("sim_u"),
         )
@@ -1054,7 +1060,7 @@ def v13(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cost exactly what retrieval costs.",
 )
 def v14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ice_spark.operators.similarity import cosine
+    from ice_spark.operators.similarity import cosine_fixed
 
     emb = load_table(spark, sf_dir, "embeddings")
     ids = spark.range(3).select(F.col("id").cast("long").alias("q"))
@@ -1082,7 +1088,7 @@ def v14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("q").alias("query_id"),
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("tv"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(cosine_fixed("tv", "embedding", 64), 6).alias("cos_sim"),
         )
     )
     from pyspark.sql import Window as W

@@ -63,6 +63,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- Shuffle/persist codec: zstd over the lz4 default (guide
+        # §2.3 "measure both"). Measured r14-opt on g02's 120M-edge
+        # array exchange at sf10: the intersect phase 284.8 -> 150.2 s
+        # on codec alone (identical values) — long-array shuffle blocks
+        # compress far better under zstd, and the saved IO dwarfs the
+        # extra CPU. At sf0.1 shuffles are KBs either way (headline
+        # A/B flat, see OPTIMIZATION_r14.md); at cluster scale the
+        # byte cut also prices network, not just local disk.
+        .config("spark.io.compression.codec", "zstd")
         # --- Scan sizing ---
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -32,14 +32,9 @@ ADVERSARIAL = [
 ]
 
 
-def _df(spark, extra_corpus=True):
+def _df(spark):
     rows = [(i, t) for i, t in enumerate(ADVERSARIAL)]
-    df = spark.createDataFrame(rows, "doc_id: long, text: string")
-    if extra_corpus:
-        from ice_spark.tables import load_table
-
-        return df
-    return df
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
 
 
 def _assert_cols_equal(df, a, b):
@@ -99,7 +94,7 @@ def _minhash_reference(df, id_col, text_col, k):
     return _signatures_from_exploded(ex, id_col, k)
 
 
-def _assert_rows_equal(a, b, key):
+def _assert_rows_equal(a, b):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb, (ra[:3], rb[:3])
@@ -119,19 +114,7 @@ def test_minhash_sig_parity_adversarial(spark):
     for k in (4, 16):
         new = _kernel_sigs(df, k)
         ref = _minhash_reference(df, "doc_id", "text", k)
-        _assert_rows_equal(new, ref, "doc_id")
-
-
-def test_minhash_from_shingles_parity(spark):
-    df = _df(spark)
-    arrs = df.select(
-        "doc_id", T.shingle_hashes_arrow(F.col("text")).alias("shs")
-    )
-    new = arrs.select(
-        "doc_id", T.minhash_from_shingles_arrow("shs", k=16).alias("sig")
-    ).select("doc_id", *[F.col("sig").getItem(j).alias(f"mh{j}") for j in range(16)])
-    ref = _minhash_reference(df, "doc_id", "text", 16)
-    _assert_rows_equal(new, ref, "doc_id")
+        _assert_rows_equal(new, ref)
 
 
 def test_minhash_sig_parity_on_corpus(spark, sf_dir):
@@ -140,7 +123,7 @@ def test_minhash_sig_parity_on_corpus(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     new = _kernel_sigs(docs, 16)
     ref = _minhash_reference(docs, "doc_id", "text", 16)
-    _assert_rows_equal(new, ref, "doc_id")
+    _assert_rows_equal(new, ref)
 
 
 def test_parity_on_corpus(spark, sf_dir):
